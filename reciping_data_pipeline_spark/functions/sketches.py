@@ -1,0 +1,100 @@
+"""Arrow-vectorized sketch kernels (MinHash, SimHash, hyperplane LSH).
+
+Why Pandas UDFs here and not Catalyst expressions: a 64-permutation
+MinHash or a 64-bit SimHash as native higher-order functions builds a
+multi-thousand-node expression tree per column — Catalyst analysis +
+whole-stage codegen blow past JIT/heap limits (observed: driver OOM at
+analysis time). The sketch math is dense numeric work over variable
+-length arrays, exactly what Arrow-batched numpy is for; each kernel
+is one matrix op per row batch, no JVM<->Python chatter beyond the
+Arrow stream. (SURVEY §2.10: keep the relational surface UDF-free;
+reserve pandas_udf for the extension operators — this is that case.)
+
+Inputs are pre-hashed JVM-side (xxhash64 in functions/hashing.py), so
+Python never sees raw text — only fixed-width ints/floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+from reciping_data_pipeline_spark.functions.hashing import _MERSENNE_P, _perm_params
+
+
+def minhash_signature_udf(num_perm: int = 64, seed: int = 42):
+    """pandas_udf: array<bigint> base shingle hashes -> array<bigint>
+    MinHash signature of length ``num_perm``.
+
+    h_i(x) = (a_i * x + b_i) mod p with p = 2^31 - 1; empty docs get p
+    in every slot (matches "no shingles" semantics downstream).
+    """
+    params = _perm_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.uint64).reshape(-1, 1)
+    b = np.array([p[1] for p in params], dtype=np.uint64).reshape(-1, 1)
+    p_mod = np.uint64(_MERSENNE_P)
+    empty = np.full(num_perm, _MERSENNE_P, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(empty)
+                continue
+            hv = np.asarray(h, dtype=np.uint64)
+            sig = ((a * hv + b) % p_mod).min(axis=1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _minhash
+
+
+def simhash64_udf():
+    """pandas_udf: array<bigint> token hashes -> bigint 64-bit SimHash.
+
+    Bit j of the result is 1 iff the +1/-1 votes of bit j across all
+    token hashes (term frequency kept) sum positive. Empty docs -> 0.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.uint64)
+            ones = ((hv[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            bits = (2 * ones) > len(hv)  # votes = 2*ones - n > 0
+            out[i] = np.int64(
+                np.uint64(np.sum(np.where(bits, np.uint64(1) << shifts, np.uint64(0))))
+            )
+        return pd.Series(out)
+
+    return _simhash
+
+
+def hyperplane_sigs_udf(dim: int, num_planes: int = 12, num_tables: int = 6, seed: int = 7):
+    """pandas_udf: array<float> embedding -> array<bigint> of
+    ``num_tables`` signature words (``num_planes`` sign bits each).
+
+    Planes are a fixed Gaussian matrix from a seeded RNG — identical
+    across executors/runs (driver-side constant broadcast with the
+    serialized UDF). One (dim x planes) matmul per row batch.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * num_planes, dim))
+    weights = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf("array<bigint>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = mat @ planes.T >= 0.0  # (rows, tables*planes)
+        proj = proj.reshape(len(vecs), num_tables, num_planes)
+        sigs = (proj * weights).sum(axis=2).astype(np.int64)  # (rows, tables)
+        return pd.Series(list(sigs))
+
+    return _sigs

@@ -1,0 +1,450 @@
+"""Clickstream analytics on the ``events`` testdata table.
+
+These re-express the reference's 21-query analytics catalog
+(``sql_queries/*.sql`` — DAU, WAU+WoW, funnel, CTR, A/B lift,
+heatmaps, engagement scoring, sessionization) against the generic
+``events(event_id, ts, user_id, event_type, value, props)`` table, so
+the driver's DuckDB oracle can validate each shape end-to-end. The
+reference-faithful versions over the medallion Gold star schema live
+in ``reciping_data_pipeline_spark.pipeline.analytics``.
+
+A/B group assignment is derived deterministically from ``user_id``
+parity — mirroring the reference's MD5-parity assignment
+(``create_data/create_event_logs.py:239-241``) with an
+oracle-reproducible function.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+
+@query(
+    "dau",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS event_count
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    doc="Daily active users per event type — DAU.sql shape (SURVEY §2.4 A1/A2).",
+    tags=("agg", "bench"),
+)
+def dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("ts").cast("date").alias("event_date"), "event_type"
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count("*").alias("event_count"),
+    )
+
+
+@query(
+    "dau_segment_breakdown",
+    oracle="""
+    SELECT CASE WHEN event_type IS NOT NULL THEN 'event_type' ELSE 'TOTAL' END AS segment_type,
+           coalesce(event_type, 'TOTAL') AS segment_value,
+           CAST(ts AS DATE) AS event_date,
+           count(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (CAST(ts AS DATE)))
+    """,
+    doc="DAU with TOTAL + per-segment rows in ONE pass via GROUPING SETS — "
+    "replaces DAU.sql:15-52's 4x UNION ALL rescans (SURVEY §2.7 U1, §7.4 #6).",
+    tags=("agg", "grouping-sets", "bench"),
+)
+def dau_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN event_type IS NOT NULL THEN 'event_type' ELSE 'TOTAL' END AS segment_type,
+               coalesce(event_type, 'TOTAL') AS segment_value,
+               CAST(ts AS DATE) AS event_date,
+               count(DISTINCT user_id) AS dau
+        FROM events
+        GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (CAST(ts AS DATE)))
+        """
+    )
+
+
+@query(
+    "wau_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               count(DISTINCT user_id) AS wau
+        FROM events GROUP BY 1
+    )
+    SELECT week_start, wau,
+           lag(wau) OVER (ORDER BY week_start) AS prev_wau,
+           round(100.0 * (wau - lag(wau) OVER (ORDER BY week_start))
+                 / nullif(lag(wau) OVER (ORDER BY week_start), 0), 4) AS wow_growth_pct
+    FROM weekly
+    """,
+    doc="WAU + week-over-week growth via LAG (WAU.sql:56-61; SURVEY §2.5 W3).",
+    tags=("window", "agg"),
+)
+def wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    w = Window.orderBy("week_start")
+    prev = F.lag("wau").over(w)
+    return weekly.select(
+        "week_start",
+        "wau",
+        prev.alias("prev_wau"),
+        F.round(100.0 * (F.col("wau") - prev) / F.nullif(prev, F.lit(0)), 4).alias("wow_growth_pct"),
+    )
+
+
+@query(
+    "hourly_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(isodow(ts) AS INT) AS day_of_week,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               count(*) AS event_count
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day_of_week, hour_of_day, event_count,
+           round((event_count - min(event_count) OVER ()) * 1.0
+                 / nullif(max(event_count) OVER () - min(event_count) OVER (), 0), 4) AS intensity
+    FROM cells
+    """,
+    doc="Hour x weekday heatmap with global min/max normalization "
+    "(time_x_day_events_heatmap.sql:33-36; SURVEY §2.5 W5).",
+    tags=("window", "agg"),
+)
+def hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("day_of_week"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count("*").alias("event_count"))
+    w = Window.partitionBy()
+    mn, mx = F.min("event_count").over(w), F.max("event_count").over(w)
+    return cells.select(
+        "day_of_week",
+        "hour_of_day",
+        "event_count",
+        F.round((F.col("event_count") - mn) * 1.0 / F.nullif(mx - mn, F.lit(0)), 4).alias("intensity"),
+    )
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(did_view) AS BIGINT) AS step1_view_users,
+           CAST(sum(did_view * did_click) AS BIGINT) AS step2_click_users,
+           CAST(sum(did_view * did_click * did_purchase) AS BIGINT) AS step3_purchase_users,
+           round(100.0 * sum(did_view * did_click) / nullif(sum(did_view), 0), 4) AS view_to_click_pct,
+           round(100.0 * sum(did_view * did_click * did_purchase)
+                 / nullif(sum(did_view * did_click), 0), 4) AS click_to_purchase_pct
+    FROM per_user
+    """,
+    doc="Per-user step flags -> funnel counts (click_ads_funnel.sql:4-25; SURVEY §2.4 A4).",
+    tags=("agg", "funnel", "bench"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda t: F.max(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        flag("view").alias("did_view"),
+        flag("click").alias("did_click"),
+        flag("purchase").alias("did_purchase"),
+    )
+    v = F.sum("did_view")
+    vc = F.sum(F.col("did_view") * F.col("did_click"))
+    vcp = F.sum(F.col("did_view") * F.col("did_click") * F.col("did_purchase"))
+    return per_user.agg(
+        v.cast("bigint").alias("step1_view_users"),
+        vc.cast("bigint").alias("step2_click_users"),
+        vcp.cast("bigint").alias("step3_purchase_users"),
+        F.round(100.0 * vc / F.nullif(v, F.lit(0)), 4).alias("view_to_click_pct"),
+        F.round(100.0 * vcp / F.nullif(vc, F.lit(0)), 4).alias("click_to_purchase_pct"),
+    )
+
+
+@query(
+    "ab_test_ctr",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS ab_group,
+           count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS viewers,
+           count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clickers,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           round(100.0 * sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 / nullif(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0), 4) AS ctr_pct
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A/B CTR with conditional distinct counts (ctr_advertisement.sql:9-12, "
+    "treatment_vs_control.sql:11; SURVEY §2.4 A3/A4).",
+    tags=("agg", "ab-test"),
+)
+def ab_test_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ab_group",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    return ev.groupBy("ab_group").agg(
+        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias("viewers"),
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("clickers"),
+        F.sum(is_view).cast("bigint").alias("impressions"),
+        F.sum(is_click).cast("bigint").alias("clicks"),
+        F.round(100.0 * F.sum(is_click) / F.nullif(F.sum(is_view), F.lit(0)), 4).alias("ctr_pct"),
+    )
+
+
+@query(
+    "ab_test_lift",
+    oracle="""
+    WITH stats AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS ab_group,
+               round(100.0 * sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     / nullif(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0), 6) AS ctr_pct
+        FROM events GROUP BY 1
+    )
+    SELECT t.ctr_pct AS treatment_ctr, c.ctr_pct AS control_ctr,
+           round(100.0 * (t.ctr_pct - c.ctr_pct) / nullif(c.ctr_pct, 0), 4) AS lift_pct
+    FROM stats t JOIN stats c ON t.ab_group = 'treatment' AND c.ab_group = 'control'
+    """,
+    doc="Treatment-vs-control lift via self-join pivot (lift.sql:55-57; SURVEY §2.3 J7).",
+    tags=("join", "agg", "ab-test"),
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ab_group",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    stats = ev.groupBy("ab_group").agg(
+        F.round(100.0 * F.sum(is_click) / F.nullif(F.sum(is_view), F.lit(0)), 6).alias("ctr_pct")
+    )
+    t = stats.where("ab_group = 'treatment'").select(F.col("ctr_pct").alias("treatment_ctr"))
+    c = stats.where("ab_group = 'control'").select(F.col("ctr_pct").alias("control_ctr"))
+    return t.crossJoin(c).select(
+        "treatment_ctr",
+        "control_ctr",
+        F.round(
+            100.0 * (F.col("treatment_ctr") - F.col("control_ctr")) / F.nullif(F.col("control_ctr"), F.lit(0)),
+            4,
+        ).alias("lift_pct"),
+    )
+
+
+@query(
+    "engagement_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           round(avg(CASE event_type WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 8.0
+                     WHEN 'click' THEN 5.0 WHEN 'view' THEN 2.0 ELSE 1.0 END), 4) AS avg_engagement,
+           CAST(sum(CASE event_type WHEN 'purchase' THEN 10 WHEN 'signup' THEN 8
+                    WHEN 'click' THEN 5 WHEN 'view' THEN 2 ELSE 1 END) AS BIGINT) AS total_engagement,
+           count(DISTINCT user_id) AS active_users
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Engagement-score ladder via CASE (replay_silver_to_gold.py:371-378 "
+    "8-branch ladder; daily_engagement_score.sql; SURVEY §2.8 conditional).",
+    tags=("agg",),
+)
+def engagement_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    score = (
+        F.when(F.col("event_type") == "purchase", 10)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "click", 5)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(1)
+    )
+    return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.round(F.avg(score.cast("double")), 4).alias("avg_engagement"),
+        F.sum(score).cast("bigint").alias("total_engagement"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
+@query(
+    "daily_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="Daily event-type pivot with explicit value list (SURVEY §2.4 A8).",
+    tags=("agg", "pivot"),
+)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["signup", "click", "view", "purchase", "error"]
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("event_date", *[F.col(t).cast("bigint").alias(t) for t in types])
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+    doc="Gap-based sessionization (30-min timeout) via lag + cumulative sum — "
+    "the batch equivalent of session_window (SURVEY §2.9; reference has "
+    "generator-assigned sessions only, create_event_logs.py:885).",
+    tags=("window", "sessionize", "bench"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("is_new_session").over(cum).cast("bigint"))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("bigint").alias("duration_sec"),
+    )
+
+
+@query(
+    "props_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS event_count,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON payload extraction — the reference's from_json 3-schema parse "
+    "(replay_bronze_to_silver.py:149-155; SURVEY §2.8 JSON).",
+    tags=("json", "agg"),
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("event_count"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "user_first_seen_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+    )
+    SELECT cohort_date, count(*) AS new_users
+    FROM firsts GROUP BY cohort_date
+    """,
+    doc="First-seen cohort — incremental dim_user growth shape "
+    "(replay_silver_to_gold.py:200-280; SURVEY §2.3 J5).",
+    tags=("agg",),
+)
+def user_first_seen_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_date"))
+    return firsts.groupBy("cohort_date").agg(F.count("*").alias("new_users"))
+
+
+@query(
+    "event_value_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(stddev_samp(value), 4) AS stddev_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Numeric profile per type incl. stddev (SURVEY §2.4 A5/A6).",
+    tags=("agg",),
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+    )
+
+
+@query(
+    "top20_users_by_value",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+    """,
+    doc="Filtered top-k users (top_10_clicked_recipe.sql shape; SURVEY §2.6 O2).",
+    tags=("topk", "agg"),
+)
+def top20_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )

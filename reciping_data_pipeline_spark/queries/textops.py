@@ -1,0 +1,211 @@
+"""Text-analysis + dedup catalog queries on the ``documents`` table.
+
+The SQL-expressible operators carry a DuckDB oracle that mirrors the
+Spark column expressions formula-for-formula (same tokenizer regex,
+same stopword lists, same logistic score). The sketch-based operators
+(MinHash-LSH, SimHash) are not reasonably SQL-expressible — they get
+rows-only driver checks plus planted-duplicate unit tests in
+``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from reciping_data_pipeline_spark.functions import text as T
+from reciping_data_pipeline_spark.operators import dedup
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+# DuckDB fragment equal to T.normalized_text
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = "regexp_split_to_array(text, '\\s+')"
+_EN_STOP = "('the','a','and','of','to','in','is','that','it','for')"
+
+
+@query(
+    "doc_stats_by_lang",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len({_TOKENS_SQL})), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus profile: token counting via whitespace split (SURVEY §7.2-8 text analysis).",
+    tags=("text", "agg"),
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(T.token_count(F.col("text"))), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5({_NORM_SQL})
+    """,
+    doc="Exact dedup on normalized-content fingerprint; keeps lowest doc_id "
+    "per group (one hash shuffle — the 100 TB-safe exact dedup).",
+    tags=("text", "dedup", "bench"),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").select("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+    doc="Content fingerprinting: md5 over case/whitespace/punct-normalized text.",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_EN_STOP})) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / nullif(length(text), 0) AS p_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INT) AS n_tokens,
+           round(n_stop / nullif(n_tok, 0), 4) AS stopword_ratio,
+           round(1.0 / (1.0 + exp(-(0.01 * n_tok + 2.0 * (n_stop / nullif(n_tok, 0))
+                                    - 5.0 * p_ratio - 1.0))), 4) AS quality
+    FROM feat
+    """,
+    doc="Quality scoring: logistic over length/stopword/punctuation features "
+    "(Gopher/C4-style heuristics, simplified; SURVEY §7.2-8).",
+    tags=("text",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_tok = T.token_count(txt).cast("double")
+    sw_ratio = T.stopword_count(txt, "en").cast("double") / F.nullif(n_tok, F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(T.quality_score(txt), 4).alias("quality"),
+    )
+
+
+@query(
+    "doc_langid",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_EN_STOP})) AS DOUBLE) AS h_en,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN ('el','la','de','que','y','en','un','por','con','los'))) AS DOUBLE) AS h_es,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN ('le','la','et','les','des','en','un','du','que','pour'))) AS DOUBLE) AS h_fr,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN ('der','die','und','das','den','von','zu','mit','ist','des'))) AS DOUBLE) AS h_de
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id, lang,
+               h_en / nullif(n_tok, 0) AS r_en, h_es / nullif(n_tok, 0) AS r_es,
+               h_fr / nullif(n_tok, 0) AS r_fr, h_de / nullif(n_tok, 0) AS r_de
+        FROM feat
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN r_en > 0.02 AND r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en'
+                WHEN r_es > 0.02 AND r_es >= r_fr AND r_es >= r_de THEN 'es'
+                WHEN r_fr > 0.02 AND r_fr >= r_de THEN 'fr'
+                WHEN r_de > 0.02 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM ratios
+    """,
+    doc="Heuristic language ID: argmax of per-language stopword-hit ratios "
+    "with deterministic tie-break (SURVEY §7.2-8 language-ID).",
+    tags=("text",),
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.detect_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len({_TOKENS_SQL}) - 4),
+                   i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+                        || ' ' || {_TOKENS_SQL}[i+3] || ' ' || {_TOKENS_SQL}[i+4])) AS sh
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM postings a JOIN postings b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.001
+    """,
+    doc="Exact 5-gram Jaccard pairs via shingle inversion — recall-1 near-dup "
+    "baseline; threshold set low (0.001) so the random-text fixture yields "
+    "verifiable rows (real dedup runs use >= 0.8).",
+    tags=("text", "dedup"),
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=5, threshold=0.001)
+
+
+@query(
+    "doc_minhash_lsh_pairs",
+    oracle=None,  # sketch-based; validated by planted-duplicate tests
+    doc="MinHash-LSH near-dup candidates verified to exact Jaccard >= 0.5 "
+    "(64 perms, 16 bands x 4 rows; SURVEY §7.2-8 MinHash+LSH).",
+    tags=("text", "dedup", "bench"),
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=5, num_perm=64, num_bands=16, threshold=0.5
+    )
+
+
+@query(
+    "doc_simhash_pairs",
+    oracle=None,  # sketch-based; validated by planted-duplicate tests
+    doc="SimHash near-dup pairs at Hamming distance <= 3 via pigeonhole "
+    "block join (SURVEY §7.2-8 SimHash).",
+    tags=("text", "dedup"),
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,376 @@
+"""Relational operator coverage on the TPC-H-ish testdata tables.
+
+Each query exercises a block of the SURVEY.md §2 operator inventory
+(aggregations A1-A8, joins J1-J9, windows W1-W5, set ops U1-U2, sorts
+O1-O3) re-expressed as idiomatic DataFrame plans. Reference citations
+point at the behavior being covered (e.g. ``sql_queries/DAU.sql``),
+not code being copied.
+
+Scale notes: dimension tables (region/nation/customer/part/supplier)
+are broadcast explicitly so fact-side scans never shuffle for star
+joins; aggregations rely on partial (map-side) aggregation + AQE
+coalescing; top-k compiles to TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped scan+filter+agg (SURVEY §2.4 A1/A5; pushdown P5/P6).",
+    tags=("agg", "filter", "bench"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_custkey) AS unique_customers
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star join fact->4 dims w/ broadcast (SURVEY §2.3 J6, §2.4 A2).",
+    tags=("join", "agg", "bench"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join — the reference's new-user detection pattern "
+    "(replay_silver_to_gold.py:226-231; SURVEY §2.3 J5, §2.7 U2).",
+    tags=("join",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "priority_with_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="EXISTS semi join + agg (TPC-H Q4 shape; SURVEY §2.3 J9 IN-subquery semi).",
+    tags=("join", "agg"),
+)
+def priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late_orders = orders.join(
+        li.where(F.col("l_shipdate").isNotNull()),
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late_orders.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, part_rank
+    FROM (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS part_rank
+        FROM part
+    )
+    WHERE part_rank <= 3
+    """,
+    doc="row_number ranking per group — SCD1 latest-wins shape "
+    "(create_dims.py:67-74; SURVEY §2.5 W1).",
+    tags=("window",),
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("part_rank", F.row_number().over(w))
+        .where(F.col("part_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "part_rank")
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT order_month, revenue,
+           round(lag(revenue) OVER (ORDER BY order_month), 2) AS prev_revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY order_month))
+                 / nullif(lag(revenue) OVER (ORDER BY order_month), 0), 4) AS growth_pct
+    FROM monthly
+    """,
+    doc="LAG window over time series — WoW growth shape (WAU.sql:56-61; SURVEY §2.5 W3).",
+    tags=("window", "agg"),
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("order_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "order_month",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / F.nullif(prev, F.lit(0)), 4).alias("growth_pct"),
+    )
+
+
+@query(
+    "priority_share_by_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderpriority,
+           count(*) AS order_count,
+           round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY date_trunc('month', o_orderdate)), 4)
+               AS share_pct
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+    """,
+    doc="Aggregate-over-window share-of-total (daily_events.sql:9; SURVEY §2.5 W4).",
+    tags=("window", "agg"),
+)
+def priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        "o_orderpriority",
+    ).agg(F.count("*").alias("order_count"))
+    w = Window.partitionBy("order_month")
+    return agg.select(
+        "order_month",
+        "o_orderpriority",
+        "order_count",
+        F.round(F.col("order_count") * 100.0 / F.sum("order_count").over(w), 4).alias("share_pct"),
+    )
+
+
+@query(
+    "order_segment_breakdown",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus IS NOT NULL THEN 'status'
+                WHEN o_orderpriority IS NOT NULL THEN 'priority'
+                ELSE 'TOTAL' END AS segment_type,
+           coalesce(o_orderstatus, o_orderpriority, 'TOTAL') AS segment_value,
+           count(*) AS order_count,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS — one-shuffle replacement for the reference's "
+    "4-block UNION ALL segment stacking (DAU.sql:15-52; SURVEY §2.7 U1).",
+    tags=("agg", "grouping-sets"),
+)
+def order_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT CASE WHEN o_orderstatus IS NOT NULL THEN 'status'
+                    WHEN o_orderpriority IS NOT NULL THEN 'priority'
+                    ELSE 'TOTAL' END AS segment_type,
+               coalesce(o_orderstatus, o_orderpriority, 'TOTAL') AS segment_value,
+               count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Latest-row-per-key dedup — SCD Type 1 upsert semantics "
+    "(create_dims.py:67-75; SURVEY §2.2 P7).",
+    tags=("window", "dedup"),
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "nation_balance_heatmap",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_name AS nation_name, round(sum(c.c_acctbal), 2) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation_name, total_balance,
+           round((total_balance - min(total_balance) OVER ())
+                 / nullif(max(total_balance) OVER () - min(total_balance) OVER (), 0), 4)
+               AS intensity
+    FROM per_nation
+    """,
+    doc="Global min/max normalization over empty window frame "
+    "(time_x_day_events_heatmap.sql:33-36; SURVEY §2.5 W5).",
+    tags=("window",),
+)
+def nation_balance_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    per_nation = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+    )
+    w = Window.partitionBy()
+    mn, mx = F.min("total_balance").over(w), F.max("total_balance").over(w)
+    return per_nation.select(
+        "nation_name",
+        "total_balance",
+        F.round((F.col("total_balance") - mn) / F.nullif(mx - mn, F.lit(0)), 4).alias("intensity"),
+    )
+
+
+@query(
+    "top10_parts_by_revenue",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name, p.p_brand
+    ORDER BY revenue DESC, p.p_partkey
+    LIMIT 10
+    """,
+    doc="Top-K: agg then TakeOrderedAndProject — no global sort "
+    "(top_10_clicked_recipe.sql; SURVEY §2.6 O2).",
+    tags=("topk", "join", "agg", "bench"),
+)
+def top10_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "market_segment_pivot",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS building,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS household,
+           CAST(sum(CASE WHEN c.c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS machinery
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Pivot via fixed value list (ab_test_kpi_metric.sql:22-29 MAX(CASE) "
+    "pivot; SURVEY §2.4 A8). Explicit values keep the plan single-pass.",
+    tags=("agg", "pivot"),
+)
+def market_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    pivoted = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .pivot("c_mktsegment", segments)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [s for s in segments])
+    )
+    return pivoted.select(
+        "nation_name", *[F.col(s).alias(s.lower()) for s in segments]
+    )

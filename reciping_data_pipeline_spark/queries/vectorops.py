@@ -1,0 +1,123 @@
+"""Embedding similarity-search catalog queries on ``embeddings``.
+
+``embeddings(vec_id, embedding array<float>, label int)``. The brute
+force / blocked-exact operators carry full DuckDB oracles (dot and
+norm mirrored index-by-index so double summation matches); the LSH
+ANN path is sketch-based -> rows-only check + recall unit test.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from reciping_data_pipeline_spark.functions import vectors as V
+from reciping_data_pipeline_spark.operators import similarity
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+_DIM = 64
+
+# DuckDB fragments: dot product and norm over FLOAT[] cast to double,
+# summed in index order — byte-compatible with functions/vectors.py.
+_DOT = (
+    f"list_sum(list_transform(generate_series(1, {_DIM}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+@query(
+    "embed_label_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg({_norm('embedding')}), 4) AS avg_norm,
+           round(min({_norm('embedding')}), 4) AS min_norm,
+           round(max({_norm('embedding')}), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Vector-norm profile per label — JVM-side aggregate() over array<float> "
+    "(SURVEY §7.2-8 similarity search plumbing).",
+    tags=("vector", "agg"),
+)
+def embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = V.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(n), 4).alias("avg_norm"),
+        F.round(F.min(n), 4).alias("min_norm"),
+        F.round(F.max(n), 4).alias("max_norm"),
+    )
+
+
+@query(
+    "embed_knn_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (
+        SELECT query_id, neighbor_id,
+               round({_dot('qv', 'cv')} / nullif({_norm('qv')} * {_norm('cv')}, 0), 4) AS cosine_sim
+        FROM c CROSS JOIN q
+        WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS sim_rank
+    FROM pairs
+    QUALIFY sim_rank <= 5
+    """,
+    doc="Exact brute-force cosine top-5 for 10 query vectors: broadcast "
+    "queries x corpus scan, rank on rounded sim + id tie-break.",
+    tags=("vector", "topk", "bench"),
+)
+def embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5, round_dp=4)
+
+
+@query(
+    "embed_near_dup_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_dot('a.embedding', 'b.embedding')}
+                 / nullif({_norm('a.embedding')} * {_norm('b.embedding')}, 0), 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_dot('a.embedding', 'b.embedding')}
+          / nullif({_norm('a.embedding')} * {_norm('b.embedding')}, 0), 4) >= 0.25
+    """,
+    doc="Blocked cosine near-dup pairs (block = label): the partition-confined "
+    "self-join that scales — shuffle on block key only. Threshold 0.25 sits "
+    "above the random-fixture p99 so output is small but non-trivial.",
+    tags=("vector", "dedup", "bench"),
+)
+def embed_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, partition_col="label", threshold=0.25, round_dp=4
+    )
+
+
+@query(
+    "embed_lsh_ann",
+    oracle=None,  # approximate; recall checked vs brute force in tests
+    doc="Hyperplane-LSH approximate top-5 neighbors for 10 queries "
+    "(6 tables x 12 bits, exact re-rank of bucket candidates).",
+    tags=("vector", "topk"),
+)
+def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_ann_topk(emb, queries, dim=_DIM, k=5)

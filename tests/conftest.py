@@ -1,0 +1,38 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle
+connection per scale factor."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reciping_data_pipeline_spark.session import get_spark  # noqa: E402
+from reciping_data_pipeline_spark.tables import TABLE_NAMES  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def register_duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
