@@ -3,19 +3,24 @@
 Five families, all partition-parallel:
 
 - exact:        hash-groupBy on a content fingerprint (one shuffle)
-- minhash_lsh:  shingle -> MinHash signature -> banded LSH bucket join
+- minhash_lsh:  shingle -> MinHash signature -> banded LSH bucketing
                 -> exact-Jaccard verification of candidates
-- simhash:      64-bit SimHash -> pigeonhole block join -> Hamming filter
-- ngram_jaccard: exact shingle-inversion join (the quadratic-safe
+- simhash:      64-bit SimHash -> pigeonhole block bucketing -> Hamming filter
+- ngram_jaccard: exact shingle-inversion (the quadratic-safe
                 inverted-index formulation, not doc x doc cross join)
 - embedding:    cosine near-dup over embedding vectors (operators/similarity.py)
 
-Scale notes: nothing here materializes a doc x doc cross product. The
-LSH join's shuffle volume is O(docs x bands); the shingle-inversion
-join is O(total shingle occurrences) and is the exact (recall=1)
-fallback when shingle sharing is rare. All candidate verification
-happens on arrays carried with the pair rows — no second pass over
-the corpus.
+Scale notes: nothing here materializes a doc x doc cross product.
+Candidate pairs come from ONE aggregation per bucketing key
+(collect_list + in-bucket pair expansion) rather than a self-join:
+a self-join re-executes the whole shingle/sketch subtree for both
+sides (measured 2x at sf0.1) and shuffles it twice. Bucket fan-out is
+bounded: LSH bands and SimHash blocks only group near-identical
+sketches, so in-bucket expansion is quadratic only in the number of
+actual near-duplicates sharing a bucket (cap with ``max_bucket`` for
+adversarial corpora). The shingle-inversion path's buckets are
+per-5-gram postings lists — tiny unless the corpus repeats long
+phrases pathologically.
 """
 
 from __future__ import annotations
@@ -24,6 +29,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from reciping_data_pipeline_spark.functions import hashing, sketches, text
+
+# In-bucket candidate cap: a bucket with B members yields B*(B-1)/2
+# pairs; beyond this cap the bucket is almost certainly a degenerate
+# key (empty docs, boilerplate) and is dropped with a lineage-visible
+# filter rather than silently exploding the stage.
+DEFAULT_MAX_BUCKET = 1000
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -37,11 +48,33 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions (a single small parquet file
+    serializes every downstream per-row kernel onto one core — the
+    sf0.1 documents table ran 1-partition without this). On a real
+    cluster large inputs already carry >= parallelism splits and this
+    is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
-    """Append distinct k-word shingle array + its base hashes."""
-    toks = text.tokens(F.col(text_col))
-    return df.withColumn("shingles", hashing.word_shingles(toks, k)).withColumn(
-        "shingle_hashes", hashing.shingle_hashes(F.col("shingles"))
+    """Append distinct k-word shingle array + its base hashes.
+
+    Tokens are materialized as a real column first: a lambda body that
+    references the raw ``split(text)`` EXPRESSION re-evaluates the
+    regex split once per shingle (O(tokens^2) — measured 3-4x slower
+    at sf0.1). As a bound attribute it's computed once per row, and
+    CollapseProject won't inline a non-cheap multi-referenced alias.
+    """
+    return (
+        df.withColumn("_toks", text.tokens(F.col(text_col)))
+        .withColumn("shingles", hashing.word_shingles(F.col("_toks"), k))
+        .withColumn("shingle_hashes", hashing.shingle_hashes(F.col("shingles")))
+        .drop("_toks")
     )
 
 
@@ -49,6 +82,47 @@ def _pair_jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return inter / F.nullif(union, F.lit(0.0))
+
+
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], payload: Column, max_bucket: int
+) -> DataFrame:
+    """Distinct candidate pairs from bucketed rows, in ONE aggregation.
+
+    ``payload`` is the struct carried per member (at least an ``id``
+    field). groupBy(bucket) -> collect_list -> expand member pairs
+    in-bucket with array lambdas -> explode -> distinct on id pair.
+    Replaces the classic bucket self-join, which recomputes and
+    re-shuffles the upstream sketch pipeline for both join sides.
+    """
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.collect_list(payload).alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.when(x["id"] < y["id"], F.struct(x.alias("a"), y.alias("b"))).otherwise(
+                    F.struct(y.alias("a"), x.alias("b"))
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            # dropDuplicates needs top-level columns, not struct fields
+            F.col("p.a.id").alias("_ka"),
+            F.col("p.b.id").alias("_kb"),
+        )
+        .dropDuplicates(["_ka", "_kb"])
+        .drop("_ka", "_kb")
+    )
 
 
 def minhash_lsh_pairs(
@@ -61,44 +135,52 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold,
     candidates generated by banded MinHash-LSH.
 
     16 bands x 4 rows targets the s-curve knee near J ~ (1/16)^(1/4) ~ 0.5,
     i.e. high recall at the 0.8 threshold. Candidates are verified with
-    exact Jaccard over the (distinct) shingle sets carried on each side,
-    so the output has no false positives.
+    exact Jaccard over the (distinct) shingle sets re-attached to the
+    surviving pairs, so the output has no false positives. The band
+    exchange carries only (id, band_idx, band_hash) — the shingle
+    arrays never ride through the explode.
     """
     rows_per_band = num_perm // num_bands
-    docs = with_shingles(df, text_col, shingle_k).select(
+    docs = with_shingles(spread(df), text_col, shingle_k).select(
         F.col(id_col), "shingles", "shingle_hashes"
     )
     minhash = sketches.minhash_signature_udf(num_perm, seed)
     sig = minhash(F.col("shingle_hashes"))
     banded = docs.withColumn("bands", hashing.lsh_bands(sig, num_bands, rows_per_band)).select(
-        id_col, "shingles", F.explode("bands").alias("band")
+        F.col(id_col), F.explode("bands").alias("band")
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("shingles_a"),
+    keyed = banded.select(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_hash").alias("band_hash"),
+        F.col(id_col).alias("id"),
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("shingles_b"),
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_hash").alias("band_hash"),
-    )
-    pairs = (
-        left.join(right, on=["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        # A pair colliding in several bands appears once per band;
-        # dedup before the (more expensive) verification.
-        .select("id_a", "id_b", "shingles_a", "shingles_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucket_pairs(
+        keyed, ["band_idx", "band_hash"], F.struct(F.col("id")), max_bucket
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # The candidate subplan embeds the full shingle+MinHash pass and is
+    # referenced three times below (two id projections + the pair
+    # join); without persist Spark re-executes that pass per branch
+    # (measured 2-3x wall). Candidate pairs are tiny at any corpus
+    # scale — LSH exists to make them so — hence safe to cache.
+    cand = cand.persist()
+    # Verification re-tokenizes ONLY candidate docs: semi-join the raw
+    # corpus down to candidate ids first, then recompute shingles on
+    # that (tiny) subset — not two more full-corpus shingle passes.
+    raw = df.select(F.col(id_col), F.col(text_col))
+    cand_ids = cand.select(F.col("id_a").alias(id_col)).union(
+        cand.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    cand_docs = with_shingles(raw.join(cand_ids, on=id_col, how="left_semi"), text_col, shingle_k)
+    sets_a = cand_docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a"))
+    sets_b = cand_docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b"))
+    pairs = cand.join(sets_a, on="id_a").join(sets_b, on="id_b")
     return (
         pairs.withColumn("jaccard", _pair_jaccard(F.col("shingles_a"), F.col("shingles_b")))
         .where(F.col("jaccard") >= threshold)
@@ -112,21 +194,23 @@ def simhash_pairs(
     text_col: str,
     *,
     max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole candidate generation: split the 64-bit signature into
     max_hamming+1 blocks; any pair within distance d must agree on at
-    least one block, so an equi-join per block finds all candidates
-    (exact recall) with shuffle volume O(docs x blocks).
+    least one block (exact recall). Each block bucket carries
+    (id, simhash) structs so the Hamming verification happens on the
+    pair row without another corpus pass.
     """
     n_blocks = max_hamming + 1
     block_bits = 64 // n_blocks
     simhash = sketches.simhash64_udf()
     token_hashes = F.transform(text.tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    docs = df.select(F.col(id_col), simhash(token_hashes).alias("simhash"))
-    blocks = docs.select(
-        id_col,
+    docs = spread(df).select(F.col(id_col), simhash(token_hashes).alias("simhash"))
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
         "simhash",
         F.explode(
             F.array(
@@ -141,21 +225,20 @@ def simhash_pairs(
                 ]
             )
         ).alias("blk"),
-    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
-    left = blocks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
-    )
-    right = blocks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
+    ).select("blk.block_idx", "blk.block_val", "id", "simhash")
+    pairs = _bucket_pairs(
+        keyed,
+        ["block_idx", "block_val"],
+        F.struct(F.col("id"), F.col("simhash")),
+        max_bucket,
     )
     return (
-        left.join(right, on=["block_idx", "block_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hashing.hamming64(F.col("sim_a"), F.col("sim_b")).cast("int"))
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hashing.hamming64(F.col("a.simhash"), F.col("b.simhash")).cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -166,37 +249,55 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inversion (recall = 1).
 
-    explode(shingles) -> self-equi-join on shingle -> count
-    intersections per pair -> join per-doc set sizes -> Jaccard.
-    Shuffle volume is the shingle postings list, not doc x doc. A
-    length-ratio prefilter (|A|/|B| >= threshold is necessary for
-    J >= threshold) prunes pairs before the division.
+    explode(shingles) -> per-shingle postings bucket -> in-bucket pair
+    expansion -> count shared shingles per pair -> re-attach per-doc
+    set sizes -> Jaccard. Shuffle volume is the postings list, not
+    doc x doc. A length-ratio prefilter (min/max set size >= threshold
+    is necessary for J >= threshold) prunes before the division.
     """
-    docs = with_shingles(df, text_col, shingle_k).select(
-        F.col(id_col).alias("doc"), "shingles"
+    docs = with_shingles(spread(df), text_col, shingle_k).select(
+        F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("set_size")
     )
-    sizes = docs.select("doc", F.size("shingles").alias("set_size"))
-    postings = docs.select("doc", F.explode("shingles").alias("shingle"))
-    a = postings.select(F.col("doc").alias("id_a"), "shingle")
-    b = postings.select(F.col("doc").alias("id_b"), "shingle")
+    postings = docs.select(
+        F.explode("shingles").alias("shingle"),
+        F.struct(F.col("doc").alias("id"), F.col("set_size")).alias("member"),
+    )
+    # Per-shingle buckets; every co-occurrence of a pair contributes
+    # one row, so counting rows per pair == |A intersect B|.
+    buckets = (
+        postings.groupBy("shingle")
+        .agg(F.collect_list("member").alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.when(x["id"] < y["id"], F.struct(x.alias("a"), y.alias("b"))).otherwise(
+                    F.struct(y.alias("a"), x.alias("b"))
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.set_size").alias("size_a"),
+            F.col("p.b.set_size").alias("size_b"),
+        )
         .agg(F.count("*").alias("inter_size"))
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("set_size").alias("size_b"))
     jac = F.col("inter_size") / (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(
-            F.least("size_a", "size_b") * F.lit(1.0)
-            / F.greatest("size_a", "size_b")
+        inter.where(
+            F.least("size_a", "size_b") * F.lit(1.0) / F.greatest("size_a", "size_b")
             >= threshold
         )
         .withColumn("jaccard", jac)

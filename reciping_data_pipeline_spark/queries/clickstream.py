@@ -26,19 +26,22 @@ from reciping_data_pipeline_spark.tables import load_table
 @query(
     "dau",
     oracle="""
-    SELECT CAST(ts AS DATE) AS event_date, event_type,
+    SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type,
            count(DISTINCT user_id) AS dau,
            count(*) AS event_count
     FROM events
-    GROUP BY CAST(ts AS DATE), event_type
+    GROUP BY 1, 2
     """,
     doc="Daily active users per event type — DAU.sql shape (SURVEY §2.4 A1/A2).",
     tags=("agg", "bench"),
 )
 def dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # date emitted as ISO string: DATE round-trips ambiguously through
+    # pandas (datetime.date vs datetime64) between Spark and DuckDB,
+    # which breaks stringified value-hash comparison.
     return ev.groupBy(
-        F.col("ts").cast("date").alias("event_date"), "event_type"
+        F.col("ts").cast("date").cast("string").alias("event_date"), "event_type"
     ).agg(
         F.countDistinct("user_id").alias("dau"),
         F.count("*").alias("event_count"),
@@ -50,7 +53,7 @@ def dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN event_type IS NOT NULL THEN 'event_type' ELSE 'TOTAL' END AS segment_type,
            coalesce(event_type, 'TOTAL') AS segment_value,
-           CAST(ts AS DATE) AS event_date,
+           CAST(CAST(ts AS DATE) AS STRING) AS event_date,
            count(DISTINCT user_id) AS dau
     FROM events
     GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (CAST(ts AS DATE)))
@@ -65,7 +68,7 @@ def dau_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT CASE WHEN event_type IS NOT NULL THEN 'event_type' ELSE 'TOTAL' END AS segment_type,
                coalesce(event_type, 'TOTAL') AS segment_value,
-               CAST(ts AS DATE) AS event_date,
+               CAST(CAST(ts AS DATE) AS STRING) AS event_date,
                count(DISTINCT user_id) AS dau
         FROM events
         GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (CAST(ts AS DATE)))
@@ -77,7 +80,7 @@ def dau_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wau_growth",
     oracle="""
     WITH weekly AS (
-        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING) AS week_start,
                count(DISTINCT user_id) AS wau
         FROM events GROUP BY 1
     )
@@ -93,7 +96,7 @@ def dau_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
-        F.date_trunc("week", "ts").cast("date").alias("week_start")
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("week_start")
     ).agg(F.countDistinct("user_id").alias("wau"))
     w = Window.orderBy("week_start")
     prev = F.lag("wau").over(w)
@@ -254,7 +257,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "engagement_by_day",
     oracle="""
-    SELECT CAST(ts AS DATE) AS event_date,
+    SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date,
            round(avg(CASE event_type WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 8.0
                      WHEN 'click' THEN 5.0 WHEN 'view' THEN 2.0 ELSE 1.0 END), 4) AS avg_engagement,
            CAST(sum(CASE event_type WHEN 'purchase' THEN 10 WHEN 'signup' THEN 8
@@ -276,7 +279,7 @@ def engagement_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "view", 2)
         .otherwise(1)
     )
-    return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+    return ev.groupBy(F.col("ts").cast("date").cast("string").alias("event_date")).agg(
         F.round(F.avg(score.cast("double")), 4).alias("avg_engagement"),
         F.sum(score).cast("bigint").alias("total_engagement"),
         F.countDistinct("user_id").alias("active_users"),
@@ -286,7 +289,7 @@ def engagement_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "daily_type_pivot",
     oracle="""
-    SELECT CAST(ts AS DATE) AS event_date,
+    SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date,
            CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
            CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
@@ -301,7 +304,7 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     types = ["signup", "click", "view", "purchase", "error"]
     return (
-        ev.groupBy(F.col("ts").cast("date").alias("event_date"))
+        ev.groupBy(F.col("ts").cast("date").cast("string").alias("event_date"))
         .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
         .na.fill(0, types)
@@ -383,8 +386,8 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH firsts AS (
         SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
     )
-    SELECT cohort_date, count(*) AS new_users
-    FROM firsts GROUP BY cohort_date
+    SELECT CAST(cohort_date AS STRING) AS cohort_date, count(*) AS new_users
+    FROM firsts GROUP BY 1
     """,
     doc="First-seen cohort — incremental dim_user growth shape "
     "(replay_silver_to_gold.py:200-280; SURVEY §2.3 J5).",
@@ -393,7 +396,9 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_first_seen_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_date"))
-    return firsts.groupBy("cohort_date").agg(F.count("*").alias("new_users"))
+    return firsts.groupBy(F.col("cohort_date").cast("string").alias("cohort_date")).agg(
+        F.count("*").alias("new_users")
+    )
 
 
 @query(

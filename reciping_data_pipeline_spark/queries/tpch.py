@@ -169,7 +169,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue_growth",
     oracle="""
     WITH monthly AS (
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS order_month,
                round(sum(o_totalprice), 2) AS revenue
         FROM orders GROUP BY 1
     )
@@ -184,8 +184,10 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # ISO-string month key: DATE round-trips ambiguously through pandas
+    # between Spark and DuckDB, breaking stringified value-hash compare.
     monthly = orders.groupBy(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     w = Window.orderBy("order_month")
     prev = F.lag("revenue").over(w)
@@ -200,7 +202,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "priority_share_by_month",
     oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS order_month,
            o_orderpriority,
            count(*) AS order_count,
            round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY date_trunc('month', o_orderdate)), 4)
@@ -214,7 +216,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month"),
         "o_orderpriority",
     ).agg(F.count("*").alias("order_count"))
     w = Window.partitionBy("order_month")
