@@ -1,0 +1,155 @@
+"""Silver → Gold: star-schema fact build.
+
+Reference: ``spark/replay_jobs/replay_silver_to_gold.py:283-410``.
+Four LEFT joins against the dims (user on the compound key, recipe
+with string-cast guard, event with isNotNull guard, page with
+null-safe coalesce equality), FK defaulting to 0, measures
+(duration parse from ``prop_action``, conversion flag, engagement
+ladder), ``time_dim_key`` computed directly from the timestamp
+(yyyyMMddHH smart key — no join), partitioned by event date.
+
+Scale posture:
+- every dim is explicitly ``broadcast()`` — dims are KB-to-MB-sized
+  while the fact is the 100 TB side; a shuffle join here would move
+  the fact four times;
+- the incremental path appends only the batch's date partitions and
+  upserts dim_user with a left-anti (no global window, no MAX(sk)
+  driver read — keys are hashes, pipeline/dims.py);
+- idempotency: bulk = dynamic partition overwrite; incremental =
+  anti-join on event_id against the touched date partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from reciping_data_pipeline_spark.pipeline import dims as dims_mod
+from reciping_data_pipeline_spark.pipeline import schemas
+from reciping_data_pipeline_spark.sources import writers
+
+FACT_TABLE = "fact_user_events"
+
+
+def fact_path(warehouse: str) -> str:
+    return os.path.join(warehouse, FACT_TABLE)
+
+
+def build_fact(silver_df: DataFrame, dim_user: DataFrame, dim_recipe: DataFrame, dim_event: DataFrame, dim_page: DataFrame) -> DataFrame:
+    s = silver_df.alias("s")
+    du = F.broadcast(dim_user).alias("du")
+    dr = F.broadcast(dim_recipe).alias("dr")
+    de = F.broadcast(dim_event).alias("de")
+    dp = F.broadcast(dim_page).alias("dp")
+
+    joined = (
+        s.join(
+            du,
+            (F.col("s.user_id") == F.col("du.user_id"))
+            & (F.col("s.anonymous_id") == F.col("du.anonymous_id")),
+            "left",
+        )
+        .join(dr, F.col("s.prop_recipe_id").cast("string") == F.col("dr.recipe_id").cast("string"), "left")
+        .join(de, (F.col("s.event_name") == F.col("de.event_name")) & F.col("s.event_name").isNotNull(), "left")
+        .join(
+            dp,
+            (F.coalesce(F.col("s.page_name"), F.lit("")) == F.coalesce(F.col("dp.page_name"), F.lit("")))
+            & (F.coalesce(F.col("s.page_url"), F.lit("")) == F.coalesce(F.col("dp.page_url"), F.lit("")))
+            & (F.col("s.page_name").isNotNull() | F.col("s.page_url").isNotNull()),
+            "left",
+        )
+    )
+
+    engagement = F.lit(None).cast("double")
+    for name, score in schemas.ENGAGEMENT_SCORES.items():
+        engagement = F.when(F.col("s.event_name") == name, score).otherwise(engagement)
+    engagement = F.coalesce(engagement, F.lit(1.0))
+
+    duration = (
+        F.when(
+            F.col("s.prop_action").isNotNull() & (F.size(F.split(F.col("s.prop_action"), ":")) >= 2),
+            F.coalesce(F.split(F.col("s.prop_action"), ":")[1].cast("bigint"), F.lit(60)),
+        )
+        .otherwise(60)
+        .cast("bigint")
+    )
+
+    return joined.select(
+        F.col("s.event_id").alias("event_id"),
+        F.coalesce(F.col("du.user_sk"), F.lit(0)).alias("user_dim_key"),
+        F.date_format(F.col("s.kst_timestamp"), "yyyyMMddHH").cast("bigint").alias("time_dim_key"),
+        F.coalesce(F.col("dr.recipe_sk"), F.lit(0)).alias("recipe_dim_key"),
+        F.coalesce(F.col("dp.page_sk"), F.lit(0)).alias("page_dim_key"),
+        F.coalesce(F.col("de.event_sk"), F.lit(0)).alias("event_dim_key"),
+        F.lit(1).alias("event_count"),
+        duration.alias("session_duration_seconds"),
+        F.lit(30).cast("bigint").alias("page_view_duration_seconds"),
+        F.col("s.event_name").isin(*schemas.CONVERSION_EVENTS).alias("is_conversion"),
+        F.lit(1.0).alias("conversion_value"),
+        engagement.alias("engagement_score"),
+        F.col("s.session_id").alias("session_id"),
+        F.col("s.anonymous_id").alias("anonymous_id"),
+        F.col("s.kst_timestamp").alias("created_at"),
+        F.col("s.kst_timestamp").alias("updated_at"),
+        F.col("s.date").alias("event_date"),  # partition column
+    )
+
+
+def run_bulk(spark: SparkSession, silver_df: DataFrame, warehouse: str) -> DataFrame:
+    fact = build_fact(
+        silver_df,
+        dims_mod.read_dim(spark, warehouse, "dim_user"),
+        dims_mod.read_dim(spark, warehouse, "dim_recipe"),
+        dims_mod.read_dim(spark, warehouse, "dim_event"),
+        dims_mod.read_dim(spark, warehouse, "dim_page"),
+    )
+    writers.overwrite_partitions(fact, fact_path(warehouse), ["event_date"])
+    return fact
+
+
+def run_incremental(spark: SparkSession, silver_df: DataFrame, warehouse: str) -> DataFrame:
+    """Incremental load for one batch: upsert new users into dim_user
+    first (so the fact join resolves them), build the fact slice,
+    anti-join vs already-loaded event_ids in the touched date
+    partitions, append."""
+    dims_mod.upsert_dim_user(spark, silver_df, warehouse)
+    fact = build_fact(
+        silver_df,
+        dims_mod.read_dim(spark, warehouse, "dim_user"),
+        dims_mod.read_dim(spark, warehouse, "dim_recipe"),
+        dims_mod.read_dim(spark, warehouse, "dim_event"),
+        dims_mod.read_dim(spark, warehouse, "dim_page"),
+    )
+    path = fact_path(warehouse)
+    if not os.path.isdir(path):
+        writers.overwrite_partitions(fact, path, ["event_date"])
+        return fact
+    touched = [r["event_date"] for r in fact.select("event_date").distinct().collect()]
+    existing_ids = (
+        spark.read.parquet(path).where(F.col("event_date").isin(touched)).select("event_id")
+    )
+    fresh = fact.join(existing_ids, on="event_id", how="left_anti")
+    if not fresh.isEmpty():
+        fresh.write.mode("append").partitionBy("event_date").parquet(path)
+    return fact
+
+
+def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:
+    return spark.read.parquet(fact_path(warehouse))
+
+
+def join_success_rates(fact: DataFrame) -> dict[str, float]:
+    """Join success-rate assertion (replay_silver_to_gold.py:386-396) in
+    ONE aggregation pass instead of the reference's five count() jobs."""
+    row = fact.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum((F.col(k) != 0).cast("long")).alias(k)
+            for k in ("user_dim_key", "recipe_dim_key", "page_dim_key", "event_dim_key")
+        ],
+    ).collect()[0]
+    total = row["total"] or 1
+    return {k: row[k] / total for k in ("user_dim_key", "recipe_dim_key", "page_dim_key", "event_dim_key")}

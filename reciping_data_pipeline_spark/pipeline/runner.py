@@ -1,0 +1,101 @@
+"""Pipeline runners: bulk backfill + 15-minute incremental loop.
+
+Replaces the reference's Airflow DAG (``dags/
+replay_september_15min_dag.py``) and ``bulk_runner.py`` subprocess
+chain with in-process calls — no spark-submit fork per stage, one
+SparkSession, one Catalyst context. The incremental loop honors
+logical data intervals exactly like Airflow's ``data_interval_start/
+end`` with ``catchup=True, max_active_runs=1`` (ordered replay).
+
+Session: Asia/Seoul timezone (reference semantics — every timestamp
+column is KST wall-clock; stored as NTZ so readers in any zone agree).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import SparkSession
+
+from reciping_data_pipeline_spark.pipeline import bronze, dims, gold, silver
+from reciping_data_pipeline_spark.session import get_spark
+
+
+def pipeline_session(app_name: str = "medallion") -> SparkSession:
+    return get_spark(app_name=app_name, timezone="Asia/Seoul")
+
+
+@dataclass
+class RunReport:
+    bronze_rows: int
+    silver_rows: int
+    fact_rows: int
+    join_success: dict[str, float]
+
+
+def bulk_backfill(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse: str,
+    recipe_master_path: str,
+    batch_ts: datetime,
+    time_dim_range: tuple[str, str] = ("2025-01-01 00:00:00", "2026-12-31 23:00:00"),
+) -> RunReport:
+    """staging → bronze → silver → dims → gold, full rebuild
+    (bulk_runner.py:86-108 equivalent)."""
+    bronze.ingest_bulk(spark, staging_dir, warehouse, batch_ts)
+    silver_df = silver.run_batch(spark, warehouse, batch_ts)
+    silver_df = silver.read_silver(spark, warehouse)
+    dims.build_all(spark, silver_df, warehouse, recipe_master_path, *time_dim_range)
+    fact = gold.run_bulk(spark, silver_df, warehouse)
+    fact = gold.read_fact(spark, warehouse)
+    return RunReport(
+        bronze_rows=bronze.read_bronze(spark, warehouse).count(),
+        silver_rows=silver_df.count(),
+        fact_rows=fact.count(),
+        join_success=gold.join_success_rates(fact),
+    )
+
+
+def incremental_run(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse: str,
+    interval_start: datetime,
+    interval_end: datetime,
+) -> bool:
+    """One 15-minute micro-batch: staging interval → bronze → silver →
+    gold (incremental, idempotent). Returns False on an empty interval.
+    Dims except dim_user must exist (bootstrap via bulk_backfill or
+    dims.build_all)."""
+    loaded = bronze.ingest_interval(spark, staging_dir, warehouse, interval_start, interval_end)
+    if not loaded:
+        return False
+    silver_df = silver.run_batch(
+        spark,
+        warehouse,
+        batch_ts=interval_start,
+        ingestion_date=interval_start.date().isoformat(),
+        incremental=True,
+    )
+    gold.run_incremental(spark, silver_df, warehouse)
+    return True
+
+
+def replay_loop(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse: str,
+    start: datetime,
+    end: datetime,
+    step: timedelta = timedelta(minutes=15),
+) -> int:
+    """Ordered catch-up replay of [start, end) in 15-min intervals."""
+    n = 0
+    t = start
+    while t < end:
+        if incremental_run(spark, staging_dir, warehouse, t, t + step):
+            n += 1
+        t += step
+    return n

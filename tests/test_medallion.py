@@ -1,0 +1,142 @@
+"""End-to-end medallion golden tests.
+
+Deterministic fixture (pipeline.datagen, seeded) → bronze → silver →
+dims → gold, then:
+
+- every one of the 21 analytics queries hash-matches DuckDB running
+  the same (dialect-adjusted) SQL over the same gold parquet;
+- Silver dedup property: event_id unique, injected duplicates removed;
+- idempotency: re-running the bulk build and replaying an incremental
+  interval leave table state unchanged (the reference's admitted gap);
+- join success: every fact row resolves user/event FKs.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+
+from reciping_data_pipeline_spark.pipeline import analytics, bronze, datagen, gold, runner, silver
+from reciping_data_pipeline_spark.pipeline.analytics import all_analytics
+
+from .oracle_utils import compare_to_oracle
+
+BATCH_TS = datetime(2025, 9, 4, 0, 0, 0)
+START = datetime(2025, 9, 1, 0, 0, 0)
+# Fixture-sized parameters (reference defaults of 100/50 users would
+# return empty on a 60-user fixture; same values on both engines).
+PARAMS = {
+    "treatment_vs_control": {"min_users": 5},
+    "lift": {"min_users": 5},
+    "ab_test_heatmap": {"min_users": 5},
+    "ab_test_kpi_metric": {"min_users": 5, "start": "2025-09-01", "end": "2025-09-03"},
+}
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("medallion"))
+    fix = datagen.generate_fixture(root, seed=7, n_users=60, n_days=3, start=START)
+    wh = os.path.join(root, "warehouse")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        report = runner.bulk_backfill(
+            spark,
+            fix["staging_dir"],
+            wh,
+            fix["recipe_master"],
+            BATCH_TS,
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-10 23:00:00"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return {"root": root, "warehouse": wh, "fixture": fix, "report": report}
+
+
+@pytest.fixture(scope="module")
+def gold_duck(warehouse):
+    con = duckdb.connect()
+    wh = warehouse["warehouse"]
+    con.execute(
+        "CREATE VIEW fact_user_events AS SELECT * FROM read_parquet("
+        f"'{wh}/fact_user_events/**/*.parquet', hive_partitioning=1)"
+    )
+    for d in ("dim_user", "dim_recipe", "dim_event", "dim_page", "dim_time"):
+        con.execute(f"CREATE VIEW {d} AS SELECT * FROM read_parquet('{wh}/{d}/*.parquet')")
+    yield con
+    con.close()
+
+
+def test_dedup_slo(spark, warehouse):
+    """Injected exact duplicates are removed; event_id unique in Silver."""
+    report = warehouse["report"]
+    n_generated = warehouse["fixture"]["n_events"]
+    assert report.bronze_rows == n_generated  # bronze preserves raw lines
+    assert report.silver_rows < n_generated  # duplicates dropped
+    s = silver.read_silver(spark, warehouse["warehouse"])
+    assert s.count() == s.select("event_id").distinct().count()
+
+
+def test_join_success(warehouse):
+    rates = warehouse["report"].join_success
+    assert rates["user_dim_key"] == 1.0
+    assert rates["event_dim_key"] == 1.0
+    assert rates["page_dim_key"] == 1.0
+    assert 0 < rates["recipe_dim_key"] < 1.0  # only recipe-prop events
+
+
+def test_fact_matches_silver(warehouse):
+    assert warehouse["report"].fact_rows == warehouse["report"].silver_rows
+
+
+@pytest.mark.parametrize("name", sorted(all_analytics()))
+def test_analytics_matches_duckdb(spark, warehouse, gold_duck, name):
+    analytics.register_gold_views(spark, warehouse["warehouse"])
+    params = PARAMS.get(name, {})
+    got = spark.sql(analytics.sql_for(name, engine="spark", **params))
+    compare_to_oracle(got, gold_duck, analytics.sql_for(name, engine="duck", **params), name)
+
+
+def test_bulk_rerun_idempotent(spark, warehouse):
+    """Re-running the whole bulk build converges to identical tables."""
+    wh = warehouse["warehouse"]
+    fix = warehouse["fixture"]
+    before = sorted(
+        str(r) for r in gold.read_fact(spark, wh).select("event_id", "user_dim_key", "time_dim_key").collect()
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark, fix["staging_dir"], wh, fix["recipe_master"], BATCH_TS,
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-10 23:00:00"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    after = sorted(
+        str(r) for r in gold.read_fact(spark, wh).select("event_id", "user_dim_key", "time_dim_key").collect()
+    )
+    assert before == after
+
+
+def test_incremental_replay_idempotent(spark, warehouse):
+    """Replaying an already-loaded interval adds zero rows (cross-batch
+    dedup via anti-join on event_id)."""
+    wh = warehouse["warehouse"]
+    staging = warehouse["fixture"]["staging_dir"]
+    fact_before = gold.read_fact(spark, wh).count()
+    silver_before = silver.read_silver(spark, wh).count()
+    bronze_before = bronze.read_bronze(spark, wh).count()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.replay_loop(spark, staging, wh, START, START + timedelta(hours=1))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert bronze.read_bronze(spark, wh).count() == bronze_before
+    assert silver.read_silver(spark, wh).count() == silver_before
+    assert gold.read_fact(spark, wh).count() == fact_before
