@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column operators.
+
+Treats media as opaque ``binary`` columns with typed metadata structs,
+processed by Arrow-batched ``mapInPandas`` kernels — the pattern a
+100 TB training-data pipeline needs: bytes never leave the executor,
+Python sees them as zero-copy Arrow buffers in bounded batches, and
+every kernel is a per-partition map (no shuffle).
+
+The actual codec step is STUBBED: image/audio libraries are not in
+this container, so :func:`decode_image` raises ``NotImplementedError``
+unless ``fake=True``, which substitutes a deterministic fake decoder
+(dimensions/features derived from the bytes themselves). The Spark
+plumbing — schema, batch iteration, column pruning, partition
+parallelism — is real and tested; swapping in Pillow/librosa is a
+one-function change inside the kernel.
+
+Design notes at scale:
+- metadata (lengths, hashes, formats) is computed JVM-side with
+  built-in functions where possible; Python kernels only run where
+  bytes must be interpreted;
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds kernel
+  memory: batch_bytes ≈ records x media_size, so media tables should
+  set it low (e.g. 64) — documented here rather than hard-coded so
+  callers tune per media size;
+- frame sampling/resize emit MULTIPLE rows per input via the iterator
+  contract (a generator per batch), never materializing a whole
+  partition's frames at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType(), True),  # image | audio | video
+        StructField("format", StringType(), True),  # png | jpg | wav | mp4 ...
+        StructField("byte_len", LongType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("mean_luma", StringType(), True),  # kept string: deterministic repr
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, bytes_col: str, media_type: str, fmt: str) -> DataFrame:
+    """Typed metadata computed JVM-side (no Python): length + sha256."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(bytes_col)).cast("long").alias("byte_len"),
+            F.sha2(F.col(bytes_col), 256).alias("sha256"),
+        ),
+    )
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for a real image decoder: dimensions and
+    mean luma derived from a content hash. Replace with Pillow:
+    ``img = Image.open(io.BytesIO(data)); img.size, ...``."""
+    h = hashlib.sha256(data).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    channels = 3
+    mean_luma = round(sum(h[2:10]) / 8 / 255.0, 4)
+    return width, height, channels, mean_luma
+
+
+def decode_image(df: DataFrame, id_col: str, bytes_col: str, *, fake: bool = False) -> DataFrame:
+    """Decode image bytes → (width, height, channels, mean_luma).
+
+    Real decode requires an image library not present in this
+    container; pass ``fake=True`` for the deterministic stub (testing
+    the Spark plumbing), else NotImplementedError is raised inside the
+    kernel on first batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode needs Pillow/opencv; pass fake=True for the stub"
+                )
+            rows = [(int(i), *_fake_decode(bytes(b))) for i, b in zip(pdf[id_col], pdf[bytes_col])]
+            out = pd.DataFrame(rows, columns=["doc_id", "width", "height", "n_channels", "_luma"])
+            out["mean_luma"] = out["_luma"].map(lambda x: f"{x:.4f}")
+            yield out[["doc_id", "width", "height", "n_channels", "mean_luma"]]
+
+    # Column pruning before the Python exchange: only (id, bytes) cross
+    # the Arrow boundary, not the whole row.
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, bytes_col: str, *, every_n: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Video → sampled frame rows (1:N via the mapInPandas generator
+    contract). The frame extraction itself is the deterministic stub:
+    byte-range slices standing in for decoded frames; a real ffmpeg/
+    pyav kernel keeps the identical signature and schema."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(b)
+                n = min(max_frames, max(1, len(data) // max(every_n, 1)))
+                step = max(1, len(data) // max(n, 1))
+                for k in range(n):
+                    rows.append((int(i), k, data[k * step : k * step + step]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, FRAME_SCHEMA)

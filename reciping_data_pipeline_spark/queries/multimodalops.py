@@ -1,0 +1,86 @@
+"""Multimodal catalog queries over the ``documents`` table.
+
+The testdata has no real media, so media bytes are synthesized
+deterministically as ``encode(text, 'UTF-8')`` — an opaque binary
+column exactly as a real media table would carry — and run through the
+operators/multimodal.py plumbing: JVM-side metadata, Arrow-batched
+mapInPandas decode (deterministic fake), 1:N frame sampling.
+
+``doc_media_meta`` has a full DuckDB oracle (length/sha256 are
+SQL-expressible); the mapInPandas kernels are rows-only checks plus a
+frame-count oracle that validates the 1:N expansion arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from reciping_data_pipeline_spark.operators import multimodal
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+
+def _with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media_bytes"),
+    )
+
+
+@query(
+    "doc_media_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS media_type, 'png' AS format,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="Opaque-binary media column + JVM-side typed metadata (length, "
+    "sha256) — operators/multimodal.py attach_media_meta; no Python in "
+    "the plan.",
+    tags=("multimodal", "binary"),
+)
+def doc_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _with_media(spark, sf_dir)
+    with_meta = multimodal.attach_media_meta(media, "media_bytes", "image", "png")
+    return with_meta.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+@query(
+    "doc_image_decode_fake",
+    oracle=None,  # decoder output is not SQL-expressible (sha-derived stub)
+    doc="Arrow-batched mapInPandas image decode (deterministic fake stub "
+    "standing in for Pillow) — schema/batching/pruning plumbing is real; "
+    "operators/multimodal.py decode_image.",
+    tags=("multimodal", "pandas-udf"),
+)
+def doc_image_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_image(_with_media(spark, sf_dir), "doc_id", "media_bytes", fake=True)
+
+
+@query(
+    "doc_frame_sample_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(least(8, greatest(1, octet_length(encode(text)) // 10)) AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="1:N frame sampling via the mapInPandas generator contract; the "
+    "per-doc frame count (min(8, len/10)) is oracle-checked in SQL, the "
+    "frame bytes themselves are the stub slices.",
+    tags=("multimodal", "pandas-udf"),
+)
+def doc_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = multimodal.sample_frames(
+        _with_media(spark, sf_dir), "doc_id", "media_bytes", every_n=10, max_frames=8
+    )
+    return frames.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_frames"))

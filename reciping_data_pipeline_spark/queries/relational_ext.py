@@ -1,0 +1,229 @@
+"""Relational operator extensions beyond the reference surface.
+
+The reference emulates multi-level breakdowns with UNION ALL rescans
+and has no set ops, percentiles, range joins, or as-of joins
+(SURVEY §2.4/§2.7 "not present" lists). These close that gap with the
+idiomatic Spark formulation of each, DuckDB-oracled:
+
+- ROLLUP / CUBE: one-pass hierarchical aggregates (vs N rescans);
+- INTERSECT / EXCEPT: distinct-set semantics on user activity;
+- exact interpolated percentiles (Spark ``percentile`` ==
+  DuckDB ``quantile_cont``);
+- range-predicate join (equi key + date band — the prunable band-join
+  shape; a pure non-equi range join at scale gets binned first);
+- as-of join via the union + last-ignoring-nulls window — the
+  sort-once O(n log n) formulation that survives 100 TB, oracled
+  against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical totals in ONE pass via ROLLUP — the idiomatic "
+    "replacement for the reference's UNION ALL segment stacking "
+    "(SURVEY §2.4 'not present': grouping sets/cube/rollup).",
+    tags=("agg", "rollup"),
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "g_flag",
+        "g_status",
+        "sum_qty",
+        "n_rows",
+    )
+
+
+@query(
+    "order_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS order_count,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="All 2^2 grouping combinations in one shuffle via CUBE.",
+    tags=("agg", "cube"),
+)
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+        "order_count",
+        "revenue",
+    )
+
+
+@query(
+    "repeat_users_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    doc="Set INTERSECT (distinct semantics) — users who both signed up "
+    "and purchased (SURVEY §2.7: no INTERSECT in reference).",
+    tags=("setop",),
+)
+def repeat_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "window_shoppers_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Set EXCEPT — viewers who never purchased (SURVEY §2.7 U2: the "
+    "reference only has the left_anti equivalent).",
+    tags=("setop",),
+)
+def window_shoppers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(buyers)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.90), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group — Spark `percentile` "
+    "== DuckDB quantile_cont (SURVEY §2.4: no percentiles in reference). "
+    "At 100 TB swap to approx_percentile with documented error bound.",
+    tags=("agg", "percentile"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "order_ship_latency_band",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS lines_in_band,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))), 4) AS avg_latency_days
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+     AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Range-predicate (band) join: equi key + date band, the shape "
+    "Catalyst plans as a hash join with a post-filter — the band "
+    "predicate prunes at the parquet level on the sorted ship date. "
+    "(SURVEY §2.3: no range joins in reference.)",
+    tags=("join", "range"),
+)
+def order_ship_latency_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("odate"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_shipdate").cast("date").alias("sdate"))
+    joined = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("sdate") >= F.col("odate"))
+        & (F.col("sdate") <= F.date_add(F.col("odate"), 30)),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("lines_in_band"),
+        F.round(F.avg(F.datediff("sdate", "odate").cast("double")), 4).alias("avg_latency_days"),
+    )
+
+
+@query(
+    "purchase_asof_last_view",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(max(v.view_ts) AS STRING) AS last_view_ts
+    FROM purchases p
+    LEFT JOIN views v ON v.user_id = p.user_id AND v.view_ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="As-of (backward) join: each purchase paired with the user's "
+    "latest preceding view. Spark formulation is the union + "
+    "last(ignoreNulls) window — ONE sort per user partition, no "
+    "pair-wise join blowup; the oracle states the same semantics "
+    "relationally. (SURVEY §2.3: no as-of joins in reference.)",
+    tags=("join", "asof", "window"),
+)
+def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    id_type = ev.schema["event_id"].dataType
+    ts_type = ev.schema["ts"].dataType
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts"), F.col("ts").alias("view_ts"),
+        F.lit(None).cast(id_type).alias("event_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast(ts_type).alias("view_ts"), "event_id"
+    )
+    # Union both streams, sort once per user by (ts, is_view-first) and
+    # carry the last non-null view_ts forward — views at the exact
+    # purchase timestamp count as preceding (<=), so views sort first.
+    unioned = views.unionByName(purchases).withColumn(
+        "is_purchase", F.col("event_id").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return carried.where(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("last_view_ts").cast("string").alias("last_view_ts"),
+    )

@@ -1,0 +1,72 @@
+"""Streaming staging → silver ingestion.
+
+``readStream`` file source over the JSONL staging tree +
+``foreachBatch`` that calls the *batch* silver transform and
+idempotent writer — micro-batch and streaming share one code path, so
+semantics can't drift between the two (the reference maintains two
+parallel job families, replay_* and bulk_*, with copy-drift risk).
+
+Scale notes:
+- the file source tracks processed files in the checkpoint, so each
+  micro-batch lists only new files (``maxFilesPerTrigger`` bounds
+  batch size under backlog);
+- ``Trigger.AvailableNow`` drains the backlog in bounded batches and
+  stops — the streaming equivalent of the reference's catchup replay;
+- exactly-once to the silver table = checkpoint (at-least-once
+  delivery) + the writer's event_id anti-join (idempotent apply).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from reciping_data_pipeline_spark.pipeline import silver
+
+
+def read_staging_stream(
+    spark: SparkSession, staging_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.format("text")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.jsonl")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(staging_dir)
+
+
+def start_silver_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream staging JSONL into the silver table via foreachBatch."""
+    raw = read_staging_stream(spark, staging_dir, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        bronze_like = batch_df.select(
+            F.col("value").alias("raw_event_string"),
+            F.input_file_name().alias("source_file"),
+        )
+        silver_df = silver.transform(bronze_like, batch_ts=datetime(1970, 1, 1))
+        # batch time is the only nondeterministic column; stamp it from
+        # the micro-batch id so replays from the same checkpoint are
+        # byte-stable.
+        silver_df = silver_df.withColumn(
+            "processed_at", F.timestamp_seconds(F.lit(batch_id)).cast("timestamp_ntz")
+        )
+        silver.append_incremental(silver_df, warehouse)
+
+    writer = raw.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

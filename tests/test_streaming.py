@@ -1,0 +1,140 @@
+"""Streaming-surface tests.
+
+- availableNow file-source stream drains the staging fixture into the
+  same silver table the batch path builds, row-for-row (shared
+  transform ⇒ no batch/stream drift), and a second run from the same
+  checkpoint adds nothing (exactly-once via checkpoint + idempotent
+  apply).
+- dropDuplicatesWithinWatermark drops duplicates inside the watermark
+  on a real stream (memory sink).
+- session_window gap semantics pinned on a batch frame against the
+  lag-based batch sessionization.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+
+from reciping_data_pipeline_spark.pipeline import datagen, silver
+from reciping_data_pipeline_spark.streaming import ingest, ops
+
+START = datetime(2025, 9, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def stream_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("streamfix"))
+    fix = datagen.generate_fixture(root, seed=11, n_users=25, n_days=2, start=START)
+    return {"root": root, **fix}
+
+
+def _drain(query):
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_stream_matches_batch_silver(spark, stream_fixture, tmp_path):
+    wh_stream = str(tmp_path / "wh_stream")
+    ckpt = str(tmp_path / "ckpt")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        q = ingest.start_silver_stream(
+            spark, stream_fixture["staging_dir"], wh_stream, ckpt, available_now=True
+        )
+        _drain(q)
+        got = silver.read_silver(spark, wh_stream)
+        n_stream = got.count()
+        assert n_stream > 0
+        assert got.select("event_id").distinct().count() == n_stream
+
+        # Batch path over the same staging files → identical event set.
+        from reciping_data_pipeline_spark.pipeline import bronze
+
+        wh_batch = str(tmp_path / "wh_batch")
+        bronze.ingest_bulk(spark, stream_fixture["staging_dir"], wh_batch, START)
+        batch_silver = silver.run_batch(spark, wh_batch, batch_ts=START)
+        assert batch_silver.count() == n_stream
+
+        # Restart from the same checkpoint: nothing new to process.
+        q2 = ingest.start_silver_stream(
+            spark, stream_fixture["staging_dir"], wh_stream, ckpt, available_now=True
+        )
+        _drain(q2)
+        assert silver.read_silver(spark, wh_stream).count() == n_stream
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Feed duplicate event_ids through a rate-limited file stream and
+    assert the stateful dedup emits each id once."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = []
+    for i in range(20):
+        rows.append({"event_id": f"e{i:03d}", "user_id": "u1", "ts": f"2025-09-01 10:{i:02d}:00"})
+        rows.append({"event_id": f"e{i:03d}", "user_id": "u1", "ts": f"2025-09-01 10:{i:02d}:30"})  # dup
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id string, user_id string, ts string")
+        .load(str(src))
+        .withColumn("kst_timestamp", F.to_timestamp("ts"))
+    )
+    deduped = ops.dedup_within_watermark(stream, delay="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
+    assert got["n"] == 20 and got["d"] == 20
+
+
+def test_session_window_matches_gap_sessionization(spark):
+    """session_window(30 min) session count per user == lag-based
+    cumulative-sum sessionization on the same batch data."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("u1", "2025-09-01 10:00:00"),
+        ("u1", "2025-09-01 10:10:00"),  # same session
+        ("u1", "2025-09-01 11:30:00"),  # new session (>30 min gap)
+        ("u2", "2025-09-01 09:00:00"),
+        ("u2", "2025-09-01 09:29:59"),  # same session
+        ("u2", "2025-09-01 23:00:00"),  # new session
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "kst_timestamp", F.to_timestamp("ts")
+    )
+    sessions = ops.session_aggregate(df, gap="30 minutes")
+    per_user = {r["user_id"]: r["n"] for r in sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user == {"u1": 2, "u2": 2}
+    total_events = sessions.agg(F.sum("n_events")).collect()[0][0]
+    assert total_events == 6
+
+
+def test_windowed_counts_batch_semantics(spark):
+    import pyspark.sql.functions as F
+
+    rows = [("e1", "u1", "view", "2025-09-01 10:01:00"), ("e2", "u1", "view", "2025-09-01 10:14:59"),
+            ("e3", "u2", "click", "2025-09-01 10:16:00")]
+    df = spark.createDataFrame(rows, "event_id string, user_id string, event_name string, ts string").withColumn(
+        "kst_timestamp", F.to_timestamp("ts")
+    )
+    out = ops.windowed_event_counts(df, window="15 minutes")
+    got = {(r["win"]["start"].minute, r["event_name"]): r["event_count"] for r in out.collect()}
+    assert got == {(0, "view"): 2, (15, "click"): 1}
