@@ -1,0 +1,118 @@
+"""Plan-quality gates: the 100 TB posture enforced as tests.
+
+Each test pins a physical-plan property that matters at scale —
+broadcast dims, parquet filter pushdown, column pruning, codegen, no
+accidental cartesian products — so optimizer regressions fail here
+instead of on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from reciping_data_pipeline_spark.plans import inspect
+from reciping_data_pipeline_spark.queries import all_queries
+
+from .conftest import SF_SMOKE
+
+REGISTRY = all_queries()
+
+
+def _q(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_star_join_broadcasts_dims(spark):
+    """revenue_by_nation joins fact (lineitem/orders) to small dims —
+    every dim join must be broadcast, never a fact shuffle."""
+    df = _q(spark, "revenue_by_nation")
+    assert inspect.count_broadcast_joins(df) >= 2
+    inspect.assert_no_cartesian(df)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """top20_users_by_value filters event_type='purchase' — the
+    predicate must appear in PushedFilters at the scan."""
+    df = _q(spark, "top20_users_by_value")
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "event_type" in pushed, pushed
+
+
+def test_column_pruning(spark):
+    """dau touches ts/user_id/event_type only; the events scan must not
+    read value/props (wide payload columns)."""
+    cols = inspect.scan_columns(_q(spark, "dau"))
+    assert "props" not in cols and "value" not in cols, cols
+
+
+def test_whole_stage_codegen(spark):
+    """The pricing summary aggregation stays inside codegen (AQE wraps
+    the pre-execution plan, hiding codegen subtrees — inspect with AQE
+    off; execution behavior is identical)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert inspect.has_whole_stage_codegen(_q(spark, "pricing_summary"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_join_for_in_subquery(spark):
+    """customers_without_orders anti-join plans as a real join, not a
+    nested loop."""
+    inspect.assert_no_cartesian(_q(spark, "customers_without_orders"))
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    """Brute-force ANN must broadcast the (tiny) query side against the
+    corpus scan; a shuffle here moves the full corpus."""
+    df = _q(spark, "embed_knn_brute")
+    plan = inspect.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionization_single_exchange(spark):
+    """Gap sessionization: both windows and the final groupBy share the
+    user_id partitioning — exactly ONE shuffle of the events table."""
+    df = _q(spark, "sessionization")
+    assert inspect.count_exchanges(df) == 1, inspect.simple_plan(df)
+
+
+def test_medallion_fact_build_broadcasts_all_dims(spark, tmp_path):
+    """The gold fact build must plan 4 broadcast joins (user, recipe,
+    event, page) — the fact side never shuffles for a dim join."""
+    from datetime import datetime
+
+    from reciping_data_pipeline_spark.pipeline import datagen, runner
+
+    root = str(tmp_path)
+    fix = datagen.generate_fixture(root, seed=3, n_users=10, n_days=1)
+    wh = f"{root}/wh"
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark, fix["staging_dir"], wh, fix["recipe_master"], datetime(2025, 9, 2),
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-02 23:00:00"),
+        )
+        from reciping_data_pipeline_spark.pipeline import dims as dims_mod
+        from reciping_data_pipeline_spark.pipeline import gold, silver
+
+        fact = gold.build_fact(
+            silver.read_silver(spark, wh),
+            dims_mod.read_dim(spark, wh, "dim_user"),
+            dims_mod.read_dim(spark, wh, "dim_recipe"),
+            dims_mod.read_dim(spark, wh, "dim_event"),
+            dims_mod.read_dim(spark, wh, "dim_page"),
+        )
+        assert inspect.count_broadcast_joins(fact) == 4
+        assert inspect.count_shuffle_joins(fact) == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "dau", "revenue_by_nation", "top10_parts_by_revenue", "conversion_funnel"],
+)
+def test_no_cartesian_products(spark, name):
+    inspect.assert_no_cartesian(_q(spark, name))
