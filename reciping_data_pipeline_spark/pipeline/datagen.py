@@ -111,8 +111,12 @@ def generate_events(
     sessions_per_user_day: float = 0.8,
     events_per_session: int = 8,
     dup_rate: float = 0.007,
+    span_seconds: int = 86_000,
 ) -> list[dict]:
-    """Flat JSON event dicts in arrival order (within-session time order)."""
+    """Flat JSON event dicts in arrival order (within-session time order).
+    ``span_seconds`` bounds session start offsets within each day — a
+    small span concentrates events into few 15-min buckets (used by the
+    incremental-interval benchmark)."""
     events: list[dict] = []
     for day in range(n_days):
         day_start = start + timedelta(days=day)
@@ -120,7 +124,7 @@ def generate_events(
             if rng.random() > sessions_per_user_day:
                 continue
             session_id = f"s-{uuid.UUID(int=rng.getrandbits(128)).hex[:16]}"
-            t = day_start + timedelta(seconds=rng.randrange(0, 86_000))
+            t = day_start + timedelta(seconds=rng.randrange(0, span_seconds))
             name = "view_page"
             for _ in range(rng.randrange(2, events_per_session + 1)):
                 page = rng.choice(PAGES)
@@ -214,11 +218,14 @@ def generate_fixture(
     n_days: int = 3,
     start: datetime | None = None,
     partitioned: bool = True,
+    span_seconds: int = 86_000,
 ) -> dict:
     """Full fixture: staging JSONL + recipe master. Returns paths."""
     rng = random.Random(seed)
     users = generate_users(rng, n_users)
-    events = generate_events(rng, users, start or datetime(2025, 9, 1, 0, 0, 0), n_days)
+    events = generate_events(
+        rng, users, start or datetime(2025, 9, 1, 0, 0, 0), n_days, span_seconds=span_seconds
+    )
     staging = os.path.join(root, "staging")
     files = write_jsonl(events, staging, partitioned=partitioned)
     master = os.path.join(root, "masters", "recipes.parquet")
