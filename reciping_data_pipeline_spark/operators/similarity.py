@@ -19,6 +19,9 @@ results are stable across engines and partitionings.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -128,6 +131,89 @@ def lsh_ann_topk(
     )
     cand = (
         sig_c.join(sig_q, on=["table_idx", "sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "neighbor_id", "cand_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    pairs = cand.withColumn(
+        "cosine_sim", F.round(vectors.cosine(F.col("query_vec"), F.col("cand_vec")), round_dp)
+    )
+    return _ranked(pairs, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    sample: int = 2048,
+    seed: int = 5,
+    kmeans_iters: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) cells.
+
+    Build: k-means centroids fit on a deterministic bounded sample
+    (first ``sample`` corpus rows by id — driver-side numpy, seeded),
+    broadcast with the assignment kernel; every corpus vector lands in
+    its nearest-centroid cell. Search: each query probes its ``nprobe``
+    closest cells; candidates re-ranked by exact cosine.
+
+    Scale shape: the corpus is scanned once to assign cells (no
+    shuffle — the cell id is a narrow derived column); the candidate
+    join exchanges O(rows_in_probed_cells) instead of rows x queries.
+    At 100 TB the sample step becomes a per-partition reservoir
+    (``df.sample``) feeding the same fit; the bounded driver-side fit
+    itself is unchanged.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sampled = (
+        corpus.orderBy(id_col).limit(sample).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sampled])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    cent = centroids  # (cells, dim), unit-norm; serialized with the UDFs
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        order = np.argsort(-sims, axis=1)[:, : min(nprobe, cent.shape[0])].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c.join(q, on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "query_vec", "neighbor_id", "cand_vec")
         .dropDuplicates(["query_id", "neighbor_id"])

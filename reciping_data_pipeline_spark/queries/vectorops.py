@@ -121,3 +121,18 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(emb, queries, dim=_DIM, k=5)
+
+
+@query(
+    "embed_ivf_ann",
+    oracle=None,  # approximate; recall checked vs brute force in tests
+    doc="IVF approximate top-5 neighbors for 10 queries: spherical "
+    "k-means cells fit on a seeded bounded sample, nprobe=3 probed "
+    "cells per query, exact cosine re-rank (operators/similarity.py "
+    "ivf_topk — the partition-pruned ANN scale path).",
+    tags=("vector", "topk"),
+)
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3)

@@ -41,3 +41,42 @@ def overwrite_table(df: DataFrame, path: str, partition_cols: list[str] | None =
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Small-file compaction: rewrite a partitioned table so files
+    approach ``target_file_bytes`` (the reference runs Iceberg binpack
+    to 128 MB after 2,880 append runs left 3.74 MB average files,
+    README.md:222-237). Implementation: re-read, let AQE coalesce, and
+    bound per-file rows via maxRecordsPerFile derived from observed
+    bytes/row — pure Spark, no table format required."""
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    if n_rows == 0:
+        return
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    rows_per_file = max(1, int(n_rows * target_file_bytes / max(total_bytes, 1)))
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path + "._compacted")
+    )
+    # Atomic-ish swap: parquet overwrite-in-place of the path we are
+    # reading is not safe, so write aside then rename.
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(path + "._compacted", path)

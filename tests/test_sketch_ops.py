@@ -1,0 +1,126 @@
+"""Planted-fixture validation of the sketch-based (no-SQL-oracle)
+operators: MinHash-LSH, SimHash, hyperplane-LSH ANN, IVF ANN.
+
+Construction: a seeded corpus of distinct random-word documents, plus
+planted near-duplicate pairs at controlled edit rates. The exact
+shingle-inversion Jaccard operator (recall = 1 by construction) is the
+ground truth for the text sketches; brute-force cosine is the ground
+truth for the ANN paths. Each sketch must (a) find ≥90% of planted
+pairs / true neighbors, (b) emit nothing below its threshold — the
+exact verification step makes false positives structurally impossible,
+and the test pins that.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from reciping_data_pipeline_spark.operators import dedup, similarity
+
+WORDS = [f"w{i:03d}" for i in range(400)]
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _perturb(rng: random.Random, text: str, edits: int) -> str:
+    toks = text.split()
+    for _ in range(edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """200 base docs; docs 0-19 each get a near-duplicate (2 token
+    edits of 60 → Jaccard well above 0.8 on 5-gram shingles is NOT
+    guaranteed per-pair, so ground truth is computed exactly)."""
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        rows.append((i, _doc(rng)))
+    for i in range(20):  # planted near-dups with ids 1000+i
+        rows.append((1000 + i, _perturb(rng, rows[i][1], edits=1)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(planted_docs):
+    """Ground truth: exact n-gram Jaccard ≥ 0.8 (recall-1 operator)."""
+    got = dedup.ngram_jaccard_pairs(planted_docs, "doc_id", "text", threshold=0.8).collect()
+    return {(r["id_a"], r["id_b"]) for r in got}
+
+
+def test_planted_pairs_exist(exact_pairs):
+    # sanity: most 1-edit copies survive the 0.8 threshold
+    assert len(exact_pairs) >= 15
+
+
+def test_minhash_lsh_recall_and_precision(planted_docs, exact_pairs):
+    got = dedup.minhash_lsh_pairs(planted_docs, "doc_id", "text", threshold=0.8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    # no false positives: exact-Jaccard verification bounds every pair
+    assert found <= exact_pairs
+    # recall: banded 16x4 LSH at J>=0.8 must catch nearly everything
+    assert len(found) >= 0.9 * len(exact_pairs)
+    for r in got:
+        assert r["jaccard"] >= 0.8
+
+
+def test_simhash_finds_planted_dups(planted_docs, spark):
+    got = dedup.simhash_pairs(planted_docs, "doc_id", "text", max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert len(found & planted) >= 0.9 * len(planted)
+    for r in got:
+        assert r["hamming"] <= 6
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    got = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {(1, 2, 0)}
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """5 well-separated unit clusters x 40 members, dim 64."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((5, 64)) * 4.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(40):
+            v = c + rng.standard_normal(64) * 0.15
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _recall_vs_brute(ann_df, brute_df) -> float:
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_df.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann_df.collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_lsh_ann_recall(clustered_vectors):
+    queries = clustered_vectors.where(F.col("vec_id") % 40 == 0)
+    brute = similarity.brute_force_topk(clustered_vectors, queries, k=5)
+    ann = similarity.lsh_ann_topk(clustered_vectors, queries, dim=64, k=5)
+    assert _recall_vs_brute(ann, brute) >= 0.9
+
+
+def test_ivf_ann_recall(clustered_vectors):
+    queries = clustered_vectors.where(F.col("vec_id") % 40 == 0)
+    brute = similarity.brute_force_topk(clustered_vectors, queries, k=5)
+    ann = similarity.ivf_topk(clustered_vectors, queries, k=5, n_cells=8, nprobe=2)
+    assert _recall_vs_brute(ann, brute) >= 0.9

@@ -1,0 +1,77 @@
+"""Source/sink layer tests: bucketed co-located joins (zero-exchange
+plan), small-file compaction, interval path pruning."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from reciping_data_pipeline_spark.plans import inspect
+from reciping_data_pipeline_spark.sources import bucketing, jsonl, writers
+from reciping_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """orders ⋈ lineitem bucketed on the key: the join plans with ZERO
+    shuffle exchanges — the 100 TB fact-to-fact join path."""
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    bucketing.write_bucketed(
+        orders, "b_orders", str(tmp_path / "b_orders"), ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"]
+    )
+    bucketing.write_bucketed(
+        li, "b_lineitem", str(tmp_path / "b_lineitem"), ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"]
+    )
+    try:
+        # Disable broadcast so the join would otherwise need a shuffle;
+        # bucket co-location must eliminate it.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.read_bucketed(spark, "b_orders").join(
+            bucketing.read_bucketed(spark, "b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert inspect.count_exchanges(joined) == 0, inspect.simple_plan(joined)
+        # and it still computes the right thing
+        plain = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("part", (F.col("id") % 2).cast("int"))
+    # Fragment: many tiny files per partition.
+    df.repartition(40).write.partitionBy("part").parquet(path)
+    before_files = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    before_rows = spark.read.parquet(path).count()
+    writers.compact_partitions(spark, path, ["part"])
+    after_files = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after_files < before_files
+    assert after.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_interval_paths_cover_exactly():
+    paths = jsonl.interval_paths(
+        "/staging", datetime(2025, 9, 1, 10, 0), datetime(2025, 9, 1, 10, 30)
+    )
+    assert paths == [
+        "/staging/year=2025/month=09/day=01/hour=10/minute=00",
+        "/staging/year=2025/month=09/day=01/hour=10/minute=15",
+    ]
+    # interval starts mid-bucket → snaps to the containing bucket
+    paths = jsonl.interval_paths(
+        "/staging", datetime(2025, 9, 1, 10, 7), datetime(2025, 9, 1, 10, 16)
+    )
+    assert paths == [
+        "/staging/year=2025/month=09/day=01/hour=10/minute=00",
+        "/staging/year=2025/month=09/day=01/hour=10/minute=15",
+    ]
