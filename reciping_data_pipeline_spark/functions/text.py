@@ -34,6 +34,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, restricted to the syntax subset that Java
+# regex (Spark) and RE2 (DuckDB) interpret identically: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs. No
+# lookahead, no unicode property classes.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    cheap corpus-size estimator used to budget LLM training tokens
+    (counts pre-merge word pieces; real BPE merges only reduce it)."""
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text, F.lit(BPE_ISH_PATTERN))
+
+
 def stopword_count(text: Column | str, lang: str = "en") -> Column:
     """Count of tokens in the language's stopword list — a JVM-side
     lambda filter over the token array, no UDF."""

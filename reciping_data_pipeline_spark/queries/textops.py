@@ -209,3 +209,28 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_BPE_SQL = T.BPE_ISH_PATTERN.replace("'", "''")  # escape the contraction quote
+
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace split and the BPE-ish "
+    "pre-tokenizer regex (LLM token budgeting) — both pure JVM regex, "
+    "mirrored in RE2 for the oracle.",
+    tags=("text", "tokens"),
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.trim(F.col("text"))).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )

@@ -376,3 +376,90 @@ def market_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "nation_name", *[F.col(s).alias(s.lower()) for s in segments]
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < p.half_avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery decorrelated into a "
+    "per-key aggregate + join — the formulation Catalyst needs (a true "
+    "correlated subquery re-executes per row on engines without "
+    "decorrelation). SURVEY §2.4 A10.",
+    tags=("join", "agg", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    joined = li.join(part_avg, on="l_partkey").where(F.col("l_quantity") < F.col("half_avg_qty"))
+    return joined.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q14 shape: conditional-aggregate share with LIKE-prefix "
+    "predicate inside the aggregate (SURVEY §2.4 A4).",
+    tags=("join", "agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "top_returning_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue_lost
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_lost DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: 3-way fact join + filtered top-k by aggregated "
+    "measure (SURVEY §2.3 J6, §2.6 O2; custkey tiebreak for determinism).",
+    tags=("join", "agg", "topk"),
+)
+def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(rev), 2).alias("revenue_lost"))
+        .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
+        .limit(20)
+    )
