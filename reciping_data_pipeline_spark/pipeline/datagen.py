@@ -24,19 +24,34 @@ import random
 import uuid
 from datetime import datetime, timedelta
 
-SEGMENTS = ("new_user", "casual_cook", "active_cook", "power_cook")
-COOKING_STYLES = ("korean", "western", "baking", "diet", "vegan")
+# Categorical domains per FIXTURES.md §1 (reference generator's
+# distributions, create_event_logs.py:53-129, 629-658).
+SEGMENTS = ("FEMALE_20S", "FEMALE_30S", "FEMALE_40_PLUS", "MALE_20S", "MALE_30S", "MALE_40_PLUS")
+ACTIVITY_LEVELS = ("POWER_USER", "ACTIVE_EXPLORER", "PASSIVE_BROWSER")
+COOKING_STYLES = (
+    "DESSERT_FOCUSED",
+    "HEALTHY_CONSCIOUS",
+    "COMFORT_FOOD",
+    "QUICK_CONVENIENT",
+    "DIVERSE_EXPLORER",
+)
 PAGES = (
-    ("home", "/home"),
-    ("recipe_list", "/recipes"),
+    ("start", "/start"),
+    ("main", "/main"),
     ("recipe_detail", "/recipes/detail"),
-    ("search", "/search"),
-    ("my_page", "/me"),
+    ("profile", "/profile"),
+    ("search_result", "/search"),
 )
 LIST_TYPES = ("popular", "recent", "recommended")
 KEYWORDS = ("kimchi", "pasta", "salad", "curry", "soup", "bread")
-DISH_TYPES = ("main", "side", "dessert", "soup")
+DISH_TYPES = ("밑반찬", "메인반찬", "국/탕", "찌개", "디저트", "면/만두", "밥/죽/떡", "샐러드")
+INGREDIENT_TYPES = ("소고기", "돼지고기", "닭고기", "채소류", "해물류")
+METHOD_TYPES = ("볶음", "끓이기", "부침", "조림", "찜", "튀김")
+SITUATION_TYPES = ("일상", "초스피드", "손님접대", "다이어트")
+DIFFICULTIES = ("아무나", "초급", "중급", "고급")
 AB_SCENARIO = "personalized_ads_v1"
+ANON_RATE = 0.05  # share of pure-anonymous sessions (user_id null)
+LATE_RATE = 0.01  # events arriving in a bucket later than their event time
 
 # Session next-event chain (behavioral shape of the reference's Markov
 # graph, create_event_logs.py:430-467 — transitions, not probabilities,
@@ -77,7 +92,7 @@ def generate_users(rng: random.Random, n_users: int) -> list[dict]:
                 "anonymous_id": f"anon-{uuid.UUID(int=rng.getrandbits(128)).hex[:12]}",
                 "user_segment": rng.choice(SEGMENTS),
                 "cooking_style": rng.choice(COOKING_STYLES),
-                "activity_level": rng.choice(("low", "mid", "high")),
+                "activity_level": rng.choice(ACTIVITY_LEVELS),
                 "ab_test_group": ab_group(uid),
             }
         )
@@ -125,6 +140,9 @@ def generate_events(
                 continue
             session_id = f"s-{uuid.UUID(int=rng.getrandbits(128)).hex[:16]}"
             t = day_start + timedelta(seconds=rng.randrange(0, span_seconds))
+            # Anonymous traffic: user_id null, anonymous_id present
+            # (FIXTURES.md §1 — exercises the fact's user_dim_key=0 path).
+            anonymous = rng.random() < ANON_RATE
             name = "view_page"
             for _ in range(rng.randrange(2, events_per_session + 1)):
                 page = rng.choice(PAGES)
@@ -140,18 +158,22 @@ def generate_events(
                         "end_date": "2025-08-31",
                     },
                 }
+                # Late event: its event time precedes its arrival bucket
+                # by >1 day — lands in an older Silver partition.
+                event_t = t - timedelta(hours=26) if rng.random() < LATE_RATE else t
                 ev = {
                     "event_name": name,
                     "event_id": str(uuid.UUID(int=rng.getrandbits(128))),
-                    "user_id": u["user_id"],
+                    "user_id": None if anonymous else u["user_id"],
                     "anonymous_id": u["anonymous_id"],
                     "session_id": session_id,
-                    "timestamp": _iso_kst(t),
-                    "date": t.strftime("%Y-%m-%d"),
+                    "timestamp": _iso_kst(event_t),
+                    "date": event_t.strftime("%Y-%m-%d"),
                     "context": json.dumps(context),
                     "event_properties": json.dumps(
                         _event_properties(rng, name, n_recipes=200)
                     ),
+                    "_arrival": _iso_kst(t),  # staging bucket key, stripped on write
                 }
                 events.append(ev)
                 if rng.random() < dup_rate:  # exact duplicate (at-least-once delivery)
@@ -167,8 +189,10 @@ def write_jsonl(events: list[dict], staging_dir: str, partitioned: bool = True) 
     os.makedirs(staging_dir, exist_ok=True)
     files: dict[str, list[str]] = {}
     for ev in events:
+        ev = dict(ev)
+        arrival = ev.pop("_arrival", ev["timestamp"])
         if partitioned:
-            dt = datetime.strptime(ev["timestamp"][:16], "%Y-%m-%dT%H:%M")
+            dt = datetime.strptime(arrival[:16], "%Y-%m-%dT%H:%M")
             bucket = (dt.minute // 15) * 15
             d = os.path.join(
                 staging_dir,
@@ -198,10 +222,10 @@ def write_recipe_master(rng: random.Random, path: str, n_recipes: int = 200) -> 
             "recipe_id": str(i),
             "recipe_name": f"recipe_{i:04d}",
             "dish_type": rng.choice(DISH_TYPES),
-            "ingredient_type": rng.choice(("meat", "seafood", "vegetable", "grain")),
-            "method_type": rng.choice(("grill", "boil", "fry", "raw")),
-            "situation_type": rng.choice(("daily", "party", "diet")),
-            "difficulty": rng.choice(("easy", "medium", "hard")),
+            "ingredient_type": rng.choice(INGREDIENT_TYPES),
+            "method_type": rng.choice(METHOD_TYPES),
+            "situation_type": rng.choice(SITUATION_TYPES),
+            "difficulty": rng.choice(DIFFICULTIES),
             "cooking_time": int(rng.randrange(5, 120)),
         }
         for i in range(1, n_recipes + 1)
