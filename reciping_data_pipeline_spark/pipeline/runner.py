@@ -33,6 +33,13 @@ class RunReport:
     fact_rows: int
     join_success: dict[str, float]
 
+    @property
+    def retention(self) -> float:
+        """Bronze→Silver row retention — the reference's SLO 2 requires
+        ≥95% (README.md:126-138; loss = removed duplicates + unparseable
+        rows)."""
+        return self.silver_rows / self.bronze_rows if self.bronze_rows else 1.0
+
 
 def bulk_backfill(
     spark: SparkSession,

@@ -40,7 +40,7 @@ from reciping_data_pipeline_spark.tables import load_table
     doc="Hierarchical totals in ONE pass via ROLLUP — the idiomatic "
     "replacement for the reference's UNION ALL segment stacking "
     "(SURVEY §2.4 'not present': grouping sets/cube/rollup).",
-    tags=("agg", "rollup"),
+    tags=("agg", "rollup", "bench"),
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -133,7 +133,7 @@ def window_shoppers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact interpolated percentiles per group — Spark `percentile` "
     "== DuckDB quantile_cont (SURVEY §2.4: no percentiles in reference). "
     "At 100 TB swap to approx_percentile with documented error bound.",
-    tags=("agg", "percentile"),
+    tags=("agg", "percentile", "bench"),
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -197,7 +197,7 @@ def order_ship_latency_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last(ignoreNulls) window — ONE sort per user partition, no "
     "pair-wise join blowup; the oracle states the same semantics "
     "relationally. (SURVEY §2.3: no as-of joins in reference.)",
-    tags=("join", "asof", "window"),
+    tags=("join", "asof", "window", "bench"),
 )
 def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

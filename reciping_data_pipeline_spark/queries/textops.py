@@ -225,7 +225,7 @@ _BPE_SQL = T.BPE_ISH_PATTERN.replace("'", "''")  # escape the contraction quote
     doc="Token counting two ways: whitespace split and the BPE-ish "
     "pre-tokenizer regex (LLM token budgeting) — both pure JVM regex, "
     "mirrored in RE2 for the oracle.",
-    tags=("text", "tokens"),
+    tags=("text", "tokens", "bench"),
 )
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

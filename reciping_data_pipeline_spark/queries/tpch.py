@@ -446,7 +446,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q10 shape: 3-way fact join + filtered top-k by aggregated "
     "measure (SURVEY §2.3 J6, §2.6 O2; custkey tiebreak for determinism).",
-    tags=("join", "agg", "topk"),
+    tags=("join", "agg", "topk", "bench"),
 )
 def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.broadcast(load_table(spark, sf_dir, "customer"))

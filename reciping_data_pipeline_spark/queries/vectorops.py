@@ -130,7 +130,7 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k-means cells fit on a seeded bounded sample, nprobe=3 probed "
     "cells per query, exact cosine re-rank (operators/similarity.py "
     "ivf_topk — the partition-pruned ANN scale path).",
-    tags=("vector", "topk"),
+    tags=("vector", "topk", "bench"),
 )
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -46,8 +46,12 @@ def start_silver_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    also_gold: bool = False,
 ) -> StreamingQuery:
-    """Stream staging JSONL into the silver table via foreachBatch."""
+    """Stream staging JSONL into the silver table via foreachBatch;
+    with ``also_gold=True`` each micro-batch continues into the
+    incremental gold build (dim_user upsert + fact append) — the full
+    streaming medallion. Non-user dims must exist (bulk bootstrap)."""
     raw = read_staging_stream(spark, staging_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -65,6 +69,10 @@ def start_silver_stream(
             "processed_at", F.timestamp_seconds(F.lit(batch_id)).cast("timestamp_ntz")
         )
         silver.append_incremental(silver_df, warehouse)
+        if also_gold:
+            from reciping_data_pipeline_spark.pipeline import gold
+
+            gold.run_incremental(spark, silver_df, warehouse)
 
     writer = raw.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
     if available_now:

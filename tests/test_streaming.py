@@ -138,3 +138,40 @@ def test_windowed_counts_batch_semantics(spark):
     out = ops.windowed_event_counts(df, window="15 minutes")
     got = {(r["win"]["start"].minute, r["event_name"]): r["event_count"] for r in out.collect()}
     assert got == {(0, "view"): 2, (15, "click"): 1}
+
+
+def test_stream_to_gold_end_to_end(spark, tmp_path):
+    """Full streaming medallion: bulk bootstrap (day 1) then stream day
+    2 with also_gold=True — fact grows by exactly the streamed silver
+    rows, and new users are upserted into dim_user."""
+    from reciping_data_pipeline_spark.pipeline import datagen, dims, gold, runner
+
+    fix_a = datagen.generate_fixture(str(tmp_path / "a"), seed=31, n_users=20, n_days=1, start=datetime(2025, 9, 1))
+    fix_b = datagen.generate_fixture(str(tmp_path / "b"), seed=32, n_users=25, n_days=1, start=datetime(2025, 9, 2))
+    wh = str(tmp_path / "wh")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark, fix_a["staging_dir"], wh, fix_a["recipe_master"], datetime(2025, 9, 2),
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-03 23:00:00"),
+        )
+        fact_before = gold.read_fact(spark, wh).count()
+        users_before = dims.read_dim(spark, wh, "dim_user").count()
+        q = ingest.start_silver_stream(
+            spark, fix_b["staging_dir"], wh, str(tmp_path / "ck"), available_now=True, also_gold=True
+        )
+        _drain(q)
+        streamed_silver = (
+            silver.read_silver(spark, wh).count()
+            - fact_before  # day-1 silver == day-1 fact rows
+        )
+        fact_after = gold.read_fact(spark, wh)
+        assert fact_after.count() == fact_before + streamed_silver
+        assert dims.read_dim(spark, wh, "dim_user").count() > users_before
+        # streamed rows resolve FKs like batch rows; event types unseen
+        # on day 1 legitimately miss dim_event (only dim_user upserts
+        # incrementally — reference behavior), so near-1 not exactly 1.
+        assert gold.join_success_rates(fact_after)["event_dim_key"] >= 0.95
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
