@@ -52,6 +52,7 @@ DIFFICULTIES = ("아무나", "초급", "중급", "고급")
 AB_SCENARIO = "personalized_ads_v1"
 ANON_RATE = 0.05  # share of pure-anonymous sessions (user_id null)
 LATE_RATE = 0.01  # events arriving in a bucket later than their event time
+CORRUPT_RATE = 0.002  # malformed staging lines (truncated JSON, garbage)
 
 # Session next-event chain (behavioral shape of the reference's Markov
 # graph, create_event_logs.py:430-467 — transitions, not probabilities,
@@ -187,6 +188,7 @@ def write_jsonl(events: list[dict], staging_dir: str, partitioned: bool = True) 
     """Write events as JSONL under the reference's path layout
     (``year=/month=/day=/hour=/minute=``) or as one bulk file."""
     os.makedirs(staging_dir, exist_ok=True)
+    corrupt_rng = random.Random(1234)
     files: dict[str, list[str]] = {}
     for ev in events:
         ev = dict(ev)
@@ -205,7 +207,10 @@ def write_jsonl(events: list[dict], staging_dir: str, partitioned: bool = True) 
             path = os.path.join(d, "events.jsonl")
         else:
             path = os.path.join(staging_dir, "bulk_events.jsonl")
-        files.setdefault(path, []).append(json.dumps(ev))
+        line = json.dumps(ev)
+        if corrupt_rng.random() < CORRUPT_RATE:  # truncated / garbage line
+            line = line[: len(line) // 2] if corrupt_rng.random() < 0.5 else "!!not-json!!"
+        files.setdefault(path, []).append(line)
     for path, lines in files.items():
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:

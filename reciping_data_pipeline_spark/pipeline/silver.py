@@ -97,6 +97,12 @@ def transform(bronze_df: DataFrame, batch_ts: datetime) -> DataFrame:
         )
         .withColumn("processed_at", F.lit(batch_ts).cast("timestamp_ntz"))
         .withColumn("pipeline_version", F.lit(PIPELINE_VERSION))
+        # Quarantine malformed lines: from_json yields an all-null
+        # struct for unparseable JSON, so a null event_id marks a
+        # corrupt record. The reference's dropDuplicates would keep ONE
+        # such row per batch (nulls compare equal) — a silent poison
+        # row; dropping them is the intended retention-SLO "loss".
+        .where(F.col("event_id").isNotNull())
         .dropDuplicates(["event_id"])
     )
 

@@ -79,6 +79,9 @@ def test_dedup_slo(spark, warehouse):
     assert report.silver_rows < n_generated  # duplicates dropped
     s = silver.read_silver(spark, warehouse["warehouse"])
     assert s.count() == s.select("event_id").distinct().count()
+    # corrupt staging lines (~0.2% injected) are quarantined, never
+    # surfacing as null-key rows
+    assert s.where(s.event_id.isNull()).count() == 0
 
 
 def test_join_success(warehouse):

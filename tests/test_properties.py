@@ -1,0 +1,102 @@
+"""Hypothesis property tests for the pure-Python/numpy kernels (no
+Spark session — these run in milliseconds and cover the combinatorial
+input space the example-based tests can't)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from reciping_data_pipeline_spark.functions.hashing import _MERSENNE_P, _perm_params
+from reciping_data_pipeline_spark.operators.multimodal import _fake_decode
+from reciping_data_pipeline_spark.pipeline.datagen import ab_group
+from reciping_data_pipeline_spark.sources.jsonl import interval_paths
+
+_dt = st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2099, 12, 31))
+
+
+@given(start=_dt, minutes=st.integers(min_value=1, max_value=24 * 60))
+@settings(max_examples=200, deadline=None)
+def test_interval_paths_cover_and_align(start, minutes):
+    end = start + timedelta(minutes=minutes)
+    paths = interval_paths("/s", start, end)
+    assert paths  # non-empty for any non-empty interval
+    assert len(paths) == len(set(paths))  # no duplicate buckets
+    # each path's bucket is 15-min aligned and within [start-15m, end)
+    for p in paths:
+        parts = dict(kv.split("=") for kv in p.split("/")[2:])
+        t = datetime(
+            int(parts["year"]), int(parts["month"]), int(parts["day"]),
+            int(parts["hour"]), int(parts["minute"]),
+        )
+        assert t.minute % 15 == 0
+        assert start - timedelta(minutes=15) < t < end
+    # first bucket contains `start`
+    first = paths[0]
+    assert f"minute={(start.minute // 15) * 15:02d}" in first
+
+
+@given(uid=st.text(min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_ab_group_deterministic_and_binary(uid):
+    g = ab_group(uid)
+    assert g in ("treatment", "control")
+    assert ab_group(uid) == g  # stable
+
+
+@given(n=st.integers(min_value=1, max_value=256), seed=st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=100, deadline=None)
+def test_perm_params_in_field(n, seed):
+    params = _perm_params(n, seed)
+    assert len(params) == n
+    for a, b in params:
+        assert 1 <= a < _MERSENNE_P  # a=0 would collapse the permutation
+        assert 0 <= b < _MERSENNE_P
+        # a * x + b stays below 2^63 for x < p (no silent long overflow)
+        assert a * (_MERSENNE_P - 1) + b < 2**63
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_fake_decode_deterministic_and_bounded(data):
+    w, h, c, luma = _fake_decode(data)
+    assert (w, h, c, luma) == _fake_decode(data)
+    assert 64 <= w < 256 and 64 <= h < 256 and c == 3
+    assert 0.0 <= luma <= 1.0
+
+
+@given(
+    hashes=st.lists(
+        st.lists(st.integers(min_value=0, max_value=_MERSENNE_P - 1), min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_batch_equals_rowwise(spark, hashes):
+    """The reduceat-vectorized MinHash kernel must equal the naive
+    per-row formulation bit-for-bit. (`spark` fixture: pandas_udf needs
+    an active context just to parse its return-type DDL; the kernel
+    itself runs driver-side here.)"""
+    import pandas as pd
+
+    from reciping_data_pipeline_spark.functions import sketches
+
+    num_perm, seed = 16, 42
+    params = _perm_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.uint64).reshape(-1, 1)
+    b = np.array([p[1] for p in params], dtype=np.uint64).reshape(-1, 1)
+
+    udf_fn = sketches.minhash_signature_udf(num_perm, seed)
+    batch = udf_fn.func(pd.Series([np.array(h, dtype=np.int64) for h in hashes]))
+
+    for got, h in zip(batch, hashes):
+        if not h:
+            assert list(got) == [_MERSENNE_P] * num_perm
+            continue
+        hv = np.asarray(h, dtype=np.uint64)
+        want = ((a * hv + b) % np.uint64(_MERSENNE_P)).min(axis=1).astype(np.int64)
+        assert list(got) == list(want)
