@@ -106,3 +106,62 @@ def replay_loop(
             n += 1
         t += step
     return n
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI — replaces the reference's Airflow DAG + bulk_runner:
+
+    python -m reciping_data_pipeline_spark.pipeline.runner bulk \
+        --staging ./staging --warehouse ./wh --recipe-master ./recipes.parquet
+    python -m reciping_data_pipeline_spark.pipeline.runner replay \
+        --staging ./staging --warehouse ./wh \
+        --start 2025-09-01T00:00 --end 2025-09-02T00:00
+    python -m reciping_data_pipeline_spark.pipeline.runner query --warehouse ./wh --name dau
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="medallion-runner")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    bulk = sub.add_parser("bulk", help="full staging -> gold rebuild")
+    bulk.add_argument("--staging", required=True)
+    bulk.add_argument("--warehouse", required=True)
+    bulk.add_argument("--recipe-master", required=True)
+    bulk.add_argument("--batch-ts", default=None, help="ISO logical batch time (default: now)")
+
+    rep = sub.add_parser("replay", help="ordered 15-min incremental replay")
+    rep.add_argument("--staging", required=True)
+    rep.add_argument("--warehouse", required=True)
+    rep.add_argument("--start", required=True, help="ISO interval start")
+    rep.add_argument("--end", required=True, help="ISO interval end")
+
+    qry = sub.add_parser("query", help="run one of the 21 analytics queries")
+    qry.add_argument("--warehouse", required=True)
+    qry.add_argument("--name", required=True)
+    qry.add_argument("--limit", type=int, default=50)
+
+    args = p.parse_args(argv)
+    spark = pipeline_session()
+    if args.cmd == "bulk":
+        ts = datetime.fromisoformat(args.batch_ts) if args.batch_ts else datetime.now()
+        report = bulk_backfill(spark, args.staging, args.warehouse, args.recipe_master, ts)
+        print(
+            f"bulk done: bronze={report.bronze_rows} silver={report.silver_rows} "
+            f"fact={report.fact_rows} retention={report.retention:.4f} "
+            f"join_success={report.join_success}"
+        )
+    elif args.cmd == "replay":
+        n = replay_loop(
+            spark, args.staging, args.warehouse,
+            datetime.fromisoformat(args.start), datetime.fromisoformat(args.end),
+        )
+        print(f"replay done: {n} non-empty intervals loaded")
+    elif args.cmd == "query":
+        from reciping_data_pipeline_spark.pipeline import analytics
+
+        analytics.register_gold_views(spark, args.warehouse)
+        analytics.run(spark, args.name).show(args.limit, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,4 +69,8 @@ def get_spark(
     # getOrCreate() may return a pre-existing session whose timezone
     # differs from what this caller needs — timezone is runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", timezone)
+
+    from reciping_data_pipeline_spark.tables import ship_package
+
+    ship_package(spark)
     return spark

@@ -11,6 +11,8 @@ catalog of partitioned/bucketed tables) is isolated to this module.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 import pyspark.sql.functions as F
 
@@ -33,6 +35,54 @@ TABLE_NAMES = (
 SMALL_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per driver process (always fresh code —
+    never reuse a zip from a previous process)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        fd, path = tempfile.mkstemp(prefix=f"{pkg_name}_pyfiles_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures reference helpers in this package; cloudpickle
+    serializes those helpers by reference (module + qualname), so
+    workers must be able to import the package. On a real cluster the
+    deploy ships a wheel via ``--py-files``; here we self-serve the
+    equivalent with ``addPyFile`` so the engine also works under a
+    vanilla driver-owned session whose workers don't share our
+    ``sys.path``. Idempotent per session via a conf marker.
+    """
+    marker = "spark.reciping_data_pipeline.pyfiles.shipped"
+    try:
+        if spark.conf.get(marker, "false") == "true":
+            return
+        spark.sparkContext.addPyFile(_package_zip())
+        spark.conf.set(marker, "true")
+    except Exception:
+        # Connect-mode sessions lack sparkContext; there the session
+        # owner must ship the package via addArtifact/--py-files.
+        pass
+
+
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Confs the catalog queries depend on, set defensively because the
     harness may hand us a vanilla session (not our session.get_spark):
@@ -40,10 +90,12 @@ def _ensure_session_conf(spark: SparkSession) -> None:
       otherwise refuses to read;
     - UTC session timezone: hour()/date() extraction must agree with
       the DuckDB oracle's naive-timestamp semantics.
-    Both are runtime-settable SQL confs.
+    Both are runtime-settable SQL confs. Also ships this package to
+    executor Python workers (see ship_package).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ship_package(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
