@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         medallionops,
         multimodalops,
         relational_ext,
+        subqueries,
         textops,
         tpch,
         vectorops,

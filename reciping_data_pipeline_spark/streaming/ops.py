@@ -12,6 +12,13 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 
 def dedup_within_watermark(
@@ -41,6 +48,85 @@ def windowed_event_counts(
     return df.groupBy(F.window(ts_col, window).alias("win"), *by).agg(
         F.count("*").alias("event_count"),
         F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("first_seen", TimestampType(), True),
+        StructField("last_seen", TimestampType(), True),
+    ]
+)
+
+# State kept as epoch-microsecond longs: state round-trips through
+# Arrow per micro-batch, and integer state is the cheapest stable
+# encoding (no tz/ns ambiguity across the boundary).
+_USER_STATS_STATE = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("first_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+    ]
+)
+
+
+def running_user_stats(
+    events: DataFrame, id_col: str = "user_id", ts_col: str = "kst_timestamp"
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user lifetime event count
+    and first/last-seen timestamps, maintained across micro-batches via
+    ``applyInPandasWithState`` (the escape hatch for stateful semantics
+    Spark's built-in streaming aggregations can't express — arbitrary
+    per-key state + arbitrary per-batch Python logic, Arrow-batched).
+
+    Emits one update row per active user per micro-batch (output mode
+    ``update``). On a batch DataFrame the same semantics degrade to a
+    plain groupBy aggregation — which is exactly how the tests pin
+    stream/batch equivalence.
+
+    Scale notes: state is partitioned by ``id_col`` across executors
+    (HDFS/RocksDB-backed state store on a real cluster); per-batch work
+    is one Arrow exchange per state partition, no global shuffle beyond
+    the hash on the grouping key.
+    """
+    if not events.isStreaming:
+        return events.groupBy(F.col(id_col).cast("string").alias("user_id")).agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdfs, state):
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            n += len(pdf)
+            lo = int(ts.min().value // 1_000)
+            hi = int(ts.max().value // 1_000)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [str(key[0])],
+                "n_events": [n],
+                "first_seen": [pd.Timestamp(first_us * 1_000)],
+                "last_seen": [pd.Timestamp(last_us * 1_000)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(F.col(id_col).cast("string").alias("user_id")).applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

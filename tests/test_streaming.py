@@ -175,3 +175,77 @@ def test_stream_to_gold_end_to_end(spark, tmp_path):
         assert gold.join_success_rates(fact_after)["event_dim_key"] >= 0.95
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_running_user_stats_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    two files forced into separate triggers (maxFilesPerTrigger=1) must
+    yield final cumulative counts equal to the batch groupBy over the
+    union — and the second batch's update rows must continue (not
+    restart) the counts."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = [
+        {"user_id": f"u{i % 3}", "ts": f"2025-09-01 10:0{i}:00"} for i in range(6)
+    ]
+    batch2 = [
+        {"user_id": f"u{i % 2}", "ts": f"2025-09-01 11:0{i}:00"} for i in range(6)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumn("kst_timestamp", F.to_timestamp("ts"))
+    )
+    q = (
+        ops.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    # Update-mode sink holds one row per (user, micro-batch); the row
+    # with the max count per user is the final state.
+    final = {
+        r["user_id"]: (r["n_events"], r["first_seen"], r["last_seen"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, first_seen, last_seen FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM user_stats_sink) WHERE rn = 1"""
+        ).collect()
+    }
+
+    batch_df = (
+        spark.read.format("json")
+        .schema("user_id string, ts string")
+        .load(str(src))
+        .withColumn("kst_timestamp", F.to_timestamp("ts"))
+    )
+    expected = {
+        r["user_id"]: (r["n_events"], r["first_seen"], r["last_seen"])
+        for r in ops.running_user_stats(batch_df).collect()
+    }
+    assert final == expected
+
+    # State really crossed batches: u0/u1 appear in both files, so the
+    # sink must hold two distinct cumulative counts for each.
+    per_user_updates = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n FROM user_stats_sink GROUP BY user_id"
+        ).collect()
+    }
+    assert per_user_updates["u0"] == 2 and per_user_updates["u1"] == 2
