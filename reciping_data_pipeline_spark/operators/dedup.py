@@ -304,3 +304,79 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Union near-duplicate pairs into components: ``(id, component)``
+    with ``component`` = the minimum member id (a deterministic
+    canonical representative).
+
+    The step after any pair-producing dedup (MinHash-LSH, SimHash,
+    exact Jaccard): pairs only say "a~b"; keep/drop decisions need the
+    transitive closure (a~b, b~c => one group).
+
+    Hash-min label propagation: every vertex starts labeled with
+    itself; each round every vertex takes the min label among itself
+    and its neighbors; converges in O(component diameter) rounds.
+    Near-dup components are small and dense (diameter 2-4), so this
+    beats the O(log n)-round large-star/small-star alternation in
+    practice while staying a pure DataFrame loop: one shuffle per
+    round, ``localCheckpoint`` per round to truncate lineage (an
+    iterative plan otherwise grows exponentially), early exit on a
+    fixed point.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_labels = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("label")
+        )
+        new_labels = (
+            labels.union(nbr_labels).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
+
+
+def dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Assign every row of ``df`` to a dedup group: rows appearing in
+    ``pairs`` get their component's canonical (min) id, untouched rows
+    are singletons (component = own id). Output: ``(id, component,
+    is_canonical)`` — filtering ``is_canonical`` yields the keep-list.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("component"))
+    )

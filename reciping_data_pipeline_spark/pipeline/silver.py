@@ -22,6 +22,7 @@ transform stays inside Catalyst/whole-stage codegen (SURVEY §2.10).
 from __future__ import annotations
 
 import os
+from datetime import date as _date
 from datetime import datetime
 
 import pyspark.sql.functions as F
@@ -166,5 +167,12 @@ def run_batch(
 def read_silver(spark: SparkSession, warehouse: str, date: str | None = None) -> DataFrame:
     df = spark.read.parquet(silver_path(warehouse))
     if date:
-        df = df.where(F.col("date") == date)
+        # Predicate on the partition columns, not the derived `date`
+        # data column: only partition-column predicates prune the
+        # year=/month=/day= directory layout (reference SLO 3 — a
+        # daily query must scan ~one day's partitions, not the table).
+        d = _date.fromisoformat(date)
+        df = df.where(
+            (F.col("year") == d.year) & (F.col("month") == d.month) & (F.col("day") == d.day)
+        )
     return df

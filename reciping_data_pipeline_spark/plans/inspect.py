@@ -32,6 +32,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries across the plan's scans — non-empty
+    means Catalyst will prune Hive-style partition directories before
+    listing files (the reference's SLO-3 mechanism)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema struct strings per scan — what actually hits parquet."""
     return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))

@@ -234,3 +234,57 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.trim(F.col("text"))).alias("ws_tokens"),
         T.bpe_token_count(F.col("text")).alias("bpe_ish_tokens"),
     )
+
+
+@query(
+    "doc_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len({_TOKENS_SQL}) - 4),
+                   i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+                        || ' ' || {_TOKENS_SQL}[i+3] || ' ' || {_TOKENS_SQL}[i+4])) AS sh
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM postings a JOIN postings b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.001
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v)
+    SELECT d.doc_id AS id,
+           coalesce(c.component, d.doc_id) AS component,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="Pairs -> transitive closure -> dedup groups: every document "
+    "assigned a canonical component id (min member), singletons kept. "
+    "Spark side is iterative hash-min label propagation "
+    "(operators/dedup.py connected_components); DuckDB oracle is a "
+    "recursive-CTE transitive closure over the same exact-Jaccard "
+    "pair set — an end-to-end oracle for an iterative algorithm.",
+    tags=("text", "dedup", "components"),
+)
+def doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=5, threshold=0.001)
+    return dedup.dedup_groups(docs, "doc_id", pairs)

@@ -19,6 +19,8 @@ from datetime import datetime, timedelta
 import duckdb
 import pytest
 
+import pyspark.sql.functions as F
+
 from reciping_data_pipeline_spark.pipeline import analytics, bronze, datagen, gold, runner, silver
 from reciping_data_pipeline_spark.pipeline.analytics import all_analytics
 
@@ -150,3 +152,28 @@ def test_retention_slo(warehouse):
     """Bronze→Silver retention ≥95% (reference SLO 2, achieved 99.31%);
     loss here is exactly the injected duplicates."""
     assert warehouse["report"].retention >= 0.95
+
+
+def test_partition_scan_slo(spark, warehouse):
+    """Reference SLO 3: a one-day query scans <=5% of the dataset
+    (achieved 3.16% via date-partition pruning). Here: the plan carries
+    PartitionFilters on year/month/day (directory-level pruning), and
+    the pruned row fraction on the 3-day fixture is ~1/3 — at the
+    reference's 30-day scale the same layout gives ~1/30.
+    """
+    from reciping_data_pipeline_spark.plans import inspect as plan_inspect
+
+    wh = warehouse["warehouse"]
+    day = silver.read_silver(spark, wh, date="2025-09-02")
+    pf = " ".join(plan_inspect.partition_filters(day))
+    assert "year" in pf and "month" in pf and "day" in pf, pf
+    total = silver.read_silver(spark, wh).count()
+    scanned = day.count()
+    n_days = 3
+    assert 0 < scanned <= total / n_days * 1.5
+    # The same bound must hold for gold: fact reads prune event_date.
+    fact_day = gold.read_fact(spark, wh).where(
+        F.col("event_date") == "2025-09-02"
+    )
+    fpf = " ".join(plan_inspect.partition_filters(fact_day))
+    assert "event_date" in fpf, fpf

@@ -124,3 +124,45 @@ def test_ivf_ann_recall(clustered_vectors):
     brute = similarity.brute_force_topk(clustered_vectors, queries, k=5)
     ann = similarity.ivf_topk(clustered_vectors, queries, k=5, n_cells=8, nprobe=2)
     assert _recall_vs_brute(ann, brute) >= 0.9
+
+
+def test_connected_components_match_union_find(planted_docs, exact_pairs, spark):
+    """Hash-min label propagation == driver-side union-find on the same
+    pair set (including a chained a~b~c component if present)."""
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(
+            spark.createDataFrame(
+                sorted(exact_pairs), "id_a long, id_b long"
+            )
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(exact_pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    assert comp == expected
+
+
+def test_dedup_groups_singletons_and_canonicals(planted_docs, exact_pairs):
+    pairs_df = dedup.ngram_jaccard_pairs(planted_docs, "doc_id", "text", threshold=0.8)
+    groups = dedup.dedup_groups(planted_docs, "doc_id", pairs_df).collect()
+    assert len(groups) == planted_docs.count()  # every doc assigned
+    by_comp: dict[int, list] = {}
+    for r in groups:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m["id"] for m in members)  # canonical = min id
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["id"] == comp_id
