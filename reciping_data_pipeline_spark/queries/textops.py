@@ -288,3 +288,80 @@ def doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=5, threshold=0.001)
     return dedup.dedup_groups(docs, "doc_id", pairs)
+
+
+# Engine-portable deterministic hash (Knuth multiplicative on the id):
+# identical integer arithmetic in Spark and DuckDB, so split
+# assignment is reproducible across engines and cluster sizes — the
+# property a training pipeline needs from a split (no RNG state, no
+# partition-order dependence). 2654435761 = floor(2^32/phi).
+_SPLIT_HASH_SQL = "((doc_id * 2654435761) % 4294967296)"
+
+
+@query(
+    "doc_train_val_split",
+    oracle=f"""
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN {_SPLIT_HASH_SQL} < 0.9 * 4294967296 THEN 'train'
+                    WHEN {_SPLIT_HASH_SQL} < 0.95 * 4294967296 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    """,
+    doc="Deterministic 90/5/5 train/val/test assignment by multiplicative "
+    "hash of doc_id — reproducible across engines/runs/cluster sizes "
+    "(no RNG, no partition-order dependence), summarized per split+lang.",
+    tags=("text", "sampling"),
+)
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    split = (
+        F.when(h < 0.9 * 4294967296, "train")
+        .when(h < 0.95 * 4294967296, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_SPLIT_HASH_SQL}, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 10
+    """,
+    doc="Deterministic stratified sample: 10 docs per language, chosen "
+    "by smallest multiplicative hash (uniform-without-replacement with "
+    "zero RNG state; rank window per stratum, ties broken by id).",
+    tags=("text", "sampling", "window"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )
