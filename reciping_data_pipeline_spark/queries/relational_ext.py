@@ -227,3 +227,46 @@ def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("last_view_ts").cast("string").alias("last_view_ts"),
     )
+
+
+@query(
+    "daily_events_rolling",
+    oracle="""
+    SELECT event_date,
+           n_events,
+           round(avg(n_events) OVER (
+               ORDER BY event_date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_7d,
+           CAST(sum(n_events) OVER (
+               ORDER BY event_date
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_events
+    FROM (
+        SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    """,
+    doc="Explicit window frames (the one spec family the reference never "
+    "uses — SURVEY §2.5 'defaults only'): 7-day moving average via ROWS "
+    "BETWEEN, running total via RANGE UNBOUNDED. The global window runs "
+    "over the already-aggregated daily series (365 rows/yr), so the "
+    "single-task window stage is trivially small at any input scale.",
+    tags=("window", "frames"),
+)
+def daily_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events")
+    )
+    w_rows = Window.orderBy("event_date").rowsBetween(-6, Window.currentRow)
+    w_range = Window.orderBy("event_date").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "event_date",
+        "n_events",
+        F.round(F.avg("n_events").over(w_rows), 2).alias("avg_7d"),
+        F.sum("n_events").over(w_range).alias("cum_events"),
+    )
