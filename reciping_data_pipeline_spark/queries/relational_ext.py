@@ -232,7 +232,7 @@ def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "daily_events_rolling",
     oracle="""
-    SELECT event_date,
+    SELECT CAST(event_date AS STRING) AS event_date,
            n_events,
            round(avg(n_events) OVER (
                ORDER BY event_date
@@ -265,7 +265,9 @@ def daily_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
-        "event_date",
+        # ISO string on both sides: DATE round-trips ambiguously
+        # through pandas in the value-hash comparison (see dau).
+        F.col("event_date").cast("string").alias("event_date"),
         "n_events",
         F.round(F.avg("n_events").over(w_rows), 2).alias("avg_7d"),
         F.sum("n_events").over(w_range).alias("cum_events"),

@@ -365,3 +365,78 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "doc_pretrain_filter_funnel",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source, lang, text,
+               CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_EN_STOP})) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / nullif(length(text), 0) AS p_ratio,
+               md5(text) AS fp
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, lang, n_tok, fp,
+               round(1.0 / (1.0 + exp(-(0.01 * n_tok + 2.0 * (n_stop / nullif(n_tok, 0))
+                                        - 5.0 * p_ratio - 1.0))), 4) AS quality,
+               (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep_first
+        FROM feat
+    ),
+    gated AS (
+        SELECT source,
+               (lang IN ('en', 'es')) AS c_lang,
+               (lang IN ('en', 'es') AND n_tok BETWEEN 20 AND 5000) AS c_len,
+               (lang IN ('en', 'es') AND n_tok BETWEEN 20 AND 5000
+                AND quality >= 0.5) AS c_quality,
+               (lang IN ('en', 'es') AND n_tok BETWEEN 20 AND 5000
+                AND quality >= 0.5 AND keep_first) AS c_unique
+        FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN c_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(sum(CASE WHEN c_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN c_unique THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+    FROM gated
+    GROUP BY source
+    """,
+    doc="Pretraining data filter funnel: per-source survivor counts "
+    "through cumulative language / length / quality / exact-dup gates "
+    "— the composite every corpus-curation pipeline reports. One scan, "
+    "conditional aggregation (SURVEY §2.4 A4 at corpus scale); the "
+    "exact-dup gate is a window-min over md5(text) (same function both "
+    "engines), no join.",
+    tags=("text", "quality", "dedup", "bench"),
+)
+def doc_pretrain_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_tok = T.token_count(txt).cast("double")
+    quality = F.round(T.quality_score(txt), 4)
+    keep_first = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(txt))
+    )
+    c_lang = F.col("lang").isin("en", "es")
+    c_len = c_lang & n_tok.between(20, 5000)
+    c_quality = c_len & (quality >= 0.5)
+    c_unique = c_quality & keep_first
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        docs.select("source", c_lang.alias("c_lang"), c_len.alias("c_len"),
+                    c_quality.alias("c_quality"), c_unique.alias("c_unique"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            as_int(F.col("c_lang")).alias("n_lang"),
+            as_int(F.col("c_len")).alias("n_len"),
+            as_int(F.col("c_quality")).alias("n_quality"),
+            as_int(F.col("c_unique")).alias("n_unique"),
+        )
+    )
