@@ -84,11 +84,13 @@ def dau_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT user_id) AS wau
         FROM events GROUP BY 1
     )
-    SELECT week_start, wau,
-           lag(wau) OVER (ORDER BY week_start) AS prev_wau,
-           round(100.0 * (wau - lag(wau) OVER (ORDER BY week_start))
-                 / nullif(lag(wau) OVER (ORDER BY week_start), 0), 4) AS wow_growth_pct
-    FROM weekly
+    SELECT week_start, wau, prev_wau,
+           round(100.0 * (wau - prev_wau) / nullif(prev_wau, 0), 4) AS wow_growth_pct
+    FROM (
+        SELECT week_start, wau, lag(wau) OVER (ORDER BY week_start) AS prev_wau
+        FROM weekly
+    )
+    WHERE prev_wau IS NOT NULL
     """,
     doc="WAU + week-over-week growth via LAG (WAU.sql:56-61; SURVEY §2.5 W3).",
     tags=("window", "agg"),
@@ -100,11 +102,19 @@ def wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("user_id").alias("wau"))
     w = Window.orderBy("week_start")
     prev = F.lag("wau").over(w)
-    return weekly.select(
-        "week_start",
-        "wau",
-        prev.alias("prev_wau"),
-        F.round(100.0 * (F.col("wau") - prev) / F.nullif(prev, F.lit(0)), 4).alias("wow_growth_pct"),
+    # First week dropped: no prior period means NULL-able int output,
+    # which round-trips inconsistently through pandas (see SKILL.md).
+    return (
+        weekly.select("week_start", "wau", prev.alias("prev_wau"))
+        .where(F.col("prev_wau").isNotNull())
+        .select(
+            "week_start",
+            "wau",
+            "prev_wau",
+            F.round(
+                100.0 * (F.col("wau") - F.col("prev_wau")) / F.nullif(F.col("prev_wau"), F.lit(0)), 4
+            ).alias("wow_growth_pct"),
+        )
     )
 
 

@@ -440,3 +440,41 @@ def doc_pretrain_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_int(F.col("c_unique")).alias("n_unique"),
         )
     )
+
+
+@query(
+    "doc_source_mixture",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {_SPLIT_HASH_SQL} <
+               CASE source
+                   WHEN 'src0' THEN 1.00 * 4294967296
+                   WHEN 'src1' THEN 0.80 * 4294967296
+                   WHEN 'src2' THEN 0.50 * 4294967296
+                   ELSE 0.25 * 4294967296 END
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Deterministic pretraining source mixing: per-source keep rates "
+    "(src0 100%, src1 80%, src2 50%, tail 25%) applied by hash "
+    "threshold — the reweighting step of corpus curation, reproducible "
+    "across engines/runs, one scan, no RNG state (vs sampleBy, whose "
+    "Bernoulli draws differ per partitioning).",
+    tags=("text", "sampling"),
+)
+def doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    rate = (
+        F.when(F.col("source") == "src0", 1.00)
+        .when(F.col("source") == "src1", 0.80)
+        .when(F.col("source") == "src2", 0.50)
+        .otherwise(0.25)
+    )
+    keep = h < rate * F.lit(4294967296)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+    )

@@ -174,10 +174,14 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT order_month, revenue,
-           round(lag(revenue) OVER (ORDER BY order_month), 2) AS prev_revenue,
-           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY order_month))
-                 / nullif(lag(revenue) OVER (ORDER BY order_month), 0), 4) AS growth_pct
-    FROM monthly
+           round(prev_revenue, 2) AS prev_revenue,
+           round(100.0 * (revenue - prev_revenue) / nullif(prev_revenue, 0), 4) AS growth_pct
+    FROM (
+        SELECT order_month, revenue,
+               lag(revenue) OVER (ORDER BY order_month) AS prev_revenue
+        FROM monthly
+    )
+    WHERE prev_revenue IS NOT NULL
     """,
     doc="LAG window over time series — WoW growth shape (WAU.sql:56-61; SURVEY §2.5 W3).",
     tags=("window", "agg"),
@@ -191,11 +195,19 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     w = Window.orderBy("order_month")
     prev = F.lag("revenue").over(w)
-    return monthly.select(
-        "order_month",
-        "revenue",
-        F.round(prev, 2).alias("prev_revenue"),
-        F.round(100.0 * (F.col("revenue") - prev) / F.nullif(prev, F.lit(0)), 4).alias("growth_pct"),
+    # First month dropped: no prior period means NULL outputs, which
+    # round-trip inconsistently through pandas (see SKILL.md).
+    return (
+        monthly.select("order_month", "revenue", prev.alias("_prev"))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "order_month",
+            "revenue",
+            F.round(F.col("_prev"), 2).alias("prev_revenue"),
+            F.round(
+                100.0 * (F.col("revenue") - F.col("_prev")) / F.nullif(F.col("_prev"), F.lit(0)), 4
+            ).alias("growth_pct"),
+        )
     )
 
 
