@@ -331,11 +331,15 @@ def connected_components(
     iterative plan otherwise grows exponentially), early exit on a
     fixed point.
     """
+    # Materialize the edge list ONCE: without this every iteration's
+    # join would re-execute the whole upstream pair-generation subtree
+    # (shingle inversion / sketch verification — far more expensive
+    # than the propagation itself) through lineage.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     ).localCheckpoint(eager=True)
