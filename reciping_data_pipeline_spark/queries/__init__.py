@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
     the full registry."""
     from reciping_data_pipeline_spark.queries import (  # noqa: F401
         clickstream,
+        corpusops,
         medallionops,
         multimodalops,
         relational_ext,

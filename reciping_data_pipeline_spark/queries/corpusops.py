@@ -1,0 +1,248 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+Beyond the per-document filters in ``textops.py``, these cover the
+corpus-level steps of a pretraining data build: vocabulary building,
+n-gram statistics, Gopher-style repetition signals, length
+profiling, deterministic sequence packing, and PII-style masking
+audits. Everything is built from native ``pyspark.sql.functions``
+(whole-stage codegen, map-side partial aggregation), with the exact
+formulas mirrored in the DuckDB oracle SQL.
+
+Scale notes are attached per query: each one's shuffle keys and
+top-k strategy are chosen so the plan survives a 100 TB corpus
+(token-keyed aggregation with partial combine, TakeOrderedAndProject
+for top-k instead of a global sort, per-source windows only over
+pre-aggregated or naturally-bounded partitions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from reciping_data_pipeline_spark.functions import text as T
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+# DuckDB fragment equal to T.tokens(F.trim(text)) on the Spark side.
+_TRIM_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "doc_vocab_topk",
+    oracle=f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+    doc="Vocabulary building: corpus-wide token frequencies, top 100 "
+    "with deterministic (count desc, token asc) tie-break. One "
+    "token-keyed shuffle with map-side partial counts; the top-k is "
+    "TakeOrderedAndProject, not a global sort — at 100 TB the shuffle "
+    "carries one row per distinct token, not per occurrence.",
+    tags=("text", "vocab", "topk"),
+)
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "doc_bigram_topk",
+    oracle=f"""
+    WITH arr AS (SELECT {_TRIM_TOKENS_SQL} AS a FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(a) - 1),
+            i -> a[i] || ' ' || a[i + 1])) AS bigram
+        FROM arr WHERE len(a) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    doc="N-gram statistics: top-50 corpus bigrams. Bigrams are built "
+    "JVM-side with transform() over an index sequence (no UDF, no "
+    "self-join); same shuffle shape as the vocabulary build.",
+    tags=("text", "vocab", "topk"),
+)
+def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH per_tok AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM (SELECT doc_id, unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(1.0 - count(*) / sum(c), 4) AS dup_word_ratio,
+           round(max(c) / sum(c), 4) AS top_token_frac
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition signals per document: duplicate-word "
+    "fraction and most-frequent-token share — the filters that drop "
+    "boilerplate/spam pages from pretraining corpora. Two shuffles "
+    "keyed by (doc_id, token) then doc_id, both with map-side combine; "
+    "documents never need to be co-resident, so this is "
+    "embarrassingly scalable.",
+    tags=("text", "quality"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    per_tok = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 4).alias("dup_word_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+    FROM documents
+    GROUP BY bucket
+    """,
+    doc="Corpus length profile: 100-char histogram buckets with "
+    "share-of-corpus percentages (agg-over-empty-frame window on the "
+    "already-reduced bucket rows — the window input is O(buckets), "
+    "not O(documents), so the single-task window stage stays tiny at "
+    "any corpus size).",
+    tags=("text", "histogram"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+    hist = docs.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n_docs"))
+    return hist.select(
+        "bucket",
+        "n_docs",
+        F.round(100.0 * F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 4).alias(
+            "pct"
+        ),
+    )
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len({_TRIM_TOKENS_SQL}) AS n_tok
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_tok,
+               CAST(floor((sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0) AS BIGINT) AS bin
+        FROM t
+    )
+    SELECT source, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           round(sum(n_tok) / 4096.0, 4) AS fill_ratio
+    FROM binned
+    GROUP BY source, bin
+    """,
+    doc="Deterministic sequence packing for training shards: documents "
+    "are laid into ~4096-token bins per source in doc_id order via a "
+    "running-token-total window (bin = exclusive-cumsum div 4096), "
+    "then summarized per bin. No RNG, no partition-order dependence — "
+    "the same docs land in the same shard on every run and engine. At "
+    "100 TB the per-source window is the scale knob: sources shard "
+    "further by a hash-bucket prefix so each window partition stays "
+    "executor-sized, which only renumbers bins, not their contents.",
+    tags=("text", "packing", "window"),
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.trim(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096.0)).cast("bigint")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.round(F.sum("n_tok") / F.lit(4096.0), 4).alias("fill_ratio"),
+    )
+
+
+@query(
+    "event_props_pii_scrub",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS digit_runs,
+           CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+               AS BIGINT) AS digits_masked
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="PII-style masking audit: count and measure numeric tokens that "
+    "a scrubber would redact from the raw event payload (digit-run "
+    "detection via regexp_count, masked-character accounting via "
+    "regexp_replace delta) — all JVM-side regex inside codegen, "
+    "aggregated per event type with map-side combine.",
+    tags=("text", "scrub"),
+)
+def event_props_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    props = F.col("props")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.regexp_count(props, F.lit(r"[0-9]+"))).alias("digit_runs"),
+        F.sum(F.length(props) - F.length(F.regexp_replace(props, r"[0-9]", ""))).alias(
+            "digits_masked"
+        ),
+    )

@@ -272,3 +272,237 @@ def daily_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events").over(w_rows), 2).alias("avg_7d"),
         F.sum("n_events").over(w_range).alias("cum_events"),
     )
+
+
+@query(
+    "orders_events_full_outer",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        FROM orders GROUP BY 1
+    ), e AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(coalesce(o.d, e.d) AS STRING) AS day,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    """,
+    doc="FULL OUTER reconciliation of two daily series (orders vs "
+    "events) with zero-fill on both unmatched sides — the missing "
+    "outer-join flavor from SURVEY §2.3's 'not present' list. Both "
+    "inputs are pre-aggregated to one row per day BEFORE the join, so "
+    "the full-outer shuffle is O(days), not O(rows), at any scale.",
+    tags=("join", "fullouter"),
+)
+def orders_events_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return o.join(e, on="day", how="full_outer").select(
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    oracle="""
+    SELECT decile,
+           count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+        FROM customer
+    )
+    GROUP BY decile
+    """,
+    doc="NTILE decile segmentation of customers by account balance "
+    "with per-decile stats (deterministic tie-break on c_custkey). "
+    "The global NTILE is a single-task sort — fine for dimension-sized "
+    "inputs; a 100 TB fact-side version computes approx-quantile cut "
+    "points first and broadcasts them instead.",
+    tags=("window", "ntile"),
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "nation_metrics_unpivot",
+    oracle="""
+    WITH base AS (
+        SELECT n.n_name,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, 'n_customers' AS metric, CAST(n_customers AS DOUBLE) AS value
+    FROM base
+    UNION ALL
+    SELECT n_name, 'total_acctbal' AS metric, total_acctbal AS value
+    FROM base
+    """,
+    doc="UNPIVOT via stack(): wide per-nation metrics melted to long "
+    "(nation, metric, value) rows in one generator projection — no "
+    "rescan per metric (the oracle states it as the UNION ALL it "
+    "replaces). The inverse of the reference's MAX(CASE) pivots.",
+    tags=("unpivot", "setop"),
+)
+def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+    return base.selectExpr(
+        "n_name",
+        "stack(2, 'n_customers', CAST(n_customers AS DOUBLE), "
+        "'total_acctbal', total_acctbal) AS (metric, value)",
+    )
+
+
+@query(
+    "order_priority_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Boolean-aggregate profile per order priority: COUNT_IF and "
+    "BOOL_OR (aggregates absent from the reference, which emulates "
+    "them with SUM(CASE)) plus plain avg — one map-side-combinable "
+    "shuffle.",
+    tags=("agg", "countif"),
+)
+def order_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "user_event_span",
+    oracle="""
+    SELECT user_id, first_et, last_et, n_events, span_seconds
+    FROM (
+        SELECT user_id,
+               first_value(event_type) OVER w AS first_et,
+               last_value(event_type) OVER w AS last_et,
+               CAST(count(*) OVER w AS BIGINT) AS n_events,
+               CAST(date_diff('second',
+                   first_value(ts) OVER w, last_value(ts) OVER w) AS BIGINT)
+                   AS span_seconds,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    """,
+    doc="FIRST_VALUE / LAST_VALUE over an explicit full-partition frame "
+    "(the default frame stops at CURRENT ROW, a classic silent-wrong "
+    "trap): each user's first and last event type plus activity span. "
+    "One user-keyed sort services all four window functions.",
+    tags=("window", "frames"),
+)
+def user_event_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    span = (
+        F.unix_timestamp(F.last("ts").over(full)) - F.unix_timestamp(F.first("ts").over(full))
+    ).cast("bigint")
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_et"),
+            F.last("event_type").over(full).alias("last_et"),
+            F.count("*").over(full).alias("n_events"),
+            span.alias("span_seconds"),
+            F.row_number().over(rn_w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "event_type_date_grid",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(d.day AS STRING) AS day, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+    doc="CROSS JOIN densification: the full day x event-type grid with "
+    "zero-filled counts — the gap-free series every dashboard needs "
+    "(SURVEY §2.3 'not present': cross joins). Both cross-join inputs "
+    "are tiny distinct sets, so Catalyst broadcasts; the fact table is "
+    "reduced before the left join.",
+    tags=("join", "cross"),
+)
+def event_type_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, on=["day", "event_type"], how="left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
