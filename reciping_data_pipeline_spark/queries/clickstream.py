@@ -463,3 +463,35 @@ def top20_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count_if(json_extract(props, '$.k') IS NOT NULL) AS BIGINT) AS n_with_k,
+           CAST(coalesce(sum(CAST(json_extract(props, '$.k') AS INT)), 0) AS BIGINT) AS sum_k,
+           CAST(coalesce(min(CAST(json_extract(props, '$.k') AS INT)), 0) AS BIGINT) AS min_k,
+           CAST(coalesce(max(CAST(json_extract(props, '$.k') AS INT)), 0) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured payload via the VARIANT type (Spark 4): "
+    "parse_json once into Variant's shredded binary encoding, then "
+    "typed try_variant_get extraction — the scale path for schemaless "
+    "props (vs get_json_object, which re-parses the string per "
+    "access; SURVEY §7.4 #7 schema drift). Nullable extracts are "
+    "coalesced so output columns stay non-null BIGINT.",
+    tags=("json", "variant", "agg"),
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("k").isNotNull()).alias("n_with_k"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_k"),
+        F.coalesce(F.min("k"), F.lit(0)).cast("bigint").alias("min_k"),
+        F.coalesce(F.max("k"), F.lit(0)).cast("bigint").alias("max_k"),
+    )

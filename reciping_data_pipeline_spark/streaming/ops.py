@@ -147,3 +147,53 @@ def session_aggregate(
             F.unix_timestamp(F.col("sess.end")) - F.unix_timestamp(F.col("sess.start"))
         ).alias("session_span_sec"),
     )
+
+
+def attributed_clicks(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "kst_timestamp",
+    id_col: str = "event_id",
+    horizon_minutes: int = 60,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each ad click is attributed to the
+    same user's impression at most ``horizon_minutes`` earlier (the
+    click_ads <- view_ads attribution the reference computes offline
+    with conditional aggregation; here as a real-time join).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH ends — the two requirements for Spark to evict
+    join state (without them, stream-stream join state grows forever).
+    State per side is O(rows within horizon + delay), independent of
+    stream length. On batch frames the identical join expression runs
+    as a plain hash join with a post-filter, which is how the tests
+    pin stream/batch equivalence.
+    """
+    imp = impressions.select(
+        F.col(id_col).alias("imp_id"),
+        F.col(user_col).alias("imp_user"),
+        F.col(ts_col).alias("imp_ts"),
+    )
+    clk = clicks.select(
+        F.col(id_col).alias("click_id"),
+        F.col(user_col).alias("click_user"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    if imp.isStreaming:
+        imp = imp.withWatermark("imp_ts", delay)
+    if clk.isStreaming:
+        clk = clk.withWatermark("click_ts", delay)
+    cond = (
+        (F.col("imp_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES"))
+    )
+    return imp.join(clk, cond, "inner").select(
+        "imp_id",
+        "click_id",
+        F.col("imp_user").alias("user_id"),
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("imp_ts")).alias("lag_seconds"),
+    )

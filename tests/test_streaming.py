@@ -249,3 +249,65 @@ def test_running_user_stats_stateful_across_batches(spark, tmp_path):
         ).collect()
     }
     assert per_user_updates["u0"] == 2 and per_user_updates["u1"] == 2
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (impressions x clicks, 60-min
+    horizon, watermarks both sides) emits exactly the pairs the
+    identical batch join produces."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    imps, clks = [], []
+    for i in range(12):
+        imps.append(
+            {"event_id": f"i{i:02d}", "user_id": f"u{i % 4}", "ts": f"2025-09-01 10:{i * 4:02d}:00"}
+        )
+    # clicks: some inside the horizon, one before any impression, one
+    # >60 min after its user's impressions, one for an unknown user
+    clks = [
+        {"event_id": "c00", "user_id": "u0", "ts": "2025-09-01 10:05:00"},
+        {"event_id": "c01", "user_id": "u1", "ts": "2025-09-01 10:30:00"},
+        {"event_id": "c02", "user_id": "u2", "ts": "2025-09-01 09:00:00"},
+        {"event_id": "c03", "user_id": "u3", "ts": "2025-09-01 13:00:00"},
+        {"event_id": "c04", "user_id": "u9", "ts": "2025-09-01 10:10:00"},
+    ]
+    (imp_dir / "a.json").write_text("\n".join(json.dumps(r) for r in imps))
+    (clk_dir / "a.json").write_text("\n".join(json.dumps(r) for r in clks))
+
+    schema = "event_id string, user_id string, ts string"
+
+    def load(path, streaming):
+        reader = (
+            spark.readStream.format("json").schema(schema).load(str(path))
+            if streaming
+            else spark.read.format("json").schema(schema).load(str(path))
+        )
+        return reader.withColumn("kst_timestamp", F.to_timestamp("ts"))
+
+    joined = ops.attributed_clicks(load(imp_dir, True), load(clk_dir, True))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["imp_id"], r["click_id"], r["lag_seconds"])
+        for r in spark.sql("SELECT * FROM attr_sink").collect()
+    }
+    want = {
+        (r["imp_id"], r["click_id"], r["lag_seconds"])
+        for r in ops.attributed_clicks(load(imp_dir, False), load(clk_dir, False)).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # the out-of-horizon / unknown-user clicks never appear
+    assert not any(c in ("c02", "c04") for _, c, _ in want)
