@@ -482,8 +482,12 @@ def top20_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "typed try_variant_get extraction — the scale path for schemaless "
     "props (vs get_json_object, which re-parses the string per "
     "access; SURVEY §7.4 #7 schema drift). Nullable extracts are "
-    "coalesced so output columns stay non-null BIGINT.",
-    tags=("json", "variant", "agg"),
+    "coalesced so output columns stay non-null BIGINT. Trade-off "
+    "pinned in test_plans.py: variant expressions run interpreted "
+    "(no whole-stage codegen in Spark 4.1) but keep partial "
+    "aggregation and column-pruned scans — parse-once still wins "
+    "when several fields are extracted per row.",
+    tags=("json", "variant", "agg", "bench"),
 )
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -494,4 +498,30 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_k"),
         F.coalesce(F.min("k"), F.lit(0)).cast("bigint").alias("min_k"),
         F.coalesce(F.max("k"), F.lit(0)).cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "wau_sketch_rollup",
+    oracle=None,  # sketch estimator — accuracy-gated in test_approx.py
+    doc="Mergeable-sketch rollup: daily HLL user sketches "
+    "(hll_sketch_agg, Apache DataSketches) unioned into weekly "
+    "uniques (hll_union_agg) — the production incremental pattern for "
+    "distinct counts at 100 TB: materialize one small sketch per "
+    "day/partition ONCE, answer any date-range unique-user question "
+    "by merging sketches without rescanning raw events (exact "
+    "COUNT(DISTINCT) can't pre-aggregate: uniques don't sum).",
+    tags=("approx", "sketch", "agg"),
+)
+def wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.groupBy(
+        F.date_trunc("week", "day").cast("date").cast("string").alias("week_start")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"),
+        F.sum("n_events").alias("n_events"),
     )

@@ -43,7 +43,7 @@ _TRIM_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
     "token-keyed shuffle with map-side partial counts; the top-k is "
     "TakeOrderedAndProject, not a global sort — at 100 TB the shuffle "
     "carries one row per distinct token, not per occurrence.",
-    tags=("text", "vocab", "topk"),
+    tags=("text", "vocab", "topk", "bench"),
 )
 def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -121,7 +121,7 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed by (doc_id, token) then doc_id, both with map-side combine; "
     "documents never need to be co-resident, so this is "
     "embarrassingly scalable.",
-    tags=("text", "quality"),
+    tags=("text", "quality", "bench"),
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -198,7 +198,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the per-source window is the scale knob: sources shard "
     "further by a hash-bucket prefix so each window partition stays "
     "executor-sized, which only renumbers bins, not their contents.",
-    tags=("text", "packing", "window"),
+    tags=("text", "packing", "window", "bench"),
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

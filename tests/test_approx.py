@@ -59,3 +59,24 @@ def test_percentiles_approx_rank_accuracy(spark):
             # neighbor; allow one rank position of slack on each side
             slack = 1.5 / n
             assert lo - slack <= p <= hi + slack, (r["event_type"], p, est, lo, hi, n)
+
+
+def test_wau_sketch_rollup_merge_accuracy(spark):
+    """Weekly uniques from merged DAILY sketches must track the exact
+    weekly COUNT(DISTINCT) — the merge step may not lose information
+    beyond HLL's native error (the whole point of the mergeable
+    pattern is answering range queries from pre-aggregated sketches)."""
+    got = {
+        r["week_start"]: r["wau_approx"]
+        for r in REGISTRY["wau_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["week_start"]: r["wau"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("week", F.to_date("ts")).cast("date").cast("string").alias("week_start"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for week, est in got.items():
+        assert abs(est - exact[week]) <= max(0.05 * exact[week], 2), (week, est, exact[week])

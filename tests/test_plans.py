@@ -116,3 +116,42 @@ def test_medallion_fact_build_broadcasts_all_dims(spark, tmp_path):
 )
 def test_no_cartesian_products(spark, name):
     inspect.assert_no_cartesian(_q(spark, name))
+
+
+def test_vocab_topk_uses_take_ordered_not_global_sort(spark):
+    """Top-k over token counts must plan as TakeOrderedAndProject
+    (bounded per-partition heaps + one merge), never a full Sort of
+    the distinct-token set followed by Limit."""
+    plan = inspect.simple_plan(_q(spark, "doc_vocab_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_grid_cross_join_broadcasts_tiny_side(spark):
+    """The day x type densification grid cross-joins two tiny distinct
+    sets — the small side must be broadcast (nested-loop on a
+    broadcast variable), and the counts join must not SortMergeJoin."""
+    df = _q(spark, "event_type_date_grid")
+    plan = inspect.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sequence_packing_single_window_exchange(spark):
+    """Sequence packing = one hash exchange on source for the window,
+    then the groupBy reuses the same partitioning (no second full
+    shuffle of document rows)."""
+    df = _q(spark, "doc_sequence_packing")
+    assert inspect.count_exchanges(df) <= 2, inspect.simple_plan(df)
+
+
+def test_variant_query_partial_agg_and_pruned_scan(spark):
+    """VARIANT expressions disable whole-stage codegen in Spark 4.1
+    (VariantExpressionEvalUtils is interpreted), so the scale
+    properties that remain load-bearing are: map-side partial
+    aggregation before the single exchange, and a scan pruned to
+    exactly (event_type, props)."""
+    df = _q(spark, "props_variant_stats")
+    plan = inspect.simple_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert inspect.count_exchanges(df) == 1, plan
+    assert inspect.scan_columns(df) == {"event_type", "props"}, inspect.read_schemas(df)
