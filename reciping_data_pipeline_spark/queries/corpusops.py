@@ -246,3 +246,87 @@ def event_props_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digits_masked"
         ),
     )
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_TRIM_TOKENS_SQL}) AS n_tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor((start - 1) / 48.0) AS INT) AS chunk_idx,
+           CAST(least(64, n_tok - start + 1) AS INT) AS chunk_tokens
+    FROM t, unnest(generate_series(1, n_tok, 48)) AS u(start)
+    """,
+    doc="Document chunking for RAG / training-sequence prep: 64-token "
+    "windows with stride 48 (16-token overlap), derived purely from "
+    "an index sequence + explode — no string re-slicing, no UDF. "
+    "Row-local generation (no shuffle at all): each document expands "
+    "to its own chunk rows wherever it already lives.",
+    tags=("text", "chunking"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.trim(F.col("text")))
+    starts = F.explode(F.sequence(F.lit(1), n_tok, F.lit(48))).alias("start")
+    return docs.select("doc_id", n_tok.alias("n_tok"), starts).select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / F.lit(48.0)).cast("int").alias("chunk_idx"),
+        F.least(F.lit(64), F.col("n_tok") - F.col("start") + 1).cast("int").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "doc_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        GROUP BY doc_id, token
+    ),
+    idf AS (
+        SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * ln(n.n_docs * 1.0 / idf.df_t) AS tfidf
+        FROM tf JOIN idf USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, round(tfidf, 4) AS tfidf, rank
+    FROM (
+        SELECT doc_id, token, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term frequency from one "
+    "(doc, token) aggregation, document frequency from a token-keyed "
+    "reduction of the SAME intermediate (no second corpus scan), "
+    "ln(N/df) weighting, per-doc top-k via window rank with "
+    "deterministic tie-break. The idf side is tiny (one row per "
+    "distinct token) and broadcasts back onto tf.",
+    tags=("text", "vocab", "window"),
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df_t"))
+    n_docs = docs.count()  # scalar; fixed per run (drives the literal below)
+    scored = tf.join(F.broadcast(idf), on="token").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"), "rank")
+    )

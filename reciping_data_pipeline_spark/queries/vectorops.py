@@ -136,3 +136,60 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3)
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                   AS scale
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           round(q.scale, 6) AS scale,
+           CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+               i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) / q.scale + 0.5) AS BIGINT)))
+               AS BIGINT) AS code_sum,
+           round(list_max(list_transform(generate_series(1, {_DIM}),
+               i -> abs(floor(CAST(e.embedding[i] AS DOUBLE) / q.scale + 0.5) * q.scale
+                        - CAST(e.embedding[i] AS DOUBLE)))), 6) AS max_abs_err
+    FROM embeddings e JOIN q USING (vec_id)
+    """,
+    doc="Symmetric int8 quantization of embeddings (per-vector absmax "
+    "scale, the storage/bandwidth reduction step before ANN indexing "
+    "at 100 TB): integer codes via floor(v+0.5) (engine-portable "
+    "rounding) in [-127, 127], reconstruction error "
+    "bounded by scale/2 per component. Entirely row-local JVM array "
+    "lambdas — zero shuffle; codes summed + max reconstruction error "
+    "reported per vector so the oracle pins exact integer agreement "
+    "(identical IEEE double ops on both engines).",
+    tags=("vector", "quantize"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(as_dbl, F.abs)) / F.lit(127.0)
+    # floor(v + 0.5) instead of round(): identical IEEE semantics on
+    # every engine (round()'s tie behavior differs Spark vs DuckDB).
+    # The full-precision scale column must NOT share a name with the
+    # rounded output alias: lateral column alias resolution would bind
+    # the lambda's reference to the rounded sibling (off-by-one codes).
+    sc = F.col("_scale_full")
+    codes = F.transform(as_dbl, lambda x: F.floor(x / sc + 0.5).cast("bigint"))
+    err = F.transform(
+        as_dbl,
+        lambda x: F.abs(F.floor(x / sc + 0.5) * sc - x),
+    )
+    return (
+        emb.withColumn("_scale_full", scale)
+        .select(
+            "vec_id",
+            F.round("_scale_full", 6).alias("scale"),
+            F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias(
+                "code_sum"
+            ),
+            F.round(F.array_max(err), 6).alias("max_abs_err"),
+        )
+    )
