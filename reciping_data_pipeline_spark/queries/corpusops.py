@@ -320,9 +320,13 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df_t"))
-    n_docs = docs.count()  # scalar; fixed per run (drives the literal below)
-    scored = tf.join(F.broadcast(idf), on="token").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+    # Corpus size joins in as a broadcast 1-row aggregate: the whole
+    # query stays one lazy plan (no eager driver-side count action).
+    n = F.broadcast(docs.agg(F.count("*").cast("double").alias("n_docs")))
+    scored = (
+        tf.join(F.broadcast(idf), on="token")
+        .crossJoin(n)
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (

@@ -506,3 +506,31 @@ def event_type_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "order_value_percentile_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="PERCENT_RANK + CUME_DIST: each order's value percentile within "
+    "its priority class (unique o_orderkey tie-break makes ranks "
+    "deterministic). One sort per priority partition services both "
+    "functions; at 100 TB the partition key keeps window state "
+    "executor-local.",
+    tags=("window", "rank"),
+)
+def order_value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
