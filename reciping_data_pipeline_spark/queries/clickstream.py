@@ -525,3 +525,41 @@ def wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@query(
+    "props_map_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT event_type, props, unnest(json_keys(props)) AS prop_key
+        FROM events
+    )
+    SELECT event_type, prop_key,
+           count(*) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.' || prop_key) AS INT)) AS BIGINT)
+               AS min_value,
+           CAST(max(CAST(json_extract(props, '$.' || prop_key) AS INT)) AS BIGINT)
+               AS max_value
+    FROM kv
+    GROUP BY event_type, prop_key
+    """,
+    doc="Schema-drift-proof props handling: parse the payload to "
+    "MAP<string,int> and explode to (key, value) rows — unknown keys "
+    "survive without a declared StructType (the reference's Silver "
+    "drops undeclared properties; SURVEY §1.2/§7.4 #7). MAP is absent "
+    "from the reference's type system (§1.3) — covered here as an "
+    "extension. Explode fan-out is per-key (bounded by payload size), "
+    "then one partial-agg shuffle on (event_type, key).",
+    tags=("json", "map", "agg"),
+)
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json(F.col("props"), "map<string,int>")).alias("prop_key", "v"),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count("*").alias("n_events"),
+        F.min("v").cast("bigint").alias("min_value"),
+        F.max("v").cast("bigint").alias("max_value"),
+    )
