@@ -334,3 +334,38 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"), "rank")
     )
+
+
+# Same engine-portable multiplicative hash as textops._SPLIT_HASH_SQL.
+_SHUF_HASH_SQL = "((doc_id * 2654435761) % 4294967296)"
+
+
+@query(
+    "doc_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SHUF_HASH_SQL} % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {_SHUF_HASH_SQL} % 8
+               ORDER BY {_SHUF_HASH_SQL}, doc_id) AS INT) AS pos
+    FROM documents
+    """,
+    doc="Deterministic global corpus shuffle into training shards: "
+    "multiplicative-hash order assigns every document a shard and an "
+    "intra-shard position — the epoch-shuffle a trainer needs, "
+    "reproducible across engines/runs/cluster sizes with zero RNG "
+    "state (vs orderBy(rand()), which differs per partitioning). At "
+    "100 TB this is one hash-partitioned exchange + per-shard sort; "
+    "shard count scales with the cluster, never a global sort.",
+    tags=("text", "sampling", "window"),
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    shard = (h % 8).cast("int")
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
