@@ -271,3 +271,138 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    rerank: int = 64,
+    sample: int = 2048,
+    seed: int = 11,
+    kmeans_iters: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via Product Quantization
+    (Jégou et al. 2011): vectors are unit-normalized, split into ``m``
+    subvectors, and each subvector is replaced by the id of its
+    nearest per-subspace centroid (``k_codes`` per subspace, fit
+    driver-side on a bounded deterministic sample). Search runs
+    asymmetric distance computation (ADC): per query, an (m x
+    k_codes) lookup table of subvector dot products; a candidate's
+    approximate cosine is m table lookups instead of ``dim``
+    multiplies, over codes that are m bytes instead of 4*dim — the
+    memory-bandwidth win that makes 100 TB vector scans feasible. The
+    top ``rerank`` ADC candidates per query are re-ranked exactly
+    (size ``rerank`` well above k: vectors sharing a cell pattern have
+    IDENTICAL codes, so ADC ties are broken arbitrarily and a pool
+    barely above k silently drops true neighbors).
+
+    Plan shape: codes are a narrow derived column (no shuffle to
+    build); ADC runs partition-parallel via one Arrow-batched kernel
+    per corpus partition with the query LUTs broadcast alongside the
+    UDF; only per-partition survivors (<= partitions x rerank rows
+    per query) shuffle for the global merge + exact re-rank.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dsub = dim // m
+    assert dsub * m == dim, "dim must divide evenly into m subspaces"
+
+    def _unit(mat: np.ndarray) -> np.ndarray:
+        return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    sampled = corpus.orderBy(id_col).limit(sample).select(vec_col).toPandas()[vec_col].tolist()
+    train = _unit(np.vstack([np.asarray(v, dtype=np.float64) for v in sampled]))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k_codes, dsub))
+    for j in range(m):  # per-subspace k-means (plain L2 on subvectors)
+        sub = train[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(k_codes, len(sub)), replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+    codebooks = books  # (m, k_codes, dsub); closure-shipped constant
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        mat = _unit(np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    # Query LUTs: lut[q, j, c] = <query_subvec_j, codebook[j, c]>; the
+    # ADC score of a candidate for q is sum_j lut[q, j, code_j].
+    qpd = queries.select(id_col, vec_col).toPandas()
+    qids = qpd[id_col].to_numpy()
+    qmat = _unit(np.vstack([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]]))
+    luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), codebooks)
+
+    def _adc_scan(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["codes"].to_numpy())  # (B, m)
+            # scores (Q, B): gather per-subspace LUT entries and sum
+            scores = np.zeros((len(qids), len(codes)))
+            for j in range(m):
+                scores += luts[:, j, codes[:, j]]
+            out = []
+            top = min(rerank, len(codes))
+            for qi in range(len(qids)):
+                idx = np.argpartition(-scores[qi], top - 1)[:top]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": pdf["nid"].to_numpy()[idx],
+                            "adc": scores[qi][idx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    coded = corpus.select(
+        F.col(id_col).alias("nid"), _encode(F.col(vec_col)).alias("codes")
+    )
+    survivors = coded.mapInPandas(_adc_scan, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        survivors.withColumn("r", F.row_number().over(w))
+        .where((F.col("r") <= rerank) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank of the survivors only.
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        vectors.norm(F.col(vec_col)).alias("cand_norm"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            vectors.norm(F.col(vec_col)).alias("query_norm"),
+        )
+    )
+    cos = vectors.dot(F.col("query_vec"), F.col("cand_vec")) / F.nullif(
+        F.col("query_norm") * F.col("cand_norm"), F.lit(0.0)
+    )
+    pairs = (
+        cand.join(c, on="neighbor_id")
+        .join(q, on="query_id")
+        .withColumn("cosine_sim", F.round(cos, round_dp))
+    )
+    return _ranked(pairs, k)

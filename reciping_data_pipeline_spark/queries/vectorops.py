@@ -193,3 +193,20 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.array_max(err), 6).alias("max_abs_err"),
         )
     )
+
+
+@query(
+    "embed_pq_ann",
+    oracle=None,  # quantized estimator — recall-gated in test_sketch_ops.py
+    doc="Product-quantization ANN (Jégou 2011): unit vectors split into "
+    "8 subspaces x 16-code codebooks (fit on a bounded deterministic "
+    "sample), ADC scan via per-query lookup tables (m lookups per "
+    "candidate instead of dim multiplies over 4*dim bytes), exact "
+    "re-rank of survivors. The memory-bandwidth scale path for vector "
+    "search — codes are 8 bytes/vector vs 256.",
+    tags=("vector", "ann", "quantize"),
+)
+def embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.pq_topk(emb, queries, dim=_DIM, m=8, k_codes=16, k=5)

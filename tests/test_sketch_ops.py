@@ -166,3 +166,12 @@ def test_dedup_groups_singletons_and_canonicals(planted_docs, exact_pairs):
         assert comp_id == min(m["id"] for m in members)  # canonical = min id
         canon = [m for m in members if m["is_canonical"]]
         assert len(canon) == 1 and canon[0]["id"] == comp_id
+
+
+def test_pq_ann_recall(clustered_vectors):
+    """Product-quantization ADC + exact re-rank: recall@5 >= 0.9 vs
+    brute force on clustered embeddings (8 subspaces x 16 codes)."""
+    queries = clustered_vectors.where(F.col("vec_id") % 40 == 0)
+    brute = similarity.brute_force_topk(clustered_vectors, queries, k=5)
+    ann = similarity.pq_topk(clustered_vectors, queries, dim=64, m=8, k_codes=16, k=5)
+    assert _recall_vs_brute(ann, brute) >= 0.9
