@@ -143,3 +143,78 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized_bytes", BinaryType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("rms", StringType(), True),  # deterministic repr
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame, id_col: str, bytes_col: str, *, width: int = 224, height: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image bytes to (width, height) — the training-data
+    normalization step before feature extraction. Stub codec: output
+    bytes are a deterministic content-derived slice sized
+    ``width*height*3 // 64`` (bounded stand-in for the real buffer); a
+    Pillow kernel (``img.resize((w, h))``) keeps the identical
+    signature, schema, and batch shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, width * height * 3 // 64)
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize needs Pillow/opencv; pass fake=True for the stub"
+                )
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(b)
+                reps = target // max(len(data), 1) + 1
+                rows.append((int(i), width, height, (data * reps)[:target]))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "resized_bytes"])
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, bytes_col: str, *, sample_rate: int = 16_000,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio bytes → (duration_ms, sample_rate, rms). Stub codec:
+    duration from byte length at 2 bytes/sample mono PCM, rms from a
+    content hash; a librosa/soundfile kernel keeps the identical
+    signature and schema."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode needs librosa/soundfile; pass fake=True for the stub"
+                )
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(b)
+                n_samples = len(data) // 2
+                duration_ms = n_samples * 1000 // sample_rate
+                h = hashlib.sha256(data).digest()
+                rms = round(sum(h[:8]) / 8 / 255.0, 4)
+                rows.append((int(i), duration_ms, sample_rate, f"{rms:.4f}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "duration_ms", "sample_rate", "rms"])
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

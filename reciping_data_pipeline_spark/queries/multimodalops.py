@@ -84,3 +84,47 @@ def doc_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_media(spark, sf_dir), "doc_id", "media_bytes", every_n=10, max_frames=8
     )
     return frames.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_frames"))
+
+
+@query(
+    "doc_image_resize_fake",
+    oracle="""
+    SELECT doc_id, 224 AS width, 224 AS height,
+           CAST(224 * 224 * 3 // 64 AS BIGINT) AS resized_len
+    FROM documents
+    """,
+    doc="Image resize normalization via mapInPandas (stub codec, real "
+    "Arrow plumbing): output buffer length is deterministic "
+    "(w*h*3/64), oracle-checked; bytes themselves are the stub.",
+    tags=("multimodal", "pandas-udf"),
+)
+def doc_image_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = multimodal.resize_image(
+        _with_media(spark, sf_dir), "doc_id", "media_bytes", width=224, height=224, fake=True
+    )
+    return resized.select(
+        "doc_id", "width", "height",
+        F.length("resized_bytes").cast("bigint").alias("resized_len"),
+    )
+
+
+@query(
+    "doc_audio_features_fake",
+    oracle="""
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT)
+               AS duration_ms,
+           16000 AS sample_rate
+    FROM documents
+    """,
+    doc="Audio feature extraction via mapInPandas (stub codec): "
+    "duration arithmetic (2-byte mono PCM at 16 kHz) is "
+    "oracle-checked; rms is the sha-derived stub (dropped from the "
+    "oracled projection).",
+    tags=("multimodal", "pandas-udf"),
+)
+def doc_audio_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.extract_audio_features(
+        _with_media(spark, sf_dir), "doc_id", "media_bytes", sample_rate=16_000, fake=True
+    )
+    return feats.select("doc_id", "duration_ms", F.col("sample_rate").cast("int").alias("sample_rate"))
