@@ -369,3 +369,92 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("int").alias("pos"),
     )
+
+
+# Reuse the exact oracle fragments of the funnel/split queries so the
+# composite stays formula-identical with its parts (textops.py).
+from reciping_data_pipeline_spark.queries.textops import (  # noqa: E402
+    _EN_STOP,
+    _SPLIT_HASH_SQL,
+    _TOKENS_SQL,
+)
+
+
+@query(
+    "doc_corpus_manifest",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang, text,
+               CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_EN_STOP})) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / nullif(length(text), 0) AS p_ratio,
+               md5(text) AS fp
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, n_tok
+        FROM (
+            SELECT doc_id, lang, n_tok,
+                   round(1.0 / (1.0 + exp(-(0.01 * n_tok + 2.0 * (n_stop / nullif(n_tok, 0))
+                                            - 5.0 * p_ratio - 1.0))), 4) AS quality,
+                   (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep_first
+            FROM feat
+        )
+        WHERE lang IN ('en', 'es') AND n_tok BETWEEN 20 AND 5000
+          AND quality >= 0.5 AND keep_first
+    )
+    SELECT CASE WHEN {_SPLIT_HASH_SQL} < 0.9 * 4294967296 THEN 'train'
+                WHEN {_SPLIT_HASH_SQL} < 0.95 * 4294967296 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST({_SPLIT_HASH_SQL} % 4 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM gated
+    GROUP BY split, shard
+    """,
+    doc="End-to-end corpus-build manifest in ONE lazy plan: language / "
+    "length / quality gates -> exact-dup keep-first (window-min over "
+    "content hash, no join) -> deterministic 90/5/5 split -> 4-way "
+    "shard assignment -> per-(split, shard) doc and token totals. "
+    "Composes the funnel, split, and shard operators formula-for-"
+    "formula (same oracle fragments); Catalyst fuses the gates into "
+    "the scan, so the whole build costs one pass over the corpus plus "
+    "the dedup window and final aggregation shuffles.",
+    tags=("text", "quality", "sampling", "bench"),
+)
+def doc_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_tok = T.token_count(txt).cast("double")
+    quality = F.round(T.quality_score(txt), 4)
+    keep_first = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5(txt)))
+    gated = (
+        docs.withColumn("n_tok", n_tok)
+        .withColumn("quality", quality)
+        .withColumn("keep_first", keep_first)
+        .where(
+            F.col("lang").isin("en", "es")
+            & F.col("n_tok").between(20, 5000)
+            & (F.col("quality") >= 0.5)
+            & F.col("keep_first")
+        )
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    split = (
+        F.when(h < 0.9 * 4294967296, "train")
+        .when(h < 0.95 * 4294967296, "val")
+        .otherwise("test")
+    )
+    return (
+        gated.select(
+            split.alias("split"),
+            (h % 4).cast("int").alias("shard"),
+            F.col("n_tok").cast("bigint").alias("n_tok_l"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok_l").alias("total_tokens"),
+        )
+    )
