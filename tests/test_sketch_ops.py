@@ -175,3 +175,26 @@ def test_pq_ann_recall(clustered_vectors):
     brute = similarity.brute_force_topk(clustered_vectors, queries, k=5)
     ann = similarity.pq_topk(clustered_vectors, queries, dim=64, m=8, k_codes=16, k=5)
     assert _recall_vs_brute(ann, brute) >= 0.9
+
+
+def test_degenerate_bucket_capped_not_exploded(spark):
+    """An adversarial corpus (many identical docs -> one giant LSH
+    bucket) must NOT generate O(B^2) candidate pairs: buckets over
+    max_bucket are dropped by the lineage-visible cap filter, so the
+    operator returns quickly with zero pairs instead of exploding the
+    stage. Distinct docs in normal-sized buckets are unaffected."""
+    boiler = "lorem ipsum dolor sit amet " * 10
+    rows = [(i, boiler) for i in range(50)]  # 50 identical docs
+    rows += [(100 + i, f"unique text {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_k=5, num_perm=64, num_bands=16,
+        threshold=0.5, max_bucket=10,
+    )
+    assert capped.count() == 0  # the 50-dup bucket exceeded the cap
+    uncapped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_k=5, num_perm=64, num_bands=16,
+        threshold=0.5, max_bucket=1000,
+    )
+    assert uncapped.count() == 50 * 49 // 2  # all identical pairs found
