@@ -105,3 +105,32 @@ def test_python_datasource_deterministic_and_partitioned(spark):
     # the source composes with normal relational ops downstream
     agg = df.groupBy("event_type").agg(F.count("*").alias("n"))
     assert agg.count() == 5
+
+
+def test_corpus_partition_pruning_and_sorted_skipping(spark, tmp_path):
+    """A lang-partitioned, length-sorted corpus layout gives (a)
+    directory-level PartitionFilters for the lang predicate and (b)
+    pushed n_chars filters against row groups sorted on that column —
+    the two-level data-skipping story for 100 TB corpus tables."""
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.plans import inspect
+    from reciping_data_pipeline_spark.sources import writers
+    from reciping_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    writers.write_sorted_partitioned(docs, path, ["lang"], ["n_chars"])
+
+    pruned = (
+        spark.read.parquet(path)
+        .where((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select("doc_id")
+    )
+    assert inspect.partition_filters(pruned), inspect.formatted_plan(pruned)
+    assert any("n_chars" in f for f in inspect.pushed_filters(pruned)), (
+        inspect.pushed_filters(pruned)
+    )
+    # correctness: pruned read returns exactly the filtered rows
+    want = docs.where((F.col("lang") == "en") & (F.col("n_chars") > 200)).count()
+    assert pruned.count() == want
