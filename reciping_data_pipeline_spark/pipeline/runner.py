@@ -32,6 +32,7 @@ class RunReport:
     silver_rows: int
     fact_rows: int
     join_success: dict[str, float]
+    quality: dict[str, tuple[bool, int]] | None = None  # silver contract results
 
     @property
     def retention(self) -> float:
@@ -48,20 +49,29 @@ def bulk_backfill(
     recipe_master_path: str,
     batch_ts: datetime,
     time_dim_range: tuple[str, str] = ("2025-01-01 00:00:00", "2026-12-31 23:00:00"),
+    validate: bool = False,
 ) -> RunReport:
     """staging → bronze → silver → dims → gold, full rebuild
-    (bulk_runner.py:86-108 equivalent)."""
+    (bulk_runner.py:86-108 equivalent). ``validate=True`` additionally
+    evaluates the declarative Silver SLO contract (quality.py — one
+    extra aggregation job) and attaches it to the report."""
     bronze.ingest_bulk(spark, staging_dir, warehouse, batch_ts)
     silver_df = silver.run_batch(spark, warehouse, batch_ts)
     silver_df = silver.read_silver(spark, warehouse)
     dims.build_all(spark, silver_df, warehouse, recipe_master_path, *time_dim_range)
     fact = gold.run_bulk(spark, silver_df, warehouse)
     fact = gold.read_fact(spark, warehouse)
+    q = None
+    if validate:
+        from reciping_data_pipeline_spark.pipeline import quality
+
+        q = quality.silver_contract(silver_df).results
     return RunReport(
         bronze_rows=bronze.read_bronze(spark, warehouse).count(),
         silver_rows=silver_df.count(),
         fact_rows=fact.count(),
         join_success=gold.join_success_rates(fact),
+        quality=q,
     )
 
 

@@ -92,3 +92,27 @@ def test_silver_contract_on_pipeline_output(spark, tmp_path):
         assert report.total_rows > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_bulk_backfill_validate_attaches_contract(spark, tmp_path):
+    """runner.bulk_backfill(validate=True) runs the Silver SLO contract
+    and attaches passing results to the RunReport."""
+    from datetime import datetime
+
+    from reciping_data_pipeline_spark.pipeline import datagen, runner
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        fix = datagen.generate_fixture(str(tmp_path / "fix"), seed=31, n_users=15, n_days=1,
+                                       start=datetime(2025, 9, 1))
+        report = runner.bulk_backfill(
+            spark, fix["staging_dir"], str(tmp_path / "wh"), fix["recipe_master"],
+            datetime(2025, 9, 1),
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-02 23:00:00"),
+            validate=True,
+        )
+        assert report.quality is not None
+        assert all(ok for ok, _ in report.quality.values()), report.quality
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
