@@ -1,0 +1,74 @@
+"""Simulate the driver's correctness gate locally.
+
+Runs every catalog query (or the first N, like the driver) at a given
+scale factor, compares to its DuckDB oracle with the same
+row-count/schema/value comparison, and prints one JSON summary line.
+
+Usage: python scripts/driver_sim.py [--sf /root/testdata/sf0.01] [--first 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from reciping_data_pipeline_spark.queries import all_queries  # noqa: E402
+from reciping_data_pipeline_spark.session import get_spark  # noqa: E402
+from reciping_data_pipeline_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--first", type=int, default=0, help="check only the first N registry entries (0 = all)")
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from oracle_utils import compare_to_oracle  # noqa: E402
+
+    spark = get_spark(app_name="driver_sim", shuffle_partitions=32)
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(args.sf, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
+
+    registry = all_queries()
+    names = list(registry)
+    if args.only:
+        names = [n for n in args.only.split(",") if n in registry]
+    elif args.first:
+        names = names[: args.first]
+
+    results: dict[str, str] = {}
+    for name in names:
+        q = registry[name]
+        try:
+            df = q.fn(spark, args.sf)
+            if q.oracle is None:
+                n_rows = df.count()
+                results[name] = f"rows_only:{n_rows}"
+            else:
+                compare_to_oracle(df, con, q.oracle, name)
+                results[name] = "ok"
+        except AssertionError as e:
+            results[name] = f"MISMATCH: {str(e)[:300]}"
+        except Exception:
+            results[name] = f"ERROR: {traceback.format_exc(limit=3)[-300:]}"
+        print(f"{name}: {results[name]}", flush=True)
+
+    bad = {n: r for n, r in results.items() if not (r == "ok" or r.startswith("rows_only"))}
+    print(json.dumps({"checked": len(results), "bad": len(bad), "bad_names": sorted(bad)}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
