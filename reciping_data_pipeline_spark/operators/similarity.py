@@ -28,6 +28,31 @@ from pyspark.sql import Column, DataFrame, Window
 from reciping_data_pipeline_spark.functions import sketches, vectors
 
 
+def fit_sample_vectors(
+    corpus: DataFrame, *, vec_col: str, id_col: str, sample: int, seed: int
+) -> list:
+    """Bounded training sample for codebook fits: the ``sample`` corpus
+    rows with the smallest ``xxhash64(id, seed)`` — a bottom-k (min-hash
+    reservoir) sample. Content-addressed, so it is uniform-pseudo-random
+    AND deterministic across partitionings, cluster sizes, and input
+    file orderings (``df.sample`` is per-partition-seeded and changes
+    under repartition; ordering by raw id biases toward whatever the id
+    space clusters on). Executes as TakeOrderedAndProject over a
+    two-column projection: per-partition bounded heap of ``sample``
+    rows + driver merge — no full sort, no wide-row scan.
+    """
+    return (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample)
+        .toPandas()["v"]
+        .tolist()
+    )
+
+
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -166,14 +191,13 @@ def ivf_topk(
     Scale shape: the corpus is scanned once to assign cells (no
     shuffle — the cell id is a narrow derived column); the candidate
     join exchanges O(rows_in_probed_cells) instead of rows x queries.
-    At 100 TB the sample step becomes a per-partition reservoir
-    (``df.sample``) feeding the same fit; the bounded driver-side fit
-    itself is unchanged.
+    The fit sample is a bottom-k hash reservoir (``fit_sample_vectors``)
+    — bounded driver collect, deterministic across partitionings.
     """
     from pyspark.sql.functions import pandas_udf
 
-    sampled = (
-        corpus.orderBy(id_col).limit(sample).select(vec_col).toPandas()[vec_col].tolist()
+    sampled = fit_sample_vectors(
+        corpus, vec_col=vec_col, id_col=id_col, sample=sample, seed=seed
     )
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sampled])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -288,6 +312,8 @@ def pq_topk(
     seed: int = 11,
     kmeans_iters: int = 10,
     round_dp: int = 6,
+    query_chunk: int = 1024,
+    n_shards: int = 32,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via Product Quantization
     (Jégou et al. 2011): vectors are unit-normalized, split into ``m``
@@ -305,10 +331,17 @@ def pq_topk(
     barely above k silently drops true neighbors).
 
     Plan shape: codes are a narrow derived column (no shuffle to
-    build); ADC runs partition-parallel via one Arrow-batched kernel
-    per corpus partition with the query LUTs broadcast alongside the
-    UDF; only per-partition survivors (<= partitions x rerank rows
-    per query) shuffle for the global merge + exact re-rank.
+    build). The query set NEVER collects to the driver: LUTs are
+    computed executor-side by an Arrow kernel over the queries
+    DataFrame, then the (code-shard x query-chunk) block grid is
+    realized as a cogrouped ``applyInPandas`` — corpus codes replicate
+    across ``ceil(|Q|/query_chunk)`` chunks (narrow m-byte rows), LUT
+    rows (~1 KB each) replicate across ``n_shards`` code shards, and
+    each task scores one block with bounded memory (block-matrix
+    layout). Only per-block survivors (<= rerank rows per query per
+    block) shuffle for the global merge + exact re-rank. The only
+    driver-side materializations are the bottom-k codebook fit sample
+    and a scalar ``queries.count()``.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -318,7 +351,9 @@ def pq_topk(
     def _unit(mat: np.ndarray) -> np.ndarray:
         return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
-    sampled = corpus.orderBy(id_col).limit(sample).select(vec_col).toPandas()[vec_col].tolist()
+    sampled = fit_sample_vectors(
+        corpus, vec_col=vec_col, id_col=id_col, sample=sample, seed=seed
+    )
     train = _unit(np.vstack([np.asarray(v, dtype=np.float64) for v in sampled]))
     rng = np.random.default_rng(seed)
     books = np.empty((m, k_codes, dsub))
@@ -345,39 +380,73 @@ def pq_topk(
             codes[:, j] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
-    # Query LUTs: lut[q, j, c] = <query_subvec_j, codebook[j, c]>; the
-    # ADC score of a candidate for q is sum_j lut[q, j, code_j].
-    qpd = queries.select(id_col, vec_col).toPandas()
-    qids = qpd[id_col].to_numpy()
-    qmat = _unit(np.vstack([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]]))
-    luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), codebooks)
+    # Query LUTs computed executor-side: lut[j, c] = <query_subvec_j,
+    # codebook[j, c]>; the ADC score of a candidate is
+    # sum_j lut[j, code_j]. One flat (m * k_codes)-double row per query.
+    @pandas_udf("array<double>")
+    def _lut(vecs: pd.Series) -> pd.Series:
+        qmat = _unit(np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), codebooks)
+        return pd.Series(list(luts.reshape(len(qmat), m * k_codes)))
 
-    def _adc_scan(batches):
-        for pdf in batches:
-            codes = np.vstack(pdf["codes"].to_numpy())  # (B, m)
-            # scores (Q, B): gather per-subspace LUT entries and sum
-            scores = np.zeros((len(qids), len(codes)))
+    # Block grid: chunk count sized from a scalar count() so a 10-query
+    # bench run stays a single chunk (zero replication) while a 10M-row
+    # query table fans out without any unbounded driver materialization.
+    n_query = queries.count()
+    n_chunks = max(1, -(-n_query // query_chunk))
+    luts = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_chunks)).cast("int").alias("qchunk"),
+        _lut(F.col(vec_col)).alias("lut"),
+    )
+    lut_blocks = luts.select(
+        "query_id", "qchunk", "lut", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard")
+    )
+    coded = corpus.select(
+        F.col(id_col).alias("nid"),
+        _encode(F.col(vec_col)).alias("codes"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    code_blocks = coded.select(
+        "nid", "codes", "shard", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("qchunk")
+    )
+
+    def _score_block(code_pdf: pd.DataFrame, lut_pdf: pd.DataFrame) -> pd.DataFrame:
+        if code_pdf.empty or lut_pdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "adc": "float64"}
+            )
+        codes = np.vstack(code_pdf["codes"].to_numpy())  # (B, m)
+        qids = lut_pdf["query_id"].to_numpy()
+        luts_m = np.stack(
+            [np.asarray(v, dtype=np.float64).reshape(m, k_codes) for v in lut_pdf["lut"]]
+        )  # (q, m, k_codes)
+        nids = code_pdf["nid"].to_numpy()
+        out = []
+        # Score in fixed-size row blocks so the (q x rows) score matrix
+        # stays bounded no matter how large the code shard is.
+        block = 8192
+        for lo in range(0, len(codes), block):
+            cb = codes[lo : lo + block]
+            scores = np.zeros((len(qids), len(cb)))
             for j in range(m):
-                scores += luts[:, j, codes[:, j]]
-            out = []
-            top = min(rerank, len(codes))
+                scores += luts_m[:, j, cb[:, j]]
+            top = min(rerank, len(cb))
+            nb = nids[lo : lo + block]
             for qi in range(len(qids)):
                 idx = np.argpartition(-scores[qi], top - 1)[:top]
                 out.append(
                     pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": pdf["nid"].to_numpy()[idx],
-                            "adc": scores[qi][idx],
-                        }
+                        {"query_id": qids[qi], "neighbor_id": nb[idx], "adc": scores[qi][idx]}
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+        return pd.concat(out, ignore_index=True)
 
-    coded = corpus.select(
-        F.col(id_col).alias("nid"), _encode(F.col(vec_col)).alias("codes")
+    survivors = (
+        code_blocks.groupBy("shard", "qchunk")
+        .cogroup(lut_blocks.groupBy("shard", "qchunk"))
+        .applyInPandas(_score_block, "query_id long, neighbor_id long, adc double")
     )
-    survivors = coded.mapInPandas(_adc_scan, "query_id long, neighbor_id long, adc double")
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = (
         survivors.withColumn("r", F.row_number().over(w))

@@ -198,3 +198,31 @@ def test_degenerate_bucket_capped_not_exploded(spark):
         threshold=0.5, max_bucket=1000,
     )
     assert uncapped.count() == 50 * 49 // 2  # all identical pairs found
+
+def test_fit_sample_deterministic_across_partitionings(clustered_vectors):
+    """The bottom-k-by-hash codebook fit sample is content-addressed:
+    identical vectors (and order) regardless of how the corpus is
+    partitioned — the property df.sample lacks."""
+    a = similarity.fit_sample_vectors(
+        clustered_vectors.repartition(3), vec_col="embedding", id_col="vec_id", sample=64, seed=11
+    )
+    b = similarity.fit_sample_vectors(
+        clustered_vectors.repartition(17, "vec_id"), vec_col="embedding", id_col="vec_id", sample=64, seed=11
+    )
+    assert len(a) == 64
+    assert [list(v) for v in a] == [list(v) for v in b]
+
+
+def test_pq_multiblock_matches_single_block(clustered_vectors):
+    """pq_topk's (shard x chunk) block grid is a pure parallelization:
+    forcing 3 query chunks x 5 code shards yields exactly the same
+    neighbors as the single-block layout."""
+    queries = clustered_vectors.where(F.col("vec_id") % 40 == 0)
+    one = similarity.pq_topk(
+        clustered_vectors, queries, dim=64, m=8, k_codes=16, k=5, query_chunk=1024, n_shards=1
+    )
+    many = similarity.pq_topk(
+        clustered_vectors, queries, dim=64, m=8, k_codes=16, k=5, query_chunk=2, n_shards=5
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(one) == rows(many)
