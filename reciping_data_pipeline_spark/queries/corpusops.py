@@ -195,27 +195,85 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running-token-total window (bin = exclusive-cumsum div 4096), "
     "then summarized per bin. No RNG, no partition-order dependence — "
     "the same docs land in the same shard on every run and engine. At "
-    "100 TB the per-source window is the scale knob: sources shard "
-    "further by a hash-bucket prefix so each window partition stays "
-    "executor-sized, which only renumbers bins, not their contents.",
+    "100 TB use the n_buckets skew shard (pack_sequences / the "
+    "doc_sequence_packing_sharded variant) so each window partition "
+    "stays executor-sized even under a single dominant source.",
     tags=("text", "packing", "window", "bench"),
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tok = T.token_count(F.trim(F.col("text")))
+    return pack_sequences(docs.select("source", "doc_id", n_tok.alias("n_tok")))
+
+
+def pack_sequences(
+    docs: DataFrame, *, bin_tokens: float = 4096.0, n_buckets: int | None = None
+) -> DataFrame:
+    """Deterministic sequence packing (exclusive-cumsum bin assignment)
+    over ``(source, doc_id, n_tok)`` rows.
+
+    ``n_buckets`` is the skew knob for corpora dominated by one giant
+    source (the common case — a web crawl dwarfing everything else):
+    the running-total window partitions on ``(source, doc_id %
+    n_buckets)`` instead of ``source`` alone, so a single-source corpus
+    still fans out across >= n_buckets window tasks. Sharding only
+    REDISTRIBUTES docs among (smaller) bins; each bin's contents remain
+    a deterministic pure function of (source, bucket, doc_id order) —
+    no RNG, no partition-order dependence. The bucket key is plain
+    modulo (not xxhash64) so any engine reproduces the layout.
+    """
+    parts = ["source"] if n_buckets is None else ["source", "bucket"]
+    if n_buckets is not None:
+        docs = docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("bigint"))
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy(*parts)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    binned = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
-        "bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096.0)).cast("bigint")
+    binned = docs.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(bin_tokens)).cast("bigint"),
     )
-    return binned.groupBy("source", "bin").agg(
+    return binned.groupBy(*parts, "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("bin_tokens"),
-        F.round(F.sum("n_tok") / F.lit(4096.0), 4).alias("fill_ratio"),
+        F.round(F.sum("n_tok") / F.lit(bin_tokens), 4).alias("fill_ratio"),
     )
+
+
+@query(
+    "doc_sequence_packing_sharded",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, doc_id % 8 AS bucket,
+               len({_TRIM_TOKENS_SQL}) AS n_tok
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, bucket, n_tok,
+               CAST(floor((sum(n_tok) OVER (
+                   PARTITION BY source, bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0) AS BIGINT) AS bin
+        FROM t
+    )
+    SELECT source, bucket, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           round(sum(n_tok) / 4096.0, 4) AS fill_ratio
+    FROM binned
+    GROUP BY source, bucket, bin
+    """,
+    doc="Skew-sharded sequence packing: the running-total window "
+    "partitions on (source, doc_id % 8) so a corpus dominated by one "
+    "giant source still spreads across >= 8 window tasks instead of "
+    "serializing onto one. Bin contents stay a deterministic pure "
+    "function of (source, bucket, doc_id order).",
+    tags=("text", "packing", "window", "skew"),
+)
+def doc_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.trim(F.col("text")))
+    return pack_sequences(docs.select("source", "doc_id", n_tok.alias("n_tok")), n_buckets=8)
 
 
 @query(

@@ -20,3 +20,27 @@ def test_salted_join_matches_plain_join(spark):
     a = plain.agg(F.sum(F.col("lval") + F.col("rval"))).collect()[0][0]
     b = salted.agg(F.sum(F.col("lval") + F.col("rval"))).collect()[0][0]
     assert a == b
+
+
+def test_sequence_packing_shard_fans_out_single_source(spark):
+    """A corpus that is 100% one source must fan the packing window out
+    across n_buckets groups (per-bucket packing, not one serial task),
+    and sharding must preserve the doc/token totals exactly."""
+    from reciping_data_pipeline_spark.queries.corpusops import pack_sequences
+
+    docs = spark.range(0, 5_000).select(
+        F.lit("webcrawl").alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 300 + 1).alias("n_tok"),
+    )
+    packed = pack_sequences(docs, n_buckets=8)
+    # window partition key includes the bucket: >= 8 distinct groups
+    assert packed.select("bucket").distinct().count() == 8
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan and "Window" in plan
+    # sharding redistributes docs among bins; totals are invariant
+    unsharded = pack_sequences(docs)
+    row = lambda df: df.agg(  # noqa: E731
+        F.sum("n_docs").alias("docs"), F.sum("bin_tokens").alias("toks")
+    ).collect()[0]
+    assert tuple(row(packed)) == tuple(row(unsharded))
