@@ -134,3 +134,74 @@ def test_corpus_partition_pruning_and_sorted_skipping(spark, tmp_path):
     # correctness: pruned read returns exactly the filtered rows
     want = docs.where((F.col("lang") == "en") & (F.col("n_chars") > 200)).count()
     assert pruned.count() == want
+
+
+class TestKafkaOfflineContract:
+    """S10: the broker is absent in this container, so the contract is
+    pinned offline — exact reader/writer option maps, payload
+    serialization round-trip, and source-agnostic equivalence of the
+    Kafka value path with the file-staging path through the same
+    silver transform."""
+
+    def test_reader_writer_option_maps(self):
+        from reciping_data_pipeline_spark.sources import kafka
+
+        assert kafka.reader_options("b:9092", "events", "earliest", 5000) == {
+            "kafka.bootstrap.servers": "b:9092",
+            "subscribe": "events",
+            "startingOffsets": "earliest",
+            "maxOffsetsPerTrigger": "5000",
+        }
+        assert "maxOffsetsPerTrigger" not in kafka.reader_options("b:9092", "events")
+        assert kafka.writer_options("b:9092", "events", "/ckpt") == {
+            "kafka.bootstrap.servers": "b:9092",
+            "topic": "events",
+            "checkpointLocation": "/ckpt",
+        }
+
+    def test_payload_round_trip(self, spark):
+        from reciping_data_pipeline_spark.sources import kafka
+
+        df = spark.createDataFrame(
+            [(1, "view", 2.5), (2, "purchase", None)],
+            "event_id long, event_type string, value double",
+        )
+        parsed = (
+            kafka.to_payload(df)
+            .select(F.from_json("value", df.schema).alias("r"))
+            .select("r.*")
+        )
+        assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_value_path_matches_file_path_through_silver(self, spark, tmp_path):
+        """The same raw JSONL lines produce byte-identical silver rows
+        whether they arrive via the file staging scan or as Kafka
+        values (to_payload/from_payload plumbing)."""
+        from reciping_data_pipeline_spark.pipeline import datagen, silver
+        from reciping_data_pipeline_spark.sources import kafka
+
+        fix = datagen.generate_fixture(
+            str(tmp_path), seed=3, n_users=10, n_days=1, start=datetime(2025, 5, 1)
+        )
+        ts = datetime(2025, 5, 2)
+        raw = (
+            spark.read.format("text")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.jsonl")
+            .load(fix["staging_dir"])
+        )
+        file_side = silver.transform(
+            raw.select(
+                F.col("value").alias("raw_event_string"),
+                F.input_file_name().alias("source_file"),
+            ),
+            batch_ts=ts,
+        ).drop("data_source", "processed_at")
+        kafka_side = silver.transform(
+            kafka.from_payload(raw.select("value"), source_label="topic:events"),
+            batch_ts=ts,
+        ).drop("data_source", "processed_at")
+        assert file_side.schema == kafka_side.schema
+        assert sorted(map(tuple, file_side.collect())) == sorted(
+            map(tuple, kafka_side.collect())
+        )
