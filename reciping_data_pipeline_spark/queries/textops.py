@@ -478,3 +478,33 @@ def doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
     )
+
+
+@query(
+    "doc_cc_chain_stress",
+    oracle="""
+    SELECT doc_id AS id,
+           (SELECT MIN(doc_id) FROM documents) AS component
+    FROM documents
+    """,
+    doc="Adversarial connected-components stress: every document is "
+    "chained to the next doc_id, producing ONE component whose "
+    "diameter equals the corpus size — the worst case for label "
+    "propagation. Pointer doubling closes a 5000-doc chain in "
+    "O(log n) (~13) rounds where plain hash-min needs 5000; the "
+    "oracle (every doc labeled with the global min id) fails unless "
+    "the closure actually completed.",
+    tags=("dedup", "cc", "skew", "bench"),
+)
+def doc_cc_chain_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Chain-edge fixture build (lead over a global window) is the test
+    # harness, not the operator under stress; it is O(corpus) rows
+    # through one sort, fine at fixture scale.
+    nxt = F.lead("doc_id").over(Window.orderBy("doc_id"))
+    edges = docs.select(F.col("doc_id").alias("id_a"), nxt.alias("id_b")).where(
+        F.col("id_b").isNotNull()
+    )
+    return dedup.connected_components(edges, max_iter=25)

@@ -44,3 +44,32 @@ def test_sequence_packing_shard_fans_out_single_source(spark):
         F.sum("n_docs").alias("docs"), F.sum("bin_tokens").alias("toks")
     ).collect()[0]
     assert tuple(row(packed)) == tuple(row(unsharded))
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 512-vertex path graph (diameter 511) must converge via pointer
+    doubling in ~log2(n) rounds, not O(n), and label every vertex with
+    the global min."""
+    from reciping_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.range(0, 511).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    comp = connected_components(edges, max_iter=15, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == 512
+    assert {r["component"] for r in rows} == {0}
+    assert stats["converged"] and stats["rounds"] <= 12
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from reciping_data_pipeline_spark.operators.dedup import connected_components
+
+    import pytest as _pytest
+
+    edges = spark.range(0, 200).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
