@@ -1,13 +1,21 @@
-"""Driver-visible medallion pipeline smoke.
+"""Driver-visible medallion pipeline end-to-end check, oracle-backed.
 
-The medallion engine's real verification lives in
+The medallion engine's deep verification lives in
 ``tests/test_medallion.py`` (21 analytics queries hash-matched against
 DuckDB on the built Gold tables + idempotency properties). This
-catalog entry makes the pipeline itself visible to the driver's
-rows-only check: a seeded micro-fixture flows staging → bronze →
-silver → dims → gold in a temp warehouse and the query returns the
-per-layer row counts and join-success rates — deterministic for the
-fixed seed, independent of ``sf_dir``.
+catalog entry makes the pipeline itself driver-checkable with a REAL
+cross-engine oracle: the Spark side runs the full staging → bronze →
+silver → dims → gold build (plus an idempotent incremental re-delivery
+pass) on a seeded JSONL fixture and reports the end-state inventory;
+the DuckDB side recomputes the same inventory INDEPENDENTLY from the
+raw staging files — line counts via a raw text scan, silver rows via
+parse + event_id dedup, and per-dimension join-success rates from the
+parsed payloads and the recipe master parquet. A drift anywhere in
+parse/dedup/dim-join semantics breaks the hash match.
+
+The fixture is generated at import time (cheap, deterministic, ~1k
+events) so the oracle SQL's embedded paths resolve no matter which
+side the driver runs first.
 """
 
 from __future__ import annotations
@@ -17,49 +25,125 @@ import shutil
 import tempfile
 from datetime import datetime
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from reciping_data_pipeline_spark.queries import query
 
-_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "medallion_smoke_fixture_v1")
+_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "medallion_inventory_fixture_v1")
+_STAGING = os.path.join(_FIXTURE_DIR, "staging")
+_MASTER = os.path.join(_FIXTURE_DIR, "masters", "recipes.parquet")
+
+
+def _ensure_fixture() -> None:
+    if not os.path.isdir(_FIXTURE_DIR):
+        from reciping_data_pipeline_spark.pipeline import datagen
+
+        datagen.generate_fixture(
+            _FIXTURE_DIR, seed=23, n_users=200, n_days=2, start=datetime(2025, 9, 1)
+        )
+
+
+_ensure_fixture()
+
+# DuckDB recomputes the pipeline's end-state inventory from the raw
+# staging JSONL: bronze = raw line count (sep-less CSV scan so corrupt
+# lines count too); silver = parseable lines (ignore_errors drops the
+# injected garbage exactly like from_json -> null event_id does),
+# deduped by event_id (injected duplicates are exact copies, so either
+# engine's pick is payload-identical); join-success rates mirror the
+# gold build's left-join + coalesce(sk, 0) semantics (pipeline/gold.py
+# build_fact / dims.py null gates).
+_ORACLE = f"""
+WITH lines AS (
+    SELECT count(*) AS n
+    FROM read_csv('{_STAGING}/**/*.jsonl', sep='\x01', header=false,
+                  columns={{'line': 'VARCHAR'}}, quote='')
+),
+raw AS (
+    SELECT * FROM read_ndjson_auto('{_STAGING}/**/*.jsonl', ignore_errors=true)
+),
+silver AS (
+    SELECT DISTINCT ON (event_id) * FROM raw WHERE event_id IS NOT NULL
+),
+master AS (
+    SELECT recipe_id FROM read_parquet('{_MASTER}')
+),
+rates AS (
+    SELECT
+        count(*) AS silver_rows,
+        round(avg(CASE WHEN user_id IS NOT NULL AND anonymous_id IS NOT NULL
+                       THEN 1.0 ELSE 0.0 END), 4) AS rate_user,
+        round(avg(CASE WHEN CAST(TRY_CAST(json_extract_string(event_properties, '$.recipe_id')
+                                          AS BIGINT) AS VARCHAR)
+                            IN (SELECT CAST(recipe_id AS VARCHAR) FROM master)
+                       THEN 1.0 ELSE 0.0 END), 4) AS rate_recipe,
+        round(avg(CASE WHEN json_extract_string(context, '$.page.name') IS NOT NULL
+                         OR json_extract_string(context, '$.page.url') IS NOT NULL
+                       THEN 1.0 ELSE 0.0 END), 4) AS rate_page,
+        round(avg(CASE WHEN event_name IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS rate_event
+    FROM silver
+)
+SELECT 'bronze_rows' AS metric, CAST(n AS DOUBLE) AS value FROM lines
+UNION ALL SELECT 'silver_rows', CAST(silver_rows AS DOUBLE) FROM rates
+UNION ALL SELECT 'fact_rows', CAST(silver_rows AS DOUBLE) FROM rates
+UNION ALL SELECT 'join_success_user_dim_key', rate_user FROM rates
+UNION ALL SELECT 'join_success_recipe_dim_key', rate_recipe FROM rates
+UNION ALL SELECT 'join_success_page_dim_key', rate_page FROM rates
+UNION ALL SELECT 'join_success_event_dim_key', rate_event FROM rates
+"""
 
 
 @query(
-    "medallion_pipeline_smoke",
-    oracle=None,  # end-to-end pipeline run; verified by tests/test_medallion.py
-    doc="Full bronze→silver→gold build on a seeded micro-fixture; returns "
-    "per-layer row counts + join success rates (pipeline/*; SURVEY §3 "
-    "entry points A+B).",
+    "medallion_e2e_inventory",
+    oracle=_ORACLE,
+    doc="Full bronze→silver→gold build + idempotent incremental "
+    "re-delivery on a seeded 2-day fixture; returns the end-state "
+    "per-layer row inventory and join-success rates, hash-matched "
+    "against DuckDB's independent recomputation from the raw staging "
+    "JSONL (pipeline/*; SURVEY §3 entry points A+B).",
     tags=("pipeline", "e2e"),
 )
-def medallion_pipeline_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from reciping_data_pipeline_spark.pipeline import datagen, runner
+def medallion_e2e_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.pipeline import gold, runner, silver
 
-    if not os.path.isdir(_FIXTURE_DIR):
-        datagen.generate_fixture(_FIXTURE_DIR, seed=23, n_users=15, n_days=1)
-    fix = {
-        "staging_dir": os.path.join(_FIXTURE_DIR, "staging"),
-        "recipe_master": os.path.join(_FIXTURE_DIR, "masters", "recipes.parquet"),
-    }
-    wh = tempfile.mkdtemp(prefix="medallion_smoke_wh_")
+    _ensure_fixture()
+    wh = tempfile.mkdtemp(prefix="medallion_inventory_wh_")
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
     try:
-        report = runner.bulk_backfill(
+        runner.bulk_backfill(
             spark,
-            fix["staging_dir"],
+            _STAGING,
             wh,
-            fix["recipe_master"],
-            datetime(2025, 9, 2),
-            time_dim_range=("2025-09-01 00:00:00", "2025-09-02 23:00:00"),
+            _MASTER,
+            datetime(2025, 9, 3),
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-03 23:00:00"),
         )
+        # Idempotent re-delivery: one interval spanning the whole fixture
+        # re-offers every staging file; the bronze source_file anti-join
+        # must make it a no-op, leaving end-state counts unchanged.
+        runner.incremental_run(
+            spark, _STAGING, wh, datetime(2025, 9, 1), datetime(2025, 9, 3)
+        )
+        from reciping_data_pipeline_spark.pipeline import bronze
+
+        bronze_rows = bronze.read_bronze(spark, wh).count()
+        silver_df = silver.read_silver(spark, wh)
+        fact = gold.read_fact(spark, wh)
+        silver_rows = silver_df.count()
+        fact_rows = fact.count()
+        join = gold.join_success_rates(fact)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
         shutil.rmtree(wh, ignore_errors=True)
     rows = [
-        ("bronze_rows", float(report.bronze_rows)),
-        ("silver_rows", float(report.silver_rows)),
-        ("fact_rows", float(report.fact_rows)),
-        *[(f"join_success_{k}", round(v, 4)) for k, v in sorted(report.join_success.items())],
+        ("bronze_rows", float(bronze_rows)),
+        ("silver_rows", float(silver_rows)),
+        ("fact_rows", float(fact_rows)),
+        *[(f"join_success_{k}", v) for k, v in sorted(join.items())],
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    # F.round (HALF_UP) on both engines — python round() is banker's.
+    return spark.createDataFrame(rows, "metric string, value double").select(
+        "metric", F.round("value", 4).alias("value")
+    )
