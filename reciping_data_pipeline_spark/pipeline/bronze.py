@@ -74,7 +74,7 @@ def ingest_interval(
         df = df.join(existing, on="source_file", how="left_anti")
         if df.isEmpty():
             return False
-        df.write.mode("append").partitionBy("ingestion_date").parquet(path)
+        writers.append_table(df, path, ["ingestion_date"])
     else:
         writers.overwrite_partitions(df, path, ["ingestion_date"])
     return True

@@ -73,7 +73,7 @@ def upsert_dim_user(spark: SparkSession, silver_df: DataFrame, warehouse: str) -
         existing.select("user_id", "anonymous_id"), on=["user_id", "anonymous_id"], how="left_anti"
     )
     if not new_users.isEmpty():
-        new_users.write.mode("append").parquet(path)
+        writers.append_table(new_users, path)
 
 
 def build_dim_recipe(spark: SparkSession, recipe_master_path: str) -> DataFrame:

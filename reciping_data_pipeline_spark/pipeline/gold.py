@@ -133,7 +133,7 @@ def run_incremental(spark: SparkSession, silver_df: DataFrame, warehouse: str) -
     )
     fresh = fact.join(existing_ids, on="event_id", how="left_anti")
     if not fresh.isEmpty():
-        fresh.write.mode("append").partitionBy("event_date").parquet(path)
+        writers.append_table(fresh, path, ["event_date"])
     return fact
 
 

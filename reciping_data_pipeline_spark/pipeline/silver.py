@@ -143,7 +143,7 @@ def append_incremental(silver_df: DataFrame, warehouse: str) -> None:
     fresh = silver_df.join(existing_ids, on="event_id", how="left_anti")
     if fresh.isEmpty():
         return
-    fresh.write.mode("append").partitionBy("year", "month", "day").parquet(path)
+    writers.append_table(fresh, path, ["year", "month", "day"])
 
 
 def run_batch(

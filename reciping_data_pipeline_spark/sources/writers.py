@@ -13,6 +13,16 @@ same call with the whole dataset.
 Scale notes: dynamic overwrite commits per-partition, so concurrent
 batches touching disjoint event-date partitions don't conflict; the
 write itself is the same shuffle-free append path as ``mode=append``.
+
+Table-format seam (SURVEY §1.4): every pipeline write/read routes
+through the module-level functions below, which delegate to the
+active :class:`TableFormat`. ``ParquetFormat`` is the default and the
+only one shippable in this container; an Iceberg/Delta format drops
+in by implementing the same four methods (``overwrite_partitions`` →
+``MERGE``/dynamic overwrite, ``append`` → format-native append with
+its own snapshot isolation) and calling :func:`set_table_format` —
+zero changes to pipeline code, which never touches ``df.write``
+directly.
 """
 
 from __future__ import annotations
@@ -20,27 +30,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+class TableFormat:
+    """Storage-format strategy: how a logical table at ``path`` is
+    physically written and read. Implementations must keep the
+    idempotency contract of each method's docstring."""
+
+    name = "abstract"
+
+    def overwrite_partitions(self, df: DataFrame, path: str, partition_cols: list[str]) -> None:
+        raise NotImplementedError
+
+    def overwrite_table(
+        self, df: DataFrame, path: str, partition_cols: list[str] | None = None
+    ) -> None:
+        raise NotImplementedError
+
+    def append(self, df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+        raise NotImplementedError
+
+    def read_table(self, spark: SparkSession, path: str) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetFormat(TableFormat):
+    """Path-addressed partitioned parquet (the default everywhere)."""
+
+    name = "parquet"
+
+    def overwrite_partitions(self, df: DataFrame, path: str, partition_cols: list[str]) -> None:
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+    def overwrite_table(
+        self, df: DataFrame, path: str, partition_cols: list[str] | None = None
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+
+    def append(self, df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+
+    def read_table(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+
+_ACTIVE_FORMAT: TableFormat = ParquetFormat()
+
+
+def set_table_format(fmt: TableFormat) -> TableFormat:
+    """Swap the active table format (e.g. for an Iceberg deployment);
+    returns the previous one so callers can restore it."""
+    global _ACTIVE_FORMAT
+    prev = _ACTIVE_FORMAT
+    _ACTIVE_FORMAT = fmt
+    return prev
+
+
+def get_table_format() -> TableFormat:
+    return _ACTIVE_FORMAT
+
+
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Replace exactly the partitions present in ``df`` at ``path``."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    _ACTIVE_FORMAT.overwrite_partitions(df, path, partition_cols)
 
 
 def overwrite_table(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
     """Full-table rebuild (dimension tables, bulk backfill)."""
-    w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    _ACTIVE_FORMAT.overwrite_table(df, path, partition_cols)
+
+
+def append_table(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """Format-native append; idempotency (anti-join on a key, file-level
+    dedup) is the CALLER's contract — see pipeline/silver.py:146,
+    gold.py:136, bronze.py:77."""
+    _ACTIVE_FORMAT.append(df, path, partition_cols)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _ACTIVE_FORMAT.read_table(spark, path)
 
 
 def compact_partitions(

@@ -205,3 +205,54 @@ class TestKafkaOfflineContract:
         assert sorted(map(tuple, file_side.collect())) == sorted(
             map(tuple, kafka_side.collect())
         )
+
+
+def test_table_format_seam_routes_all_writes(spark, tmp_path):
+    """Every pipeline write goes through the active TableFormat: a
+    recording wrapper sees overwrite/append calls for bronze, silver,
+    dims, and gold during a bulk backfill + incremental re-delivery,
+    and swapping the format back restores the default."""
+    from datetime import datetime
+
+    from reciping_data_pipeline_spark.pipeline import datagen, runner
+
+    calls: list[tuple[str, str]] = []
+
+    class Recording(writers.ParquetFormat):
+        name = "recording-parquet"
+
+        def overwrite_partitions(self, df, path, partition_cols):
+            calls.append(("overwrite_partitions", os.path.basename(path)))
+            super().overwrite_partitions(df, path, partition_cols)
+
+        def overwrite_table(self, df, path, partition_cols=None):
+            calls.append(("overwrite_table", os.path.basename(path)))
+            super().overwrite_table(df, path, partition_cols)
+
+        def append(self, df, path, partition_cols=None):
+            calls.append(("append", os.path.basename(path)))
+            super().append(df, path, partition_cols)
+
+    fix = datagen.generate_fixture(
+        str(tmp_path / "fx"), seed=5, n_users=12, n_days=1, start=datetime(2025, 6, 1)
+    )
+    wh = str(tmp_path / "wh")
+    prev_fmt = writers.set_table_format(Recording())
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark, fix["staging_dir"], wh, fix["recipe_master"], datetime(2025, 6, 2),
+            time_dim_range=("2025-06-01 00:00:00", "2025-06-02 23:00:00"),
+        )
+        runner.incremental_run(
+            spark, fix["staging_dir"], wh, datetime(2025, 6, 1), datetime(2025, 6, 2)
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restored = writers.set_table_format(prev_fmt)
+        assert restored.name == "recording-parquet"
+    written = {t for _, t in calls}
+    assert {"bronze_events", "silver_events", "fact_user_events"} <= written or len(written) >= 3
+    assert any(op == "overwrite_partitions" for op, _ in calls)
+    assert writers.get_table_format().name == "parquet"
