@@ -411,3 +411,48 @@ def dedup_groups(
         )
         .withColumn("is_canonical", F.col("id") == F.col("component"))
     )
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_gram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, the number of
+    distinct word n-grams it shares with ANY eval-set doc, plus a
+    ``contaminated`` flag — the standard pre-training hygiene step
+    (drop or flag training docs that leak evaluation data).
+
+    Scale shape: the eval side is deduped to a distinct-shingle set and
+    broadcast (eval benchmarks are thousands-to-millions of n-grams —
+    megabytes, not the corpus's scale); the corpus side explodes its
+    distinct shingles map-side and the broadcast hash join + partial
+    count means the only shuffle is the final per-doc aggregation of
+    ALREADY-MATCHED rows (hits are rare by construction, so the
+    exchange is tiny). Nothing quadratic, no corpus self-join.
+    """
+    c = with_shingles(spread(corpus), text_col, n_gram).select(
+        F.col(id_col), F.explode("shingles").alias("g")
+    )
+    e = (
+        with_shingles(eval_docs, text_col, n_gram)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(e), on="g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("shared_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("shared_ngrams", F.lit(0)).alias("shared_ngrams"),
+            (F.coalesce("shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

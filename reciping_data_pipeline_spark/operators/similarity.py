@@ -53,6 +53,91 @@ def fit_sample_vectors(
     )
 
 
+def fit_spherical_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    sample: int,
+    seed: int,
+    kmeans_iters: int = 8,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit-norm, cosine objective) fit on
+    the bottom-k hash reservoir sample. Returns an (n_cells, dim)
+    ndarray — a closure-shippable constant for assignment kernels."""
+    sampled = fit_sample_vectors(corpus, vec_col=vec_col, id_col=id_col, sample=sample, seed=seed)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sampled])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray, *, vec_col: str) -> DataFrame:
+    """Append ``cell`` = nearest-centroid id (cosine). A narrow derived
+    column computed in one Arrow pass over the scan — no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    sample: int = 2048,
+    seed: int = 17,
+    kmeans_iters: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    k-means clustering + within-cluster cosine. Clustering confines the
+    quadratic pair search to each cell, so the self-join cost is
+    sum(|cell|^2) instead of |corpus|^2 — the property that makes
+    embedding dedup feasible at billions of documents. Identical
+    vectors always share a cell (same nearest centroid), so exact-dup
+    recall is 1; near-dups straddling a cell boundary are the method's
+    documented recall trade-off (mitigate with more/fewer cells).
+    """
+    cent = fit_spherical_centroids(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_cells=n_cells,
+        sample=sample,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+    )
+    celled = assign_cells(df, cent, vec_col=vec_col)
+    return cosine_near_dup_pairs(
+        celled,
+        id_col=id_col,
+        vec_col=vec_col,
+        partition_col="cell",
+        threshold=threshold,
+        round_dp=round_dp,
+    )
+
+
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -196,27 +281,15 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    sampled = fit_sample_vectors(
-        corpus, vec_col=vec_col, id_col=id_col, sample=sample, seed=seed
+    cent = fit_spherical_centroids(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_cells=n_cells,
+        sample=sample,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
     )
-    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sampled])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means on the sample
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-    cent = centroids  # (cells, dim), unit-norm; serialized with the UDFs
-
-    @pandas_udf("int")
-    def _cell(vecs: pd.Series) -> pd.Series:
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
 
     @pandas_udf("array<int>")
     def _probe_cells(vecs: pd.Series) -> pd.Series:
@@ -226,10 +299,10 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1)[:, : min(nprobe, cent.shape[0])].astype(np.int32)
         return pd.Series(list(order))
 
-    c = corpus.select(
+    c = assign_cells(corpus, cent, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
-        _cell(F.col(vec_col)).alias("cell"),
+        "cell",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

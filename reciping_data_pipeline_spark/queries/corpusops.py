@@ -516,3 +516,63 @@ def doc_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok_l").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "doc_temperature_mixture",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id, len({_TRIM_TOKENS_SQL}) AS n_tok FROM documents
+    ),
+    totals AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs, n_tokens,
+               sqrt((SELECT min(n_tokens) FROM totals) * 1.0 / n_tokens) AS rate
+        FROM totals
+    )
+    SELECT r.source, r.n_docs, r.n_tokens,
+           round(r.rate, 4) AS sample_rate,
+           CAST(sum(CASE WHEN (t.doc_id * 2654435761) % 4294967296
+                              < r.rate * 4294967296
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM tok t JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.n_tokens, r.rate
+    """,
+    doc="Temperature-flattened source mixture (alpha=0.5, the XLM-R "
+    "style rebalance): each source's keep-rate is sqrt(min_tokens / "
+    "source_tokens), anchored at the smallest source so proportions "
+    "flatten toward uniform without upsampling. Anchors are exact "
+    "integer MIN/SUM aggregates, so the float math is bit-identical "
+    "across engines; doc selection is the same multiplicative-hash "
+    "threshold as doc_source_mixture (deterministic, partition-"
+    "independent, no RNG state).",
+    tags=("text", "sampling", "mixture"),
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.trim(F.col("text")))
+    tok = docs.select("source", "doc_id", n_tok.alias("n_tok"))
+    totals = tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    min_tokens = F.min("n_tokens").over(Window.partitionBy())
+    rates = totals.withColumn(
+        "rate", F.sqrt(min_tokens * F.lit(1.0) / F.col("n_tokens"))
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    keep = h < F.col("rate") * F.lit(4294967296)
+    return (
+        tok.join(F.broadcast(rates), on="source")
+        .groupBy("source", "n_docs", "n_tokens", "rate")
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("rate", 4).alias("sample_rate"),
+            "n_sampled",
+        )
+    )

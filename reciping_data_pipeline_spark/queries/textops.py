@@ -508,3 +508,44 @@ def doc_cc_chain_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").isNotNull()
     )
     return dedup.connected_components(edges, max_iter=25)
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len({_TOKENS_SQL}) - 4),
+                   i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+                        || ' ' || {_TOKENS_SQL}[i+3] || ' ' || {_TOKENS_SQL}[i+4])) AS sh
+        FROM documents
+    ),
+    epost AS (
+        SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 101 = 0
+    ),
+    cpost AS (
+        SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 101 <> 0
+    ),
+    hits AS (
+        SELECT c.doc_id, count(DISTINCT c.g) AS shared
+        FROM cpost c JOIN epost e USING (g)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.shared, 0) AS BIGINT) AS shared_ngrams,
+           coalesce(h.shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any "
+    "distinct 5-gram with the (deterministic doc_id%101) eval subset — "
+    "broadcast eval-shingle semi-count, no corpus self-join "
+    "(operators/dedup.py contamination).",
+    tags=("text", "dedup", "decontam"),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+    return dedup.contamination(corpus, ev, "doc_id", "text", n_gram=5)

@@ -210,3 +210,27 @@ def embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return similarity.pq_topk(emb, queries, dim=_DIM, m=8, k_codes=16, k=5)
+
+
+@query(
+    "embed_semantic_dedup",
+    oracle=None,  # k-means clustering; validated by planted-duplicate tests
+    doc="SemDeDup: k-means cells confine the cosine>=0.97 pair search "
+    "to within-cluster self-joins (sum(|cell|^2), never |corpus|^2); "
+    "returns per-cell vector/pair/drop counts "
+    "(operators/similarity.py semantic_dedup_pairs).",
+    tags=("vector", "dedup", "bench"),
+)
+def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.97
+    )
+    groups = D.dedup_groups(emb, "vec_id", pairs, "id_a", "id_b")
+    return groups.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dropped"),
+        F.count_distinct("component").alias("n_groups"),
+    )

@@ -226,3 +226,45 @@ def test_pq_multiblock_matches_single_block(clustered_vectors):
     )
     rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert rows(one) == rows(many)
+
+
+def test_semantic_dedup_finds_planted_dups(clustered_vectors, spark):
+    """SemDeDup: exact planted duplicates (identical vectors, new ids)
+    always share a k-means cell, so recall on them is 1; nothing below
+    the cosine threshold is emitted."""
+    dups = clustered_vectors.where(F.col("vec_id") % 40 == 3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    df = clustered_vectors.union(dups)
+    pairs = similarity.semantic_dedup_pairs(
+        df, id_col="vec_id", vec_col="embedding", n_cells=8, threshold=0.99
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 10_000) for i in range(3, 200, 40)}
+    assert planted <= got  # every planted dup found
+    for r in pairs.collect():
+        assert r["cosine_sim"] >= 0.99
+
+
+def test_contamination_flags_eval_copies(spark):
+    """A corpus doc that copies an eval doc's text is flagged with the
+    full shared-shingle count; clean docs report zero."""
+    from reciping_data_pipeline_spark.operators.dedup import contamination
+
+    ev = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),  # full copy
+            (2, "xx alpha beta gamma delta epsilon yy"),     # one shared 5-gram
+            (3, "totally different words here no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+           for r in contamination(corpus, ev, n_gram=5).collect()}
+    assert got[1] == (3, True)   # 7 tokens -> 3 distinct 5-grams, all shared
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
