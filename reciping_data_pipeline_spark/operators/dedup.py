@@ -352,6 +352,12 @@ def connected_components(
     ).localCheckpoint(eager=True)
     converged = False
     rounds = 0
+    # Fixed-point detection: labels are MONOTONE non-increasing (every
+    # update is a min), so the label sum strictly decreases until the
+    # fixed point — a scalar aggregate per round replaces the naive
+    # new-vs-old join + isEmpty (which costs a shuffle join per round
+    # at scale). decimal(38,0) keeps the sum exact for 64-bit ids.
+    label_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
         rounds += 1
         nbr_labels = edges.join(labels, edges["src"] == labels["v"]).select(
@@ -368,16 +374,12 @@ def connected_components(
         new_labels = (
             labels.union(nbr_labels).union(hop_labels).groupBy("v").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        fixed_point = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
+        new_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if fixed_point:
+        if new_sum == label_sum:
             converged = True
             break
+        label_sum = new_sum
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
