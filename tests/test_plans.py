@@ -155,3 +155,36 @@ def test_variant_query_partial_agg_and_pruned_scan(spark):
     assert "partial_sum" in plan or "partial_count" in plan, plan
     assert inspect.count_exchanges(df) == 1, plan
     assert inspect.scan_columns(df) == {"event_type", "props"}, inspect.read_schemas(df)
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (small) eval shingle set and
+    the per-doc hit counts — never shuffle-join the corpus against the
+    eval set — and the final doc scan reads only doc_id."""
+    df = _q(spark, "doc_decontaminate")
+    assert inspect.count_broadcast_joins(df) == 2
+    assert inspect.count_shuffle_joins(df) == 0
+    inspect.assert_no_cartesian(df)
+
+
+def test_temperature_mixture_broadcasts_rates(spark):
+    """Per-source rates are O(sources) rows — they must broadcast onto
+    the token scan, not shuffle it."""
+    df = _q(spark, "doc_temperature_mixture")
+    assert inspect.count_broadcast_joins(df) >= 1
+    assert inspect.count_shuffle_joins(df) == 0
+
+
+def test_semantic_dedup_join_is_cell_blocked(spark):
+    """SemDeDup's pair search must be an equi-join on the cell key
+    (quadratic only within cells), never a cartesian product."""
+    from reciping_data_pipeline_spark.operators import similarity
+    from reciping_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=8, threshold=0.97
+    )
+    inspect.assert_no_cartesian(pairs)
+    plan = inspect.simple_plan(pairs)
+    assert "cell" in plan
