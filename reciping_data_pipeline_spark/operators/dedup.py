@@ -458,3 +458,30 @@ def contamination(
             (F.coalesce("shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    existing_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Dedup a delta batch against a persisted corpus fingerprint
+    index — the daily-ingest operation: new crawl arrives, the corpus
+    itself is NOT re-read.
+
+    Two steps, both delta-sized on the text side: in-batch keep-min-id
+    per fingerprint (same semantics as ``exact_dedup``), then a
+    left-anti join against the index. The index is O(corpus) rows but
+    only 16 bytes wide; at 100 TB keep it bucketed on the fingerprint
+    (sources/bucketing.py) so the anti-join shuffles ONLY the delta
+    batch, or broadcast it while it fits. Returns the surviving new
+    rows with their fingerprint attached — append them to the index to
+    complete the ingest cycle.
+    """
+    fp = text.fingerprint(F.col(text_col)).alias(fp_col)
+    batch = new_docs.select(F.col(id_col), fp)
+    in_batch = batch.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    idx = existing_fingerprints.select(F.col(fp_col)).distinct()
+    return in_batch.join(idx, on=fp_col, how="left_anti").select(id_col, fp_col)

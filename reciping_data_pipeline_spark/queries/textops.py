@@ -549,3 +549,37 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
     corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
     return dedup.contamination(corpus, ev, "doc_id", "text", n_gram=5)
+
+
+@query(
+    "doc_incremental_dedup",
+    oracle=f"""
+    WITH delta AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    existing AS (
+        SELECT DISTINCT md5({_NORM_SQL}) AS fingerprint
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    in_batch AS (
+        SELECT fingerprint, min(doc_id) AS doc_id FROM delta GROUP BY fingerprint
+    )
+    SELECT doc_id, fingerprint
+    FROM in_batch
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM existing)
+    """,
+    doc="Incremental (delta-vs-index) exact dedup: odd doc_ids arrive "
+    "as the new batch, even doc_ids' fingerprints are the persisted "
+    "corpus index; in-batch keep-min-id then anti-join — the corpus "
+    "text is never re-read (operators/dedup.py "
+    "incremental_exact_dedup).",
+    tags=("text", "dedup", "incremental"),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    existing = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return dedup.incremental_exact_dedup(new_batch, existing, "doc_id", "text")

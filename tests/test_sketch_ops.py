@@ -268,3 +268,26 @@ def test_contamination_flags_eval_copies(spark):
     assert got[1] == (3, True)   # 7 tokens -> 3 distinct 5-grams, all shared
     assert got[2] == (1, True)
     assert got[3] == (0, False)
+
+
+def test_incremental_dedup_against_index(spark):
+    """Delta-batch dedup: drops new docs whose fingerprint is already
+    in the corpus index, keeps min-id within the batch, never re-reads
+    corpus text."""
+    from reciping_data_pipeline_spark.functions import text as T
+    from reciping_data_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "Already in the corpus!")], "doc_id long, text string"
+    ).select(T.fingerprint(F.col("text")).alias("fingerprint"))
+    new_batch = spark.createDataFrame(
+        [
+            (10, "already in the corpus"),   # dup of index (normalized)
+            (11, "brand new document"),
+            (12, "brand new document"),      # in-batch dup of 11
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = incremental_exact_dedup(new_batch, existing)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
