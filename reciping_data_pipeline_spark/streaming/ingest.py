@@ -78,3 +78,66 @@ def start_silver_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_corpus_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus ingest with cross-batch exact dedup: new
+    document JSONL files land in ``incoming_dir``; each micro-batch is
+    deduped against the corpus's persisted fingerprint index
+    (``operators.dedup.incremental_exact_dedup`` — the corpus text is
+    never re-read) and survivors append to ``corpus_dir`` via the
+    table-format seam.
+
+    Exactly-once corpus growth = file-source checkpoint (at-least-once
+    batches) + the fingerprint anti-join (idempotent apply): re-offered
+    docs hit their own already-committed fingerprints and drop out.
+    Scale: state lives in the corpus table itself (fingerprint column),
+    not in streaming state — no unbounded state store, and a bulk
+    engine restart resumes from the checkpoint + index alone.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.operators import dedup as dedup_ops
+    from reciping_data_pipeline_spark.sources import writers
+
+    schema = "doc_id long, source string, text string"
+    raw = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("pathGlobFilter", "*.jsonl")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = raw.load(incoming_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.isdir(corpus_dir):
+            index = writers.read_table(batch_df.sparkSession, corpus_dir).select("fingerprint")
+        else:
+            index = batch_df.sparkSession.createDataFrame([], "fingerprint string")
+        kept = dedup_ops.incremental_exact_dedup(batch_df, index, "doc_id", "text")
+        rows = batch_df.join(kept.select("doc_id", "fingerprint"), on="doc_id", how="inner")
+        if not rows.isEmpty():
+            writers.append_table(
+                rows.select("doc_id", "source", "text", "fingerprint"), corpus_dir
+            )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -311,3 +311,57 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     assert len(want) > 0
     # the out-of-horizon / unknown-user clicks never appear
     assert not any(c in ("c02", "c04") for _, c, _ in want)
+
+
+def test_corpus_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus ingest: two delivery waves (the second re-offers
+    wave-1 files plus new docs with duplicate text) must converge to the
+    same corpus as a single-pass batch exact dedup over all unique
+    lines — state lives in the corpus fingerprint index, not a state
+    store."""
+    import json
+
+    from reciping_data_pipeline_spark.operators import dedup as D
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, docs):
+        with open(incoming / name, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+
+    write_wave(
+        "wave1.jsonl",
+        [
+            {"doc_id": 1, "source": "web", "text": "the quick brown fox"},
+            {"doc_id": 2, "source": "web", "text": "jumps over the lazy dog"},
+            {"doc_id": 3, "source": "web", "text": "The quick brown fox!"},  # dup of 1
+        ],
+    )
+    q = ingest.start_corpus_stream(spark, str(incoming), corpus_dir, ckpt)
+    q.awaitTermination(60)
+
+    write_wave(
+        "wave2.jsonl",
+        [
+            {"doc_id": 4, "source": "books", "text": "jumps over the lazy dog"},  # dup of 2
+            {"doc_id": 5, "source": "books", "text": "an entirely new document"},
+        ],
+    )
+    q = ingest.start_corpus_stream(spark, str(incoming), corpus_dir, ckpt)
+    q.awaitTermination(60)
+
+    corpus = spark.read.parquet(corpus_dir)
+    kept = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert kept == [1, 2, 5]
+    # equivalence with the one-shot batch dedup over all delivered docs
+    all_docs = spark.read.format("json").schema("doc_id long, source string, text string") \
+        .option("pathGlobFilter", "*.jsonl").load(str(incoming))
+    batch_kept = sorted(
+        r["doc_id"] for r in D.exact_dedup(all_docs, "doc_id", "text").select("doc_id").collect()
+    )
+    assert kept == batch_kept
