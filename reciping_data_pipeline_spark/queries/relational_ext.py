@@ -534,3 +534,41 @@ def order_value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "top2_lineitems_lateral",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders o,
+    LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber
+        LIMIT 2
+    ) t
+    WHERE o.o_orderkey % 100 = 0
+    """,
+    doc="LATERAL correlated subquery: the two priciest lineitems per "
+    "order (deterministic price-desc/linenumber tie-break) over a "
+    "keyed order subset. Catalyst decorrelates the lateral into a "
+    "ranked join, so the per-order LIMIT never executes row-at-a-time; "
+    "same SQL runs verbatim on DuckDB.",
+    tags=("join", "lateral"),
+)
+def top2_lineitems_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_lat_lineitem")
+    return spark.sql("""
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM _lat_orders o,
+        LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM _lat_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber
+            LIMIT 2
+        ) t
+        WHERE o.o_orderkey % 100 = 0
+    """)
