@@ -6,13 +6,17 @@ processed by Arrow-batched ``mapInPandas`` kernels — the pattern a
 Python sees them as zero-copy Arrow buffers in bounded batches, and
 every kernel is a per-partition map (no shuffle).
 
-The actual codec step is STUBBED: image/audio libraries are not in
-this container, so :func:`decode_image` raises ``NotImplementedError``
-unless ``fake=True``, which substitutes a deterministic fake decoder
+Codec status: the WAV path is a REAL codec (stdlib ``wave`` —
+``synthesize_wav``/``decode_wav`` round-trip genuine RIFF PCM16 bytes
+and every decoded feature is oracle-matched). Image/video codecs are
+STUBBED: Pillow/opencv are not in this container, so
+:func:`decode_image` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic fake decoder
 (dimensions/features derived from the bytes themselves). The Spark
 plumbing — schema, batch iteration, column pruning, partition
-parallelism — is real and tested; swapping in Pillow/librosa is a
-one-function change inside the kernel.
+parallelism — is identical for both, and the real WAV decoder running
+through the same ``mapInPandas`` shape is the proof that swapping in
+Pillow/librosa is a one-function change inside the kernel.
 
 Design notes at scale:
 - metadata (lengths, hashes, formats) is computed JVM-side with
@@ -218,3 +222,80 @@ def extract_audio_features(
             yield pd.DataFrame(rows, columns=["doc_id", "duration_ms", "sample_rate", "rms"])
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_frames long, "
+    "duration_ms long, rms_int long"
+)
+
+
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str,
+    amp_col: str,
+    frames_col: str,
+    *,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Build REAL RIFF/WAVE PCM16 mono bytes per row (stdlib ``wave`` —
+    no external codec): a square wave alternating ±amplitude for
+    ``frames_col`` frames. Deterministic pure function of its inputs,
+    so any engine can predict the decoded features exactly; a square
+    wave's RMS is its amplitude, keeping the round-trip oracle
+    integer-exact."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, amp, n in zip(pdf[id_col], pdf[amp_col], pdf[frames_col]):
+                amp, n = int(amp), int(n)
+                pcm = np.where(np.arange(n) % 2 == 0, amp, -amp).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(pcm.tobytes())
+                rows.append((int(i), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav_bytes"])
+
+    return df.select(F.col(id_col), F.col(amp_col), F.col(frames_col)).mapInPandas(
+        kernel, "doc_id long, wav_bytes binary"
+    )
+
+
+def decode_wav(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """REAL audio decode (not a stub): parse RIFF/WAVE headers and PCM16
+    frames with stdlib ``wave``, compute exact integer RMS with numpy.
+    Same mapInPandas shape as the stubbed codecs — this is the proof
+    that the plumbing carries a genuine decoder unchanged."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                with wave_mod.open(io.BytesIO(bytes(b)), "rb") as w:
+                    nch = w.getnchannels()
+                    sr = w.getframerate()
+                    nf = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.float64)
+                rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+                rows.append((int(i), nch, sr, nf, nf * 1000 // sr, int(round(rms))))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "n_frames",
+                    "duration_ms", "rms_int",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(kernel, WAV_FEATURES_SCHEMA)

@@ -128,3 +128,32 @@ def doc_audio_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_media(spark, sf_dir), "doc_id", "media_bytes", sample_rate=16_000, fake=True
     )
     return feats.select("doc_id", "duration_ms", F.col("sample_rate").cast("int").alias("sample_rate"))
+
+
+@query(
+    "doc_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           1 AS n_channels,
+           16000 AS sample_rate,
+           CAST((n_chars % 100 + 1) * 160 AS BIGINT) AS n_frames,
+           CAST((n_chars % 100 + 1) * 160 * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 1000 + 1000 AS BIGINT) AS rms_int
+    FROM documents
+    """,
+    doc="REAL audio codec round-trip (stdlib wave, no stub): synthesize "
+    "genuine RIFF/WAVE PCM16 square-wave bytes per doc, decode them "
+    "back with a real parser, and hash-match every decoded feature "
+    "(channels, rate, frames, duration, exact integer RMS) against "
+    "the closed-form oracle — proving the multimodal mapInPandas "
+    "plumbing carries a true decoder end-to-end.",
+    tags=("multimodal", "audio", "codec"),
+)
+def doc_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(1000)) + 1000).alias("amp"),
+        ((F.pmod(F.col("n_chars"), F.lit(100)) + 1) * 160).alias("frames"),
+    )
+    wav = multimodal.synthesize_wav(docs, "doc_id", "amp", "frames")
+    return multimodal.decode_wav(wav, "doc_id", "wav_bytes")
