@@ -476,9 +476,12 @@ def incremental_exact_dedup(
     left-anti join against the index. The index is O(corpus) rows but
     only 16 bytes wide; at 100 TB keep it bucketed on the fingerprint
     (sources/bucketing.py) so the anti-join shuffles ONLY the delta
-    batch, or broadcast it while it fits. Returns the surviving new
-    rows with their fingerprint attached — append them to the index to
-    complete the ingest cycle.
+    batch, or broadcast it while it fits — and Spark's runtime Bloom
+    filter injection (spark.sql.optimizer.runtime.bloomFilter.enabled,
+    on by default here) builds a Bloom of the small delta side and
+    prunes the index scan before its shuffle. Returns the surviving
+    new rows with their fingerprint attached — append them to the
+    index to complete the ingest cycle.
     """
     fp = text.fingerprint(F.col(text_col)).alias(fp_col)
     batch = new_docs.select(F.col(id_col), fp)
