@@ -230,6 +230,43 @@ WAV_FEATURES_SCHEMA = (
 )
 
 
+def synth_wav_bytes(amp: int, n_frames: int, sample_rate: int = 16_000) -> bytes:
+    """REAL RIFF/WAVE PCM16 mono bytes (stdlib ``wave``): a square wave
+    alternating ±``amp`` for ``n_frames`` frames. Pure function —
+    property-tested directly, wrapped by the Arrow kernel below."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    pcm = np.where(np.arange(n_frames) % 2 == 0, amp, -amp).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_bytes(data: bytes) -> tuple[int, int, int, int, int]:
+    """REAL audio decode (not a stub): parse RIFF/WAVE headers and PCM16
+    frames with stdlib ``wave``; exact integer RMS via numpy. Returns
+    (n_channels, sample_rate, n_frames, duration_ms, rms_int)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    with wave_mod.open(io.BytesIO(data), "rb") as w:
+        nch = w.getnchannels()
+        sr = w.getframerate()
+        nf = w.getnframes()
+        pcm = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+    return nch, sr, nf, nf * 1000 // sr, int(round(rms))
+
+
 def synthesize_wav(
     df: DataFrame,
     id_col: str,
@@ -238,30 +275,17 @@ def synthesize_wav(
     *,
     sample_rate: int = 16_000,
 ) -> DataFrame:
-    """Build REAL RIFF/WAVE PCM16 mono bytes per row (stdlib ``wave`` —
-    no external codec): a square wave alternating ±amplitude for
-    ``frames_col`` frames. Deterministic pure function of its inputs,
-    so any engine can predict the decoded features exactly; a square
-    wave's RMS is its amplitude, keeping the round-trip oracle
-    integer-exact."""
-    import io
-    import wave as wave_mod
-
-    import numpy as np
+    """Per-row :func:`synth_wav_bytes` as an Arrow kernel. Deterministic
+    pure function of its inputs, so any engine can predict the decoded
+    features exactly; a square wave's RMS is its amplitude, keeping the
+    round-trip oracle integer-exact."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, amp, n in zip(pdf[id_col], pdf[amp_col], pdf[frames_col]):
-                amp, n = int(amp), int(n)
-                pcm = np.where(np.arange(n) % 2 == 0, amp, -amp).astype("<i2")
-                buf = io.BytesIO()
-                with wave_mod.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(sample_rate)
-                    w.writeframes(pcm.tobytes())
-                rows.append((int(i), buf.getvalue()))
+            rows = [
+                (int(i), synth_wav_bytes(int(amp), int(n), sample_rate))
+                for i, amp, n in zip(pdf[id_col], pdf[amp_col], pdf[frames_col])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "wav_bytes"])
 
     return df.select(F.col(id_col), F.col(amp_col), F.col(frames_col)).mapInPandas(
@@ -270,26 +294,16 @@ def synthesize_wav(
 
 
 def decode_wav(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
-    """REAL audio decode (not a stub): parse RIFF/WAVE headers and PCM16
-    frames with stdlib ``wave``, compute exact integer RMS with numpy.
-    Same mapInPandas shape as the stubbed codecs — this is the proof
-    that the plumbing carries a genuine decoder unchanged."""
-    import io
-    import wave as wave_mod
-
-    import numpy as np
+    """Per-row :func:`decode_wav_bytes` as an Arrow kernel — the same
+    mapInPandas shape as the stubbed codecs; proof that the plumbing
+    carries a genuine decoder unchanged."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, b in zip(pdf[id_col], pdf[bytes_col]):
-                with wave_mod.open(io.BytesIO(bytes(b)), "rb") as w:
-                    nch = w.getnchannels()
-                    sr = w.getframerate()
-                    nf = w.getnframes()
-                    pcm = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.float64)
-                rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
-                rows.append((int(i), nch, sr, nf, nf * 1000 // sr, int(round(rms))))
+            rows = [
+                (int(i), *decode_wav_bytes(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[bytes_col])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[

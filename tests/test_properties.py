@@ -100,3 +100,23 @@ def test_minhash_batch_equals_rowwise(spark, hashes):
         hv = np.asarray(h, dtype=np.uint64)
         want = ((a * hv + b) % np.uint64(_MERSENNE_P)).min(axis=1).astype(np.int64)
         assert list(got) == list(want)
+
+
+@given(
+    amp=st.integers(min_value=0, max_value=32_767),
+    n_frames=st.integers(min_value=0, max_value=4_096),
+)
+@settings(max_examples=150, deadline=None)
+def test_wav_codec_round_trip_exact(amp, n_frames):
+    """The real WAV codec round-trips exactly for any (amp, frames):
+    square-wave RMS equals the amplitude, frame count and duration are
+    preserved, including the empty-audio edge."""
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        decode_wav_bytes,
+        synth_wav_bytes,
+    )
+
+    nch, sr, nf, dur_ms, rms = decode_wav_bytes(synth_wav_bytes(amp, n_frames))
+    assert (nch, sr, nf) == (1, 16_000, n_frames)
+    assert dur_ms == n_frames * 1000 // 16_000
+    assert rms == (amp if n_frames else 0)
