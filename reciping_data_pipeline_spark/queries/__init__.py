@@ -94,6 +94,10 @@ def all_queries() -> dict[str, Query]:
         tpch,
         vectorops,
     )
+    # curation registers LAST: its queries append after the current
+    # unverified backlog so they never displace queries already queued
+    # for this round's 50-entry driver verification window.
+    from reciping_data_pipeline_spark.queries import curation  # noqa: F401
 
     unverified = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_VERIFIED}
     verified = {n: q for n, q in REGISTRY.items() if n in _DRIVER_VERIFIED}
