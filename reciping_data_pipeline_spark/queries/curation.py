@@ -145,3 +145,159 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len({_TOKENS_SQL}) - 4),
+                   i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+                        || ' ' || {_TOKENS_SQL}[i+3] || ' ' || {_TOKENS_SQL}[i+4])) AS sh
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM postings GROUP BY shingle),
+    novel AS (
+        SELECT first_doc AS doc_id, count(*) AS novel_ngrams FROM firsts GROUP BY first_doc
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n_ngrams FROM docs WHERE len(sh) > 0)
+    SELECT s.doc_id,
+           CAST(s.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(coalesce(n.novel_ngrams, 0) AS BIGINT) AS novel_ngrams,
+           round(coalesce(n.novel_ngrams, 0) * 1.0 / s.n_ngrams, 4) AS novelty
+    FROM sizes s LEFT JOIN novel n USING (doc_id)
+    """,
+    doc="Corpus-diversity contribution: per doc, the fraction of its "
+    "distinct 5-grams FIRST introduced by it (min-doc_id owner per "
+    "shingle in doc_id order) — low novelty marks recombined/templated "
+    "content even when no single pair crosses a dedup threshold. One "
+    "inverted-index aggregation (map-side partial min per shingle); "
+    "never doc x doc.",
+    tags=("text", "quality", "curation"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.with_shingles(dedup.spread(docs), "text", 5).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("novel_ngrams")
+    )
+    sizes = (
+        dedup.with_shingles(docs, "text", 5)
+        .select("doc_id", F.size("shingles").alias("n_ngrams"))
+        .where(F.col("n_ngrams") > 0)
+    )
+    return (
+        sizes.join(novel, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+            F.coalesce("novel_ngrams", F.lit(0)).alias("novel_ngrams"),
+            F.round(F.coalesce("novel_ngrams", F.lit(0)) / F.col("n_ngrams"), 4).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "doc_dup_cluster_histogram",
+    oracle=f"""
+    WITH clusters AS (
+        SELECT md5({{norm}}) AS fp, count(*) AS cluster_size
+        FROM documents GROUP BY fp
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY cluster_size
+    """.format(norm="trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"),
+    doc="Duplicate-cluster size spectrum: how many exact-dup clusters "
+    "of each size the corpus contains (size 1 = unique docs) — the "
+    "shape of this histogram decides whether dedup is worth a full "
+    "near-dup pass. Two aggregations, both map-side combinable.",
+    tags=("text", "dedup", "curation"),
+)
+def doc_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(T.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )
+
+
+@query(
+    "doc_boilerplate_prefix",
+    oracle=f"""
+    WITH pfx AS (
+        SELECT doc_id,
+               array_to_string(list_slice({_TRIM_TOKENS_SQL}, 1, 5), ' ') AS prefix,
+               len({_TRIM_TOKENS_SQL}) AS n_tok
+        FROM documents
+        WHERE len({_TRIM_TOKENS_SQL}) >= 5
+    )
+    SELECT prefix,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM pfx
+    GROUP BY prefix
+    HAVING count(*) > 1
+    """,
+    doc="Boilerplate detection: shared 5-token document prefixes "
+    "(headers, licenses, templated openings) appearing on more than "
+    "one doc — the cheap precursor to targeted boilerplate stripping. "
+    "One aggregation on a derived prefix key.",
+    tags=("text", "quality", "curation"),
+)
+def doc_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    return (
+        docs.where(F.size(toks) >= 5)
+        .select("doc_id", F.concat_ws(" ", F.slice(toks, 1, 5)).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "doc_token_frequency_spectrum",
+    oracle=f"""
+    WITH counts AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    )
+    SELECT freq,
+           count(*) AS n_tokens_with_freq,
+           CAST(freq * count(*) AS BIGINT) AS occurrences
+    FROM counts GROUP BY freq
+    """,
+    doc="Token frequency-of-frequencies (Zipf spectrum): how many "
+    "distinct tokens occur exactly k times — hapax share and spectrum "
+    "slope are the standard tokenizer/corpus-health diagnostics. Two "
+    "token-keyed aggregations with map-side combine; shuffle carries "
+    "one row per distinct token then one per distinct frequency.",
+    tags=("text", "vocab", "curation"),
+)
+def doc_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return counts.groupBy("freq").agg(
+        F.count("*").alias("n_tokens_with_freq"),
+        (F.col("freq") * F.count("*")).alias("occurrences"),
+    )
