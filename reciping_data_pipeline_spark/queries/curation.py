@@ -301,3 +301,52 @@ def doc_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens_with_freq"),
         (F.col("freq") * F.count("*")).alias("occurrences"),
     )
+
+
+_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+_NRM = "sqrt(list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[])))"
+
+
+@query(
+    "embed_filtered_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    c AS (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv
+        FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id
+    ),
+    pairs AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT.format(a='qv', b='cv')}
+                     / nullif({_NRM.format(v='qv')} * {_NRM.format(v='cv')}, 0), 4) AS cosine_sim
+        FROM c CROSS JOIN q
+        WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS sim_rank
+    FROM pairs
+    QUALIFY sim_rank <= 5
+    """,
+    doc="Filtered vector search (the production retrieval shape): the "
+    "corpus is PRE-filtered by a relational predicate (here: the "
+    "joined document's language) before the exact cosine top-k, so "
+    "ranks are computed over the eligible set — post-filtering an "
+    "unfiltered top-k silently returns < k rows. The metadata "
+    "semi-join prunes the corpus scan before any vector math; queries "
+    "stay broadcast.",
+    tags=("vector", "topk", "filter", "curation"),
+)
+def embed_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(keep, on="vec_id", how="left_semi")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(corpus, queries, k=5, round_dp=4)
