@@ -350,3 +350,37 @@ def embed_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(keep, on="vec_id", how="left_semi")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.brute_force_topk(corpus, queries, k=5, round_dp=4)
+
+
+@query(
+    "embed_label_centroids",
+    oracle="""
+    SELECT label, list(rv ORDER BY i) AS centroid
+    FROM (
+        SELECT label, i, round(avg(v), 4) AS rv
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY label, i
+    )
+    GROUP BY label
+    """,
+    doc="Distributed element-wise vector aggregation: per-label mean "
+    "embedding (class centroids for labeling/clustering workflows). "
+    "posexplode keys the shuffle on (label, position) with map-side "
+    "partial sums — 64 narrow rows per vector, never a whole-vector "
+    "reduce on one node — then the centroid is reassembled with an "
+    "order-pinned array_agg. At 100 TB this is the only shape that "
+    "scales: vector width parallelism AND row parallelism.",
+    tags=("vector", "agg", "curation"),
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_pos = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 4).alias("rv"))
+    )
+    return per_pos.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("i", "rv"))).getField("rv").alias("centroid")
+    )
