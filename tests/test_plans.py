@@ -188,3 +188,22 @@ def test_semantic_dedup_join_is_cell_blocked(spark):
     inspect.assert_no_cartesian(pairs)
     plan = inspect.simple_plan(pairs)
     assert "cell" in plan
+
+
+def test_winsorize_broadcasts_percentile_bounds(spark):
+    """The global [p05,p95] bounds are one row — they must broadcast
+    onto the token scan (scalar cross join), never shuffle it."""
+    df = _q(spark, "doc_length_winsorize")
+    plan = inspect.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or inspect.count_broadcast_joins(df) >= 1
+    assert inspect.count_shuffle_joins(df) == 0
+
+
+def test_filtered_knn_semi_join_prunes_corpus(spark):
+    """Filtered vector search: the metadata filter must reach the
+    corpus as a (broadcast) semi join before any vector math, and the
+    query side stays broadcast."""
+    df = _q(spark, "embed_filtered_knn")
+    plan = inspect.simple_plan(df)
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastExchange") >= 2  # keep-list + query set
