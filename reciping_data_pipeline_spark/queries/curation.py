@@ -357,7 +357,9 @@ def embed_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label, list(rv ORDER BY i) AS centroid
     FROM (
-        SELECT label, i, round(avg(v), 4) AS rv
+        -- + 0.0 normalizes IEEE negative zero: round() of a tiny
+        -- negative mean yields -0.0 in DuckDB but 0.0 in Spark
+        SELECT label, i, round(avg(v), 4) + 0.0 AS rv
         FROM (SELECT label, unnest(embedding) AS v,
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
@@ -379,7 +381,7 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pos = (
         emb.select("label", F.posexplode("embedding").alias("i", "v"))
         .groupBy("label", "i")
-        .agg(F.round(F.avg("v"), 4).alias("rv"))
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("rv"))
     )
     return per_pos.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("i", "rv"))).getField("rv").alias("centroid")
