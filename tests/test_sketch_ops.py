@@ -291,3 +291,28 @@ def test_incremental_dedup_against_index(spark):
     )
     kept = incremental_exact_dedup(new_batch, existing)
     assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+
+
+def test_contamination_empty_eval_set(spark):
+    """An empty eval set flags nothing — every corpus doc reports zero
+    shared n-grams (left-join null path)."""
+    from reciping_data_pipeline_spark.operators.dedup import contamination
+
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "some words here for the corpus doc")], "doc_id long, text string"
+    )
+    got = contamination(corpus, ev, n_gram=5).collect()
+    assert [(r["doc_id"], r["shared_ngrams"], r["contaminated"]) for r in got] == [(1, 0, False)]
+
+
+def test_incremental_dedup_empty_index(spark):
+    """First-ever ingest: an empty index keeps every in-batch-unique doc."""
+    from reciping_data_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    idx = spark.createDataFrame([], "fingerprint string")
+    batch = spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc"), (3, "first doc")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in incremental_exact_dedup(batch, idx).collect())
+    assert kept == [1, 2]
