@@ -386,3 +386,116 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_pos.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("i", "rv"))).getField("rv").alias("centroid")
     )
+
+
+@query(
+    "doc_repeated_passages",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TRIM_TOKENS_SQL} AS toks, len({_TRIM_TOKENS_SQL}) AS n_tok
+        FROM documents
+    ),
+    windows AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, start, start + 19), ' ')) AS wfp
+        FROM t, unnest(generate_series(1, n_tok - 19, 10)) AS u(start)
+        WHERE n_tok >= 20
+    ),
+    dwin AS (SELECT DISTINCT doc_id, wfp FROM windows),
+    shared AS (
+        SELECT wfp FROM dwin GROUP BY wfp HAVING count(*) > 1
+    ),
+    per_doc AS (
+        SELECT d.doc_id,
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN s.wfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS shared_windows
+        FROM dwin d LEFT JOIN shared s USING (wfp)
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_windows, shared_windows,
+           round(shared_windows * 1.0 / n_windows, 4) AS shared_frac
+    FROM per_doc
+    """,
+    doc="Repeated-passage detection (the exact-substring dedup "
+    "approximation of Lee et al. 2022): fingerprint 20-token windows "
+    "at stride 10 per doc, mark windows whose fingerprint recurs in "
+    "ANY other doc, report each doc's shared-window fraction — "
+    "catches long verbatim passages that 5-gram Jaccard dilutes away "
+    "in long documents. Window explode is index-arithmetic (zero "
+    "shuffle); the only exchanges are the fingerprint-keyed "
+    "aggregation and the per-doc rollup, both map-side combinable.",
+    tags=("text", "dedup", "curation"),
+)
+def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n - 19, F.lit(10))
+    win = (
+        docs.where(n >= 20)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts, lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s, 20)))
+                )
+            ).alias("wfp"),
+        )
+        .distinct()
+    )
+    shared = win.groupBy("wfp").agg(F.count("*").alias("cnt")).where(F.col("cnt") > 1)
+    per_doc = (
+        win.join(shared.select("wfp", F.lit(1).alias("s")), on="wfp", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("shared_windows"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "shared_windows",
+        F.round(F.col("shared_windows") / F.col("n_windows"), 4).alias("shared_frac"),
+    )
+
+
+@query(
+    "user_day_transcripts",
+    oracle="""
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) AS STRING) AS event_date,
+           count(*) AS n_events,
+           string_agg(event_type || ':' || CAST(round(coalesce(value, 0), 2) AS STRING),
+                      ' | ' ORDER BY ts, event_id) AS transcript
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    doc="Structured-logs-to-training-text serialization: each user-day "
+    "becomes one ordered transcript line (event_type:value joined in "
+    "timestamp order with an event_id tie-break) — the step that turns "
+    "behavioral logs into sequence-model training records. One shuffle "
+    "keyed (user, day); ordering is enforced per group by an "
+    "array_sort over (ts, event_id) structs, deterministic on any "
+    "partitioning — never a global sort.",
+    tags=("text", "serialization", "curation"),
+)
+def user_day_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        F.round(F.coalesce(F.col("value"), F.lit(0)), 2).cast("string"),
+    )
+    rows = ev.select(
+        "user_id",
+        F.to_date("ts").cast("string").alias("event_date"),
+        F.struct(F.col("ts"), F.col("event_id"), line.alias("line")).alias("entry"),
+    )
+    return rows.groupBy("user_id", "event_date").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("entry")), lambda s: s["line"]), " | "
+        ).alias("transcript"),
+    )
