@@ -499,3 +499,45 @@ def user_day_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.array_sort(F.collect_list("entry")), lambda s: s["line"]), " | "
         ).alias("transcript"),
     )
+
+
+@query(
+    "user_trailing_7d_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               round(sum(coalesce(value, 0)), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(d AS STRING) AS event_date,
+           round(sum(day_value) OVER (
+               PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4)
+               AS trailing_7d
+    FROM daily
+    """,
+    doc="Time-based sliding window: per-user trailing-7-day value via a "
+    "RANGE INTERVAL frame (calendar-aware — gaps in activity shrink "
+    "the frame, unlike a ROWS frame which would reach back across "
+    "them). Pre-aggregated to user-day rows first, so the window "
+    "input is O(users x days), and the partition key keeps frame "
+    "state executor-local at any scale.",
+    tags=("window", "range-frame", "curation"),
+)
+def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_r7_events")
+    return spark.sql("""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   round(sum(coalesce(value, 0)), 4) AS day_value
+            FROM _r7_events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(d AS STRING) AS event_date,
+               round(sum(day_value) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4)
+                   AS trailing_7d
+        FROM daily
+    """)
