@@ -541,3 +541,86 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS trailing_7d
         FROM daily
     """)
+
+
+@query(
+    "user_timeseries_similarity",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               round(sum(coalesce(value, 0)), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT d FROM daily),
+    users AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY sum(day_value), user_id) AS block
+        FROM daily GROUP BY user_id
+    ),
+    dense AS (
+        SELECT u.user_id, u.block, g.d, coalesce(dy.day_value, 0) AS v
+        FROM users u CROSS JOIN grid g
+        LEFT JOIN daily dy ON dy.user_id = u.user_id AND dy.d = g.d
+    ),
+    dists AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 4) AS dist
+        FROM dense a JOIN dense b
+          ON a.d = b.d AND a.block = b.block AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, dist
+    FROM dists
+    ORDER BY dist, user_a, user_b
+    LIMIT 20
+    """,
+    doc="Distributed time-series similarity search (EDBT'19/REPOSE "
+    "family): each user's daily activity series (zero-filled over the "
+    "global day grid) compared by Euclidean distance WITHIN activity-"
+    "quartile blocks — the blocked formulation that avoids the "
+    "all-pairs join (quadratic only inside each ntile block). "
+    "Distances accumulate from the long format (day-keyed equi-join + "
+    "sum of squared diffs), so no array materialization rides the "
+    "shuffle; top-20 closest pairs via TakeOrderedAndProject with "
+    "full tie-breaks.",
+    tags=("timeseries", "similarity", "curation"),
+)
+def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))), 4).alias("day_value"))
+    grid = daily.select("d").distinct()
+    from pyspark.sql import Window as W
+
+    users = daily.groupBy("user_id").agg(F.sum("day_value").alias("total")).select(
+        "user_id", F.ntile(4).over(W.orderBy("total", "user_id")).alias("block")
+    )
+    dense = (
+        users.crossJoin(grid)
+        .join(daily, on=["user_id", "d"], how="left")
+        .select("user_id", "block", "d", F.coalesce("day_value", F.lit(0)).alias("v"))
+    )
+    a = dense.select(
+        F.col("user_id").alias("user_a"), F.col("block").alias("ba"),
+        F.col("d").alias("da"), F.col("v").alias("va"),
+    )
+    b = dense.select(
+        F.col("user_id").alias("user_b"), F.col("block").alias("bb"),
+        F.col("d").alias("db"), F.col("v").alias("vb"),
+    )
+    dists = (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))), 4
+            ).alias("dist")
+        )
+    )
+    return dists.orderBy("dist", "user_a", "user_b").limit(20)
