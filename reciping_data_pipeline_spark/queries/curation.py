@@ -624,3 +624,63 @@ def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dists.orderBy("dist", "user_a", "user_b").limit(20)
+
+
+@query(
+    "behavior_path_bigrams",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               list(event_type ORDER BY ts, event_id) AS path
+        FROM events GROUP BY 1, 2
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(path) - 1),
+            i -> path[i] || ' -> ' || path[i + 1])) AS transition
+        FROM seqs WHERE len(path) >= 2
+    )
+    SELECT transition, count(*) AS n
+    FROM grams GROUP BY transition
+    ORDER BY n DESC, transition
+    LIMIT 50
+    """,
+    doc="Behavioral path analysis: the top-50 event-to-event "
+    "transitions across per-user-day ordered journeys — the "
+    "product-analytics path/funnel-discovery primitive. The sequence "
+    "is assembled per (user, day) with an order-pinned array_sort "
+    "(deterministic on any partitioning), transitions explode via "
+    "index arithmetic, and the count rolls up with map-side combine + "
+    "TakeOrderedAndProject.",
+    tags=("clickstream", "path", "curation"),
+)
+def behavior_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.struct("ts", "event_id", "event_type").alias("entry"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("entry")), lambda s: s["event_type"]).alias(
+                "path"
+            )
+        )
+        .where(F.size("path") >= 2)
+    )
+    n = F.size(F.col("path"))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " -> ", F.element_at(F.col("path"), i), F.element_at(F.col("path"), i + 1)
+        ),
+    )
+    return (
+        seqs.select(F.explode(grams).alias("transition"))
+        .groupBy("transition")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "transition")
+        .limit(50)
+    )
