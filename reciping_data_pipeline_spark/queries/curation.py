@@ -684,3 +684,92 @@ def behavior_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "transition")
         .limit(50)
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(date_trunc('week', f.first_day) AS STRING) AS cohort_week,
+           CAST((date_trunc('week', a.d) - date_trunc('week', f.first_day)) / 7 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen week, "
+    "distinct actives counted per week offset — the standard "
+    "retention triangle. The first-seen aggregate is a broadcast "
+    "(O(users) rows); the matrix itself is one distinct-count keyed "
+    "(cohort, offset) with partial aggregation.",
+    tags=("clickstream", "retention", "curation"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    joined = activity.join(F.broadcast(firsts), on="user_id")
+    cohort = F.date_trunc("week", F.col("first_day")).cast("date")
+    week = F.date_trunc("week", F.col("d")).cast("date")
+    return joined.groupBy(
+        cohort.cast("string").alias("cohort_week"),
+        (F.datediff(week, cohort) / 7).cast("bigint").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("active_users"))
+
+
+@query(
+    "strict_funnel_per_user_day",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY 1, 2
+    )
+    SELECT
+        count(*) AS user_days,
+        CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+        CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 ELSE 0 END) AS BIGINT) AS step_click_after_view,
+        CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                      THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase_after_click
+    FROM steps
+    """,
+    doc="Strictly-ordered funnel: a user-day converts a step only if "
+    "its first occurrence happens AFTER the previous step's first "
+    "occurrence (view < click < purchase in time) — the ordering "
+    "semantics that unordered existence funnels overcount. One "
+    "conditional-min aggregation per user-day, then one scalar "
+    "rollup; no joins, no windows.",
+    tags=("clickstream", "funnel", "curation"),
+)
+def strict_funnel_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    steps = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    after = lambda a, b: a.isNotNull() & (b > a)  # noqa: E731
+    return steps.agg(
+        F.count("*").alias("user_days"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("step_view"),
+        F.sum(F.when(after(F.col("t_view"), F.col("t_click")), 1).otherwise(0)).alias(
+            "step_click_after_view"
+        ),
+        F.sum(
+            F.when(
+                after(F.col("t_view"), F.col("t_click"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("step_purchase_after_click"),
+    )
