@@ -773,3 +773,60 @@ def strict_funnel_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("step_purchase_after_click"),
     )
+
+
+@query(
+    "event_volume_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS med_n
+        FROM daily GROUP BY event_type
+    ),
+    mad AS (
+        SELECT d.event_type, m.med_n,
+               quantile_cont(abs(d.n - m.med_n), 0.5) AS mad_n
+        FROM daily d JOIN med m USING (event_type)
+        GROUP BY d.event_type, m.med_n
+    )
+    SELECT d.event_type,
+           CAST(d.d AS STRING) AS event_date,
+           d.n,
+           round(m.med_n, 4) AS med_n,
+           round(abs(d.n - m.med_n) / nullif(m.mad_n, 0), 4) AS robust_z
+    FROM daily d JOIN mad m USING (event_type)
+    WHERE abs(d.n - m.med_n) > 3 * m.mad_n AND m.mad_n > 0
+    """,
+    doc="Robust volume-anomaly detection: days whose per-type event "
+    "count deviates more than 3 MADs from the per-type median "
+    "(median absolute deviation — outlier-immune, unlike mean/stddev "
+    "z-scores which the anomaly itself inflates). Exact interpolated "
+    "medians on the pre-aggregated O(types x days) frame, broadcast "
+    "back — the ops/monitoring primitive for ingest-volume regressions.",
+    tags=("quality", "anomaly", "curation"),
+)
+def event_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med_n"))
+    with_med = daily.join(F.broadcast(med), on="event_type")
+    mad = with_med.groupBy("event_type", "med_n").agg(
+        F.expr("percentile(abs(n - med_n), 0.5)").alias("mad_n")
+    )
+    return (
+        daily.join(F.broadcast(mad), on="event_type")
+        .where((F.abs(F.col("n") - F.col("med_n")) > 3 * F.col("mad_n")) & (F.col("mad_n") > 0))
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("event_date"),
+            "n",
+            F.round("med_n", 4).alias("med_n"),
+            F.round(
+                F.abs(F.col("n") - F.col("med_n")) / F.nullif(F.col("mad_n"), F.lit(0.0)), 4
+            ).alias("robust_z"),
+        )
+    )
