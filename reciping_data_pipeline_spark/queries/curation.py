@@ -830,3 +830,76 @@ def event_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@query(
+    "source_vocab_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    clean AS (SELECT source, token FROM toks WHERE token <> ''),
+    global_top AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS n FROM clean GROUP BY token
+            ORDER BY n DESC, token LIMIT 50
+        )
+    ),
+    source_top AS (
+        SELECT source, token FROM (
+            SELECT source, token, count(*) AS n,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY count(*) DESC, token) AS r
+            FROM clean GROUP BY source, token
+        ) WHERE r <= 50
+    )
+    SELECT s.source,
+           CAST(sum(CASE WHEN g.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS overlap_50,
+           round(sum(CASE WHEN g.token IS NOT NULL THEN 1 ELSE 0 END) / 50.0, 4)
+               AS overlap_frac
+    FROM source_top s LEFT JOIN global_top g USING (token)
+    GROUP BY s.source
+    """,
+    doc="Source vocabulary drift: for each source, how much of its "
+    "top-50 token list overlaps the corpus-global top-50 (deterministic "
+    "count-desc/token tie-break) — a set-overlap drift signal with no "
+    "floating-point divergence hazards. Token counts shuffle once per "
+    "keying; the two top-50 lists are O(sources x 50) rows, broadcast "
+    "for the overlap join.",
+    tags=("text", "drift", "curation"),
+)
+def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    clean = docs.select("source", F.explode(toks).alias("token")).where(F.col("token") != "")
+    global_top = (
+        clean.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+        .select("token")
+    )
+    per_source = clean.groupBy("source", "token").agg(F.count("*").alias("n"))
+    source_top = (
+        per_source.withColumn(
+            "r", F.row_number().over(W.partitionBy("source").orderBy(F.desc("n"), "token"))
+        )
+        .where(F.col("r") <= 50)
+        .select("source", "token")
+    )
+    return (
+        source_top.join(
+            F.broadcast(global_top.withColumn("g", F.lit(1))), on="token", how="left"
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("overlap_50"),
+            F.round(
+                F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)) / F.lit(50.0), 4
+            ).alias("overlap_frac"),
+        )
+    )
