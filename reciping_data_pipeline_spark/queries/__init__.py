@@ -51,13 +51,17 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     return deco
 
 
-# Queries that already have a green row in a prior round's driver
-# CORRECTNESS artifact (r01 + r02 checked the same 50).  The driver
-# verifies the first 50 entries of ``queries()`` in dict order, so
-# ``all_queries`` rotates not-yet-verified queries to the front; the
-# union of CORRECTNESS_r01..r0N then covers the whole catalog.
+# Queries that already have a row in a prior round's driver CORRECTNESS
+# artifact (r01/r02 checked the same 50; r03 checked the next 50 — see
+# CORRECTNESS_r03.json).  The driver verifies the first 50 entries of
+# ``queries()`` in dict order, so ``all_queries`` rotates not-yet-verified
+# queries to the front; the union of CORRECTNESS_r01..r0N then covers the
+# whole catalog.  No-oracle queries (rows-only check) are included once
+# their rows-only row has been recorded — re-running them never upgrades
+# the check, so the slot is better spent on unchecked queries.
 _DRIVER_VERIFIED = frozenset(
     {
+        # r01/r02 hash-green
         "dau", "dau_segment_breakdown", "wau_growth", "hourly_heatmap",
         "conversion_funnel", "ab_test_ctr", "ab_test_lift", "engagement_by_day",
         "daily_type_pivot", "sessionization", "props_json_extract",
@@ -71,10 +75,35 @@ _DRIVER_VERIFIED = frozenset(
         "doc_simhash_pairs", "doc_token_counts", "doc_dedup_groups",
         "doc_train_val_split", "doc_stratified_sample",
         "doc_pretrain_filter_funnel", "doc_source_mixture", "doc_corpus_manifest",
-        "medallion_pipeline_smoke", "doc_media_meta", "doc_image_decode_fake",
+        "doc_media_meta", "doc_image_decode_fake",
         "doc_frame_sample_counts", "doc_image_resize_fake",
         "doc_audio_features_fake", "lineitem_rollup", "order_cube",
         "repeat_users_intersect",
+        # r03 hash-green (CORRECTNESS_r03.json)
+        "doc_sequence_packing_sharded", "doc_cc_chain_stress",
+        "doc_decontaminate", "doc_incremental_dedup", "doc_temperature_mixture",
+        "medallion_e2e_inventory", "doc_wav_roundtrip",
+        "window_shoppers_except", "value_percentiles",
+        "order_ship_latency_band", "purchase_asof_last_view",
+        "daily_events_rolling", "orders_events_full_outer",
+        "customer_balance_deciles", "nation_metrics_unpivot",
+        "order_priority_profile", "user_event_span", "event_type_date_grid",
+        "order_value_percentile_rank", "top2_lineitems_lateral",
+        "custdist_by_order_count", "top_supplier_revenue",
+        "parts_supplier_count", "big_order_customers",
+        "high_balance_no_urgent_orders", "pricing_summary",
+        "revenue_by_nation", "customers_without_orders",
+        "priority_with_late_lines", "top_parts_per_brand",
+        "monthly_revenue_growth", "priority_share_by_month",
+        "order_segment_breakdown", "latest_order_per_customer",
+        "nation_balance_heatmap", "top10_parts_by_revenue",
+        "market_segment_pivot", "small_quantity_revenue",
+        "promo_revenue_share", "top_returning_customers",
+        "embed_label_stats", "embed_knn_brute", "embed_near_dup_blocked",
+        "embed_quantize_int8",
+        # r03 rows-only (no-oracle by design; recorded in CORRECTNESS_r03)
+        "dau_approx", "event_value_percentiles_approx", "embed_lsh_ann",
+        "embed_ivf_ann", "embed_pq_ann", "embed_semantic_dedup",
     }
 )
 
