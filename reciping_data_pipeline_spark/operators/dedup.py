@@ -54,9 +54,15 @@ def spread(df: DataFrame) -> DataFrame:
     serializes every downstream per-row kernel onto one core — the
     sf0.1 documents table ran 1-partition without this). On a real
     cluster large inputs already carry >= parallelism splits and this
-    is a no-op."""
+    is a no-op. The "arrived narrow" probe is ``inputFiles()`` (public
+    API, plan metadata only — no ``df.rdd``, which would force the
+    whole physical RDD DAG to materialize just to read a count): a
+    scan backed by fewer files than cores is the exact case where the
+    parquet reader under-splits small fixtures. Large single files are
+    already split by ``spark.sql.files.maxPartitionBytes``, and on a
+    real cluster multi-file inputs carry enough splits."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

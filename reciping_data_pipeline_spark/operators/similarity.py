@@ -97,12 +97,22 @@ def assign_cells(df: DataFrame, centroids: np.ndarray, *, vec_col: str) -> DataF
     return df.withColumn("cell", _cell(F.col(vec_col)))
 
 
+def derive_n_cells(n_rows: int, target_cell_size: int = 1024) -> int:
+    """Scale-aware cell count: cells grow linearly with the corpus so
+    the expected within-cell pair work stays O(n_rows * target_cell_size)
+    instead of O(n_rows^2 / constant). A constant cell count would make
+    E[|cell|] — and the quadratic within-cell join — grow with the
+    corpus, which is exactly the anti-pattern this avoids."""
+    return max(1, -(-int(n_rows) // int(target_cell_size)))
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    target_cell_size: int = 1024,
     threshold: float = 0.95,
     sample: int = 2048,
     seed: int = 17,
@@ -117,7 +127,18 @@ def semantic_dedup_pairs(
     vectors always share a cell (same nearest centroid), so exact-dup
     recall is 1; near-dups straddling a cell boundary are the method's
     documented recall trade-off (mitigate with more/fewer cells).
+
+    Contract: when ``n_cells`` is None (the default) the cell count is
+    derived from the corpus size as ceil(n / target_cell_size) — one
+    count() action — so cells GROW with the input and expected
+    within-cell pair work stays linear in the corpus, not quadratic.
+    Pass an explicit ``n_cells`` only when you control the corpus size
+    (tests, fixed fixtures). The centroid-fit sample is widened to
+    cover the derived cell count.
     """
+    if n_cells is None:
+        n_cells = derive_n_cells(df.count(), target_cell_size)
+        sample = max(sample, 4 * n_cells)
     cent = fit_spherical_centroids(
         df,
         vec_col=vec_col,

@@ -365,8 +365,11 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(doc, token) aggregation, document frequency from a token-keyed "
     "reduction of the SAME intermediate (no second corpus scan), "
     "ln(N/df) weighting, per-doc top-k via window rank with "
-    "deterministic tie-break. The idf side is tiny (one row per "
-    "distinct token) and broadcasts back onto tf.",
+    "deterministic tie-break. The idf side is one row per distinct "
+    "token — vocabulary-sized, which at web scale is far too large to "
+    "broadcast — so the tf-idf join is left to Catalyst/AQE (a shuffle "
+    "hash join on token; the tf side is already shuffled by its "
+    "groupBy). Only the 1-row corpus count broadcasts.",
     tags=("text", "vocab", "window"),
 )
 def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,7 +385,7 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query stays one lazy plan (no eager driver-side count action).
     n = F.broadcast(docs.agg(F.count("*").cast("double").alias("n_docs")))
     scored = (
-        tf.join(F.broadcast(idf), on="token")
+        tf.join(idf, on="token")
         .crossJoin(n)
         .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")))
     )

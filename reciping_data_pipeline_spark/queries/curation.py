@@ -467,7 +467,7 @@ def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(CAST(ts AS DATE) AS STRING) AS event_date,
            count(*) AS n_events,
-           string_agg(event_type || ':' || CAST(round(coalesce(value, 0), 2) AS STRING),
+           string_agg(event_type || ':' || printf('%.2f', round(coalesce(value, 0), 2)),
                       ' | ' ORDER BY ts, event_id) AS transcript
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
@@ -483,10 +483,13 @@ def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_day_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # printf-style fixed-decimal render on BOTH engines: a bare
+    # double->string cast diverges at >=1e7 (Spark renders Java
+    # scientific notation '1.23E8', DuckDB '123000000.0').
     line = F.concat_ws(
         ":",
         F.col("event_type"),
-        F.round(F.coalesce(F.col("value"), F.lit(0)), 2).cast("string"),
+        F.format_string("%.2f", F.round(F.coalesce(F.col("value"), F.lit(0)), 2)),
     )
     rows = ev.select(
         "user_id",
@@ -551,23 +554,34 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(coalesce(value, 0)), 4) AS day_value
         FROM events GROUP BY 1, 2
     ),
-    grid AS (SELECT DISTINCT d FROM daily),
     users AS (
         SELECT user_id,
-               ntile(4) OVER (ORDER BY sum(day_value), user_id) AS block
+               round(sum(day_value * day_value), 4) AS norm2,
+               CAST(floor(round(sum(day_value), 4) / 256.0) AS BIGINT) AS block
         FROM daily GROUP BY user_id
     ),
-    dense AS (
-        SELECT u.user_id, u.block, g.d, coalesce(dy.day_value, 0) AS v
-        FROM users u CROSS JOIN grid g
-        LEFT JOIN daily dy ON dy.user_id = u.user_id AND dy.d = g.d
+    dd AS (
+        SELECT dy.user_id, dy.d, dy.day_value, u.block
+        FROM daily dy JOIN users u ON dy.user_id = u.user_id
     ),
-    dists AS (
+    dots AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
-               round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 4) AS dist
-        FROM dense a JOIN dense b
+               round(sum(a.day_value * b.day_value), 4) AS dot
+        FROM dd a JOIN dd b
           ON a.d = b.d AND a.block = b.block AND a.user_id < b.user_id
         GROUP BY 1, 2
+    ),
+    dists AS (
+        SELECT p.user_a, p.user_b,
+               round(sqrt(greatest(
+                   p.na2 + p.nb2 - 2 * coalesce(t.dot, 0), 0)), 4) AS dist
+        FROM (
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   a.norm2 AS na2, b.norm2 AS nb2
+            FROM users a JOIN users b
+              ON a.block = b.block AND a.user_id < b.user_id
+        ) p
+        LEFT JOIN dots t ON p.user_a = t.user_a AND p.user_b = t.user_b
     )
     SELECT user_a, user_b, dist
     FROM dists
@@ -575,41 +589,51 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Distributed time-series similarity search (EDBT'19/REPOSE "
-    "family): each user's daily activity series (zero-filled over the "
-    "global day grid) compared by Euclidean distance WITHIN activity-"
-    "quartile blocks — the blocked formulation that avoids the "
-    "all-pairs join (quadratic only inside each ntile block). "
-    "Distances accumulate from the long format (day-keyed equi-join + "
-    "sum of squared diffs), so no array materialization rides the "
-    "shuffle; top-20 closest pairs via TakeOrderedAndProject with "
-    "full tie-breaks.",
+    "family), per-block exact: users are blocked into deterministic "
+    "fixed-width bands of total activity (band width is a parameter; "
+    "a power of two, so the floor-divide is exact FP and engine-"
+    "portable), and Euclidean distance over the zero-filled daily "
+    "series is computed SPARSELY as sqrt(|a|^2 + |b|^2 - 2ab): "
+    "per-user norms from one aggregation, cross terms from a "
+    "day-keyed equi-join on active days only. No global ntile window "
+    "(nothing funnels through one task), no users x days "
+    "densification; total work is the sum of per-band pair counts, "
+    "controlled by the band width. Top-20 closest pairs via "
+    "TakeOrderedAndProject with full tie-breaks.",
     tags=("timeseries", "similarity", "curation"),
 )
 def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _user_timeseries_similarity(spark, sf_dir, band_width=256.0)
+
+
+def _user_timeseries_similarity(
+    spark: SparkSession, sf_dir: str, band_width: float = 256.0, k: int = 20
+) -> DataFrame:
+    """Blocked time-series similarity.  ``band_width`` trades recall
+    (pairs straddling a band boundary are never compared — the
+    "per-block exact" contract) against the per-band pair budget;
+    use a power-of-two width so banding arithmetic is exact FP on
+    every engine."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))), 4).alias("day_value"))
-    grid = daily.select("d").distinct()
-    from pyspark.sql import Window as W
-
-    users = daily.groupBy("user_id").agg(F.sum("day_value").alias("total")).select(
-        "user_id", F.ntile(4).over(W.orderBy("total", "user_id")).alias("block")
+    users = daily.groupBy("user_id").agg(
+        F.round(F.sum(F.col("day_value") * F.col("day_value")), 4).alias("norm2"),
+        F.floor(F.round(F.sum("day_value"), 4) / F.lit(float(band_width)))
+        .cast("bigint")
+        .alias("block"),
     )
-    dense = (
-        users.crossJoin(grid)
-        .join(daily, on=["user_id", "d"], how="left")
-        .select("user_id", "block", "d", F.coalesce("day_value", F.lit(0)).alias("v"))
-    )
-    a = dense.select(
+    dd = daily.join(users.select("user_id", "block"), on="user_id")
+    a = dd.select(
         F.col("user_id").alias("user_a"), F.col("block").alias("ba"),
-        F.col("d").alias("da"), F.col("v").alias("va"),
+        F.col("d").alias("da"), F.col("day_value").alias("va"),
     )
-    b = dense.select(
+    b = dd.select(
         F.col("user_id").alias("user_b"), F.col("block").alias("bb"),
-        F.col("d").alias("db"), F.col("v").alias("vb"),
+        F.col("d").alias("db"), F.col("day_value").alias("vb"),
     )
-    dists = (
+    dots = (
         a.join(
             b,
             (F.col("da") == F.col("db"))
@@ -617,13 +641,33 @@ def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("user_a") < F.col("user_b")),
         )
         .groupBy("user_a", "user_b")
-        .agg(
-            F.round(
-                F.sqrt(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))), 4
-            ).alias("dist")
-        )
+        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 4).alias("dot"))
     )
-    return dists.orderBy("dist", "user_a", "user_b").limit(20)
+    ua = users.select(
+        F.col("user_id").alias("user_a"), F.col("block").alias("pba"),
+        F.col("norm2").alias("na2"),
+    )
+    ub = users.select(
+        F.col("user_id").alias("user_b"), F.col("block").alias("pbb"),
+        F.col("norm2").alias("nb2"),
+    )
+    pairs = ua.join(
+        ub, (F.col("pba") == F.col("pbb")) & (F.col("user_a") < F.col("user_b"))
+    ).select("user_a", "user_b", "na2", "nb2")
+    dists = pairs.join(dots, on=["user_a", "user_b"], how="left").select(
+        "user_a",
+        "user_b",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("na2") + F.col("nb2") - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
+                    F.lit(0.0),
+                )
+            ),
+            4,
+        ).alias("dist"),
+    )
+    return dists.orderBy("dist", "user_a", "user_b").limit(k)
 
 
 @query(

@@ -35,13 +35,35 @@ _STAGING = os.path.join(_FIXTURE_DIR, "staging")
 _MASTER = os.path.join(_FIXTURE_DIR, "masters", "recipes.parquet")
 
 
-def _ensure_fixture() -> None:
-    if not os.path.isdir(_FIXTURE_DIR):
-        from reciping_data_pipeline_spark.pipeline import datagen
+_SENTINEL = "_FIXTURE_COMPLETE"
 
-        datagen.generate_fixture(
-            _FIXTURE_DIR, seed=23, n_users=200, n_days=2, start=datetime(2025, 9, 1)
-        )
+
+def _ensure_fixture() -> None:
+    """Generate the fixture atomically: build into a scratch dir, mark
+    it with a completion sentinel, then rename into place. A bare
+    isdir check would let a crashed or concurrent first generation
+    leave a partial dir that permanently poisons both the Spark query
+    and the DuckDB oracle (silent hash mismatch)."""
+    if os.path.isfile(os.path.join(_FIXTURE_DIR, _SENTINEL)):
+        return
+    from reciping_data_pipeline_spark.pipeline import datagen
+
+    tmp = f"{_FIXTURE_DIR}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    datagen.generate_fixture(tmp, seed=23, n_users=200, n_days=2, start=datetime(2025, 9, 1))
+    with open(os.path.join(tmp, _SENTINEL), "w", encoding="utf-8"):
+        pass
+    # Sweep any incomplete dir from a crashed run, then move the
+    # complete build into place; os.rename is atomic on one filesystem.
+    if os.path.isdir(_FIXTURE_DIR) and not os.path.isfile(os.path.join(_FIXTURE_DIR, _SENTINEL)):
+        shutil.rmtree(_FIXTURE_DIR, ignore_errors=True)
+    try:
+        os.rename(tmp, _FIXTURE_DIR)
+    except OSError:
+        # A concurrent generator won the race; keep its complete copy.
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(_FIXTURE_DIR, _SENTINEL)):
+            raise
 
 
 _ensure_fixture()

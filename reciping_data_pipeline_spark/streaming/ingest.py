@@ -103,9 +103,8 @@ def start_corpus_stream(
     not in streaming state — no unbounded state store, and a bulk
     engine restart resumes from the checkpoint + index alone.
     """
-    import os
-
     import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
 
     from reciping_data_pipeline_spark.operators import dedup as dedup_ops
     from reciping_data_pipeline_spark.sources import writers
@@ -124,9 +123,15 @@ def start_corpus_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.isdir(corpus_dir):
+        # Probe the corpus index THROUGH Spark, not the driver's local
+        # filesystem: os.path.isdir is always False for S3/HDFS paths,
+        # which would silently disable cross-batch dedup on any
+        # non-local store. A missing/empty table raises
+        # AnalysisException (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA)
+        # at read time — that IS the "first batch, no corpus yet" case.
+        try:
             index = writers.read_table(batch_df.sparkSession, corpus_dir).select("fingerprint")
-        else:
+        except AnalysisException:
             index = batch_df.sparkSession.createDataFrame([], "fingerprint string")
         kept = dedup_ops.incremental_exact_dedup(batch_df, index, "doc_id", "text")
         rows = batch_df.join(kept.select("doc_id", "fingerprint"), on="doc_id", how="inner")

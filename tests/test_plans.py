@@ -199,6 +199,46 @@ def test_winsorize_broadcasts_percentile_bounds(spark):
     assert inspect.count_shuffle_joins(df) == 0
 
 
+def test_timeseries_similarity_no_global_window(spark):
+    """Blocked time-series similarity must not funnel all users through
+    a single-partition window (the old global-ntile shape): no Window
+    node at all, no SinglePartition exchange, no cartesian; top-k via
+    TakeOrderedAndProject."""
+    df = _q(spark, "user_timeseries_similarity")
+    plan = inspect.simple_plan(df)
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    inspect.assert_no_cartesian(df)
+
+
+def test_tfidf_does_not_broadcast_vocabulary(spark):
+    """The idf side of TF-IDF is vocabulary-sized (10^8+ tokens at web
+    scale) and must NOT carry a broadcast hint; only the 1-row corpus
+    count broadcasts. Stats-based auto-broadcast is disabled for the
+    check so only explicit hints survive planning."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = inspect.simple_plan(_q(spark, "doc_tfidf_topk"))
+        assert plan.count("BroadcastExchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semantic_dedup_cells_scale_with_corpus(spark):
+    """The SemDeDup default derives the cell count from the corpus size
+    (constant target cell size), so within-cell pair work stays linear
+    in the corpus instead of quadratic."""
+    from reciping_data_pipeline_spark.operators.similarity import derive_n_cells
+
+    assert derive_n_cells(500, 1024) == 1
+    assert derive_n_cells(10_000, 1024) == 10
+    assert derive_n_cells(10_000_000, 1024) == 9766
+    # 10x the corpus -> 10x the cells (expected cell size constant).
+    assert derive_n_cells(10_240_000, 1024) * 10 == derive_n_cells(102_400_000, 1024)
+
+
 def test_filtered_knn_semi_join_prunes_corpus(spark):
     """Filtered vector search: the metadata filter must reach the
     corpus as a (broadcast) semi join before any vector math, and the
