@@ -69,7 +69,7 @@ def ingest_interval(
     # ingestion_date spans many intervals), so interval loads dedup at
     # the file level: drop rows whose source_file was already ingested.
     path = bronze_path(warehouse)
-    if os.path.isdir(path):
+    if writers.table_exists(spark, path):
         existing = writers.read_table(spark, path).select("source_file").distinct()
         df = df.join(existing, on="source_file", how="left_anti")
         if df.isEmpty():
@@ -87,7 +87,7 @@ def _glob_all(staging_dir: str) -> str:
 
 
 def read_bronze(spark: SparkSession, warehouse: str, ingestion_date: str | None = None) -> DataFrame:
-    df = spark.read.option("recursiveFileLookup", "false").parquet(bronze_path(warehouse))
+    df = writers.read_table(spark, bronze_path(warehouse))
     if ingestion_date:
         df = df.where(F.col("ingestion_date") == ingestion_date)  # partition-pruned
     return df

@@ -65,7 +65,7 @@ def upsert_dim_user(spark: SparkSession, silver_df: DataFrame, warehouse: str) -
     re-run and free of the reference's global-window SK assignment."""
     path = dim_path(warehouse, "dim_user")
     incoming = build_dim_user(silver_df)
-    if not os.path.isdir(path):
+    if not writers.table_exists(spark, path):
         writers.overwrite_table(incoming, path)
         return
     existing = writers.read_table(spark, path)

@@ -124,12 +124,12 @@ def run_incremental(spark: SparkSession, silver_df: DataFrame, warehouse: str) -
         dims_mod.read_dim(spark, warehouse, "dim_page"),
     )
     path = fact_path(warehouse)
-    if not os.path.isdir(path):
+    if not writers.table_exists(spark, path):
         writers.overwrite_partitions(fact, path, ["event_date"])
         return fact
     touched = [r["event_date"] for r in fact.select("event_date").distinct().collect()]
     existing_ids = (
-        spark.read.parquet(path).where(F.col("event_date").isin(touched)).select("event_id")
+        writers.read_table(spark, path).where(F.col("event_date").isin(touched)).select("event_id")
     )
     fresh = fact.join(existing_ids, on="event_id", how="left_anti")
     if not fresh.isEmpty():
@@ -138,7 +138,7 @@ def run_incremental(spark: SparkSession, silver_df: DataFrame, warehouse: str) -
 
 
 def read_fact(spark: SparkSession, warehouse: str) -> DataFrame:
-    return spark.read.parquet(fact_path(warehouse))
+    return writers.read_table(spark, fact_path(warehouse))
 
 
 def join_success_rates(fact: DataFrame) -> dict[str, float]:

@@ -126,7 +126,7 @@ def append_incremental(silver_df: DataFrame, warehouse: str) -> None:
     present events are filtered out, so re-running is a no-op."""
     spark = silver_df.sparkSession
     path = silver_path(warehouse)
-    if not os.path.isdir(path):
+    if not writers.table_exists(spark, path):
         write_bulk(silver_df, warehouse)
         return
     touched = silver_df.select("year", "month", "day").distinct().collect()
@@ -139,7 +139,7 @@ def append_incremental(silver_df: DataFrame, warehouse: str) -> None:
             (F.col("year") == r["year"]) & (F.col("month") == r["month"]) & (F.col("day") == r["day"])
         )
         pred = clause if pred is None else (pred | clause)
-    existing_ids = spark.read.parquet(path).where(pred).select("event_id")
+    existing_ids = writers.read_table(spark, path).where(pred).select("event_id")
     fresh = silver_df.join(existing_ids, on="event_id", how="left_anti")
     if fresh.isEmpty():
         return
@@ -165,7 +165,7 @@ def run_batch(
 
 
 def read_silver(spark: SparkSession, warehouse: str, date: str | None = None) -> DataFrame:
-    df = spark.read.parquet(silver_path(warehouse))
+    df = writers.read_table(spark, silver_path(warehouse))
     if date:
         # Predicate on the partition columns, not the derived `date`
         # data column: only partition-column predicates prune the

@@ -51,6 +51,19 @@ class TableFormat:
     def read_table(self, spark: SparkSession, path: str) -> DataFrame:
         raise NotImplementedError
 
+    def table_exists(self, spark: SparkSession, path: str) -> bool:
+        """Format-aware existence probe. Default: attempt the read and
+        treat AnalysisException (missing path / no schema) as absent —
+        works on any store Spark can address, unlike an os.path check
+        which is always False for S3/HDFS paths."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.read_table(spark, path)
+            return True
+        except AnalysisException:
+            return False
+
 
 class ParquetFormat(TableFormat):
     """Path-addressed partitioned parquet (the default everywhere)."""
@@ -115,6 +128,13 @@ def append_table(df: DataFrame, path: str, partition_cols: list[str] | None = No
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return _ACTIVE_FORMAT.read_table(spark, path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Does a committed table exist at ``path`` under the active format?
+    Pipeline code probes through this (never os.path) so the answer is
+    correct for snapshot tables and non-local stores alike."""
+    return _ACTIVE_FORMAT.table_exists(spark, path)
 
 
 def compact_partitions(
