@@ -176,22 +176,27 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "content even when no single pair crosses a dedup threshold. One "
     "inverted-index aggregation (map-side partial min per shingle); "
     "never doc x doc.",
-    tags=("text", "quality", "curation"),
+    tags=("text", "quality", "curation", "bench"),
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.with_shingles(dedup.spread(docs), "text", 5).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    docs = dedup.spread(load_table(spark, sf_dir, "documents"))
+    # Position-explode postings (dedup.exploded_shingles — linear, no
+    # per-element re-eval of the shingle array), grouped on 64-bit
+    # fingerprints rather than ~30-byte shingle strings: the
+    # min-per-shingle exchange moves 4-5x fewer bytes and duplicates
+    # of an in-doc repeated shingle can't change min(doc_id).
+    postings = dedup.exploded_shingles(docs, "doc_id", "text", 5).select(
+        "doc_id", F.xxhash64("shingle").alias("shfp")
     )
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    firsts = postings.groupBy("shfp").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count("*").alias("novel_ngrams")
     )
-    sizes = (
-        dedup.with_shingles(docs, "text", 5)
-        .select("doc_id", F.size("shingles").alias("n_ngrams"))
-        .where(F.col("n_ngrams") > 0)
-    )
+    # Per-doc distinct-shingle counts from the SAME postings shape (a
+    # doc_id-keyed count_distinct) instead of a second full
+    # shingle-array construction: docs under 5 tokens emit no postings,
+    # which is exactly the oracle's len(sh) > 0 gate.
+    sizes = postings.groupBy("doc_id").agg(F.count_distinct("shfp").alias("n_ngrams"))
     return (
         sizes.join(novel, on="doc_id", how="left")
         .select(
@@ -425,25 +430,24 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in long documents. Window explode is index-arithmetic (zero "
     "shuffle); the only exchanges are the fingerprint-keyed "
     "aggregation and the per-doc rollup, both map-side combinable.",
-    tags=("text", "dedup", "curation"),
+    tags=("text", "dedup", "curation", "bench"),
 )
 def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.trim(F.col("text")))
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), n - 19, F.lit(10))
-    win = (
-        docs.where(n >= 20)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    starts, lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s, 20)))
-                )
-            ).alias("wfp"),
-        )
-        .distinct()
+    docs = dedup.spread(load_table(spark, sf_dir, "documents"))
+    # Position-explode the window starts with the token array bound as
+    # a multi-referenced column: exploding a constructed md5 array
+    # would re-evaluate the whole transform per emitted element (the
+    # Generate-inlining trap documented at dedup.exploded_shingles).
+    w = docs.withColumn("_toks", T.tokens(F.trim(F.col("text")))).where(F.size("_toks") >= 20)
+    posted = w.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - 19, F.lit(10))).alias("s"),
     )
+    win = posted.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), 20))).alias("wfp"),
+    ).distinct()
     shared = win.groupBy("wfp").agg(F.count("*").alias("cnt")).where(F.col("cnt") > 1)
     per_doc = (
         win.join(shared.select("wfp", F.lit(1).alias("s")), on="wfp", how="left")
@@ -600,7 +604,7 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "densification; total work is the sum of per-band pair counts, "
     "controlled by the band width. Top-20 closest pairs via "
     "TakeOrderedAndProject with full tie-breaks.",
-    tags=("timeseries", "similarity", "curation"),
+    tags=("timeseries", "similarity", "curation", "bench"),
 )
 def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _user_timeseries_similarity(spark, sf_dir, band_width=256.0)
