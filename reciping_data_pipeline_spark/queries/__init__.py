@@ -118,6 +118,7 @@ def all_queries() -> dict[str, Query]:
         medallionops,
         multimodalops,
         relational_ext,
+        statops,
         subqueries,
         textops,
         tpch,

@@ -27,6 +27,9 @@ from reciping_data_pipeline_spark.tables import load_table
 # DuckDB fragment equal to T.tokens(F.trim(text)) on the Spark side.
 _TRIM_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
+# RE2-safe BPE-ish pre-tokenizer regex, shared with textops.
+from reciping_data_pipeline_spark.queries.textops import _BPE_SQL  # noqa: E402
+
 
 @query(
     "doc_vocab_topk",
@@ -578,4 +581,332 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 4).alias("sample_rate"),
             "n_sampled",
         )
+    )
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        WHERE token IN ('spark', 'table', 'join')
+        GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, len({_TRIM_TOKENS_SQL}) AS dl FROM documents),
+    s AS (SELECT count(*) AS n_docs,
+                 avg(len({_TRIM_TOKENS_SQL})) AS avgdl FROM documents),
+    df AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (s.n_docs - df.df_t + 0.5) / (df.df_t + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS bm25
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 (k1=1.2, b=0.75) retrieval scoring for a fixed 3-term "
+    "query. The posting list is filtered to the query terms BEFORE any "
+    "aggregation — the scan reduces to |terms| postings regardless of "
+    "corpus size; document length and avgdl come from one stats pass "
+    "(1-row scalar broadcast), per-term df is a |terms|-row broadcast. "
+    "Top-k by score via TakeOrderedAndProject with doc_id tie-break.",
+    tags=("text", "retrieval", "topk"),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "table", "join")
+    toks = T.tokens(F.trim(F.col("text")))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .where(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    s = F.broadcast(
+        docs.agg(
+            F.count("*").alias("n_docs"), F.avg(F.size(toks)).alias("avgdl")
+        )
+    )
+    df = F.broadcast(tf.groupBy("token").agg(F.count("*").alias("df_t")))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(s)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_kl_source_divergence",
+    oracle=f"""
+    WITH st AS (
+        SELECT source, token, count(*) AS c_s
+        FROM (SELECT source, unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        GROUP BY source, token
+    ),
+    ct AS (SELECT token, sum(c_s) AS c_t FROM st GROUP BY token),
+    ns AS (SELECT source, sum(c_s) AS n_s FROM st GROUP BY source),
+    nc AS (SELECT sum(c_s) AS n_c FROM st)
+    SELECT st.source,
+           CAST(min(ns.n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           round(sum((st.c_s * 1.0 / ns.n_s)
+                     * ln((st.c_s * 1.0 / ns.n_s) / (ct.c_t * 1.0 / nc.n_c))), 4)
+               AS kl_vs_corpus
+    FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nc
+    GROUP BY st.source
+    """,
+    doc="Per-source KL divergence of the token distribution against the "
+    "whole corpus — the quantitative 'is this source drifting from the "
+    "mix' signal behind source reweighting. Both distributions come "
+    "from ONE (source, token) aggregation (corpus counts are a token-"
+    "keyed re-reduction of it, no second scan); the token join is "
+    "vocabulary-sized so it is left to Catalyst/AQE as a shuffle join "
+    "— never broadcast (the doc_tfidf_topk lesson); only the 1-row "
+    "corpus total broadcasts.",
+    tags=("text", "stats", "curation"),
+)
+def doc_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    st = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c_s"))
+    )
+    ct = st.groupBy("token").agg(F.sum("c_s").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    nc = F.broadcast(st.agg(F.sum("c_s").alias("n_c")))
+    p_s = F.col("c_s") * 1.0 / F.col("n_s")
+    p_c = F.col("c_t") * 1.0 / F.col("n_c")
+    return (
+        st.join(ct, "token")
+        .join(ns, "source")
+        .crossJoin(nc)
+        .groupBy("source")
+        .agg(
+            F.min("n_s").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("distinct_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl_vs_corpus"),
+        )
+    )
+
+
+@query(
+    "doc_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 500
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(r)), 4) AS fit_r2
+    FROM ranked
+    """,
+    doc="Zipf's-law exponent of the corpus: OLS slope of ln(freq) over "
+    "ln(rank) for the top-500 vocabulary. The token aggregation + "
+    "TakeOrderedAndProject top-k are fully distributed; the ranking "
+    "window runs over the ALREADY-LIMITED 500-row set (bounded by "
+    "construction, not by data volume).",
+    tags=("text", "stats", "curation"),
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    freq = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(500)
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )
+    ln_n, ln_r = F.log("n"), F.log("r")
+    return ranked.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
+    )
+
+
+@query(
+    "doc_source_cap_sample",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((doc_id * 2654435761) % 4294967296), doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 15
+    """,
+    doc="Per-source document cap (epoch capping / quota sampling): keep "
+    "at most 15 docs per source, chosen by smallest multiplicative hash "
+    "— deterministic uniform-without-replacement, zero RNG state, "
+    "reproducible across engines/cluster sizes. The window partitions "
+    "by source (parallel across sources); the top-k-per-partition shape "
+    "is rank-filter, which Spark executes with a per-partition heap.",
+    tags=("text", "sampling", "window"),
+)
+def doc_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).cast("int").alias("sample_rank"))
+        .where(F.col("sample_rank") <= 15)
+    )
+
+
+@query(
+    "doc_token_pmi_topk",
+    oracle=f"""
+    WITH arr AS (SELECT {_TRIM_TOKENS_SQL} AS a FROM documents),
+    pr AS (
+        SELECT a[i] AS w1, a[i + 1] AS w2
+        FROM arr, unnest(generate_series(1, len(a) - 1)) AS u(i)
+        WHERE len(a) >= 2
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c_ab FROM pr GROUP BY w1, w2),
+    uni AS (
+        SELECT token, count(*) AS c
+        FROM (SELECT unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        GROUP BY token
+    ),
+    nb AS (SELECT sum(c_ab) AS n_b FROM bg),
+    nu AS (SELECT sum(c) AS n_u FROM uni)
+    SELECT bg.w1, bg.w2, CAST(bg.c_ab AS BIGINT) AS pair_count,
+           round(ln((bg.c_ab * 1.0 / nb.n_b)
+                    / ((u1.c * 1.0 / nu.n_u) * (u2.c * 1.0 / nu.n_u))), 4) AS pmi
+    FROM bg JOIN uni u1 ON bg.w1 = u1.token
+            JOIN uni u2 ON bg.w2 = u2.token
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE bg.c_ab >= 5
+    ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 30
+    """,
+    doc="Pointwise mutual information of adjacent token pairs (collocation "
+    "mining, min support 5): bigram counts via position-explode (the "
+    "Generate-inlining-safe shape — the token array stays a bound column, "
+    "O(1) work per emitted pair), unigram marginals joined on each side "
+    "as vocabulary-sized SHUFFLE joins (never broadcast), scalar totals "
+    "broadcast, top-30 by rounded PMI with full lexical tie-break.",
+    tags=("text", "stats", "topk"),
+)
+def doc_token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.withColumn("_toks", T.tokens(F.trim(F.col("text")))).where(
+        F.size("_toks") >= 2
+    )
+    posted = w.select(
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_pos"),
+    )
+    pairs = posted.select(
+        F.element_at("_toks", F.col("_pos")).alias("w1"),
+        F.element_at("_toks", F.col("_pos") + 1).alias("w2"),
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (
+        docs.select(F.explode(T.tokens(F.trim(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    nb = F.broadcast(bg.agg(F.sum("c_ab").alias("n_b")))
+    nu = F.broadcast(uni.agg(F.sum("c").alias("n_u")))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c_ab") * 1.0 / F.col("n_b"))
+        / ((F.col("c1") * 1.0 / F.col("n_u")) * (F.col("c2") * 1.0 / F.col("n_u")))
+    )
+    return (
+        bg.where(F.col("c_ab") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(nb)
+        .crossJoin(nu)
+        .select(
+            "w1", "w2",
+            F.col("c_ab").alias("pair_count"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@query(
+    "doc_ttr_fertility_by_source",
+    oracle=f"""
+    WITH st AS (
+        SELECT source,
+               count(*) AS total_tokens,
+               count(DISTINCT token) AS distinct_tokens
+        FROM (SELECT source, unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+        GROUP BY source
+    ),
+    fert AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(len(regexp_extract_all(text, '{_BPE_SQL}')) * 1.0
+                         / len({_TRIM_TOKENS_SQL})), 4) AS avg_fertility
+        FROM documents GROUP BY source
+    )
+    SELECT st.source,
+           CAST(st.total_tokens AS BIGINT) AS total_tokens,
+           CAST(st.distinct_tokens AS BIGINT) AS distinct_tokens,
+           round(st.distinct_tokens * 1.0 / st.total_tokens, 4) AS ttr,
+           fert.n_docs, fert.avg_fertility
+    FROM st JOIN fert USING (source)
+    """,
+    doc="Type-token ratio + BPE fertility (subword/word expansion factor) "
+    "per source — the tokenizer-budget diagnostics for corpus mixing. "
+    "Distinct-token counting shuffles on (source, token) with partial "
+    "aggregation; fertility is a per-doc map-side expression averaged "
+    "per source; the two source-keyed aggregates join post-aggregation.",
+    tags=("text", "stats", "curation"),
+)
+def doc_ttr_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    st = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("token").alias("distinct_tokens"),
+        )
+    )
+    fert = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.avg(T.bpe_token_count(F.col("text")) * 1.0 / F.size(toks)), 4
+        ).alias("avg_fertility"),
+    )
+    return st.join(fert, "source").select(
+        "source",
+        "total_tokens",
+        "distinct_tokens",
+        F.round(F.col("distinct_tokens") * 1.0 / F.col("total_tokens"), 4).alias("ttr"),
+        "n_docs",
+        "avg_fertility",
     )

@@ -1,0 +1,639 @@
+"""Statistical / ML-analytics operators over the star schema + events.
+
+A family the reference has no counterpart for (its analytics suite
+stops at counts/avgs/shares — ``/root/reference`` ``sql_queries/*.sql``):
+correlation and least-squares regression aggregates, entropy,
+higher-moment profiles, Gini concentration, chi-square independence,
+Benford first-digit screening, RFM segmentation, cohort LTV, and a
+degree-oriented distributed triangle count. Everything is expressed
+as one-pass JVM aggregations (no UDFs); global order statistics go
+through :mod:`reciping_data_pipeline_spark.operators.ranks` instead
+of a single-partition window.
+
+Cross-engine determinism rules (see queries/__init__ docstring):
+every float output rounded; per-user money totals rounded *before*
+downstream ranking so rank ties agree between engines; libm-sensitive
+boundaries (Benford's log10 at exact powers of ten) are clamped
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from reciping_data_pipeline_spark.operators.ranks import global_rank
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+
+@query(
+    "returnflag_price_corr",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 4) AS qty_std,
+           round(stddev_samp(l_extendedprice), 2) AS price_std
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pearson correlation + sample covariance of quantity vs price per "
+    "return flag — single-pass co-moment aggregates (map-side partials, "
+    "one shuffle on the group key).",
+    tags=("stats", "agg"),
+)
+def returnflag_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_std"),
+    )
+
+
+@query(
+    "discount_price_slope",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_points,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Ordinary-least-squares fit price ~ quantity per line status via "
+    "the SQL-standard regr_* aggregates — distributed regression without "
+    "MLlib, one co-moment pass.",
+    tags=("stats", "agg"),
+)
+def discount_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_linestatus").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_points"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )
+
+
+@query(
+    "event_type_entropy_daily",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_date,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS type_entropy
+    FROM c GROUP BY event_date
+    """,
+    doc="Shannon entropy (nats) of the per-day event-type mix via the "
+    "H = ln(n) - sum(c ln c)/n identity — two cheap aggregations, no "
+    "window, no per-row probability join.",
+    tags=("stats", "agg"),
+)
+def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("event_date"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    return c.groupBy("event_date").agg(
+        F.sum("c").alias("n_events"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("type_entropy"),
+    )
+
+
+@query(
+    "value_moments_by_type",
+    oracle="""
+    WITH p AS (
+        SELECT event_type, count(*) AS n, avg(value) AS m,
+               avg(value * value) AS q2,
+               avg(value * value * value) AS q3,
+               avg(value * value * value * value) AS q4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events,
+           round(m, 4) AS mean_value,
+           round(q2 - m * m, 2) AS var_pop,
+           round((q3 - 3 * m * q2 + 2 * m * m * m)
+                 / power(q2 - m * m, 1.5), 3) AS skewness_g1,
+           round((q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m)
+                 / power(q2 - m * m, 2) - 3, 3) AS kurtosis_g2
+    FROM p
+    """,
+    doc="Mean/variance/skewness/kurtosis per event type from raw power "
+    "sums combined with the explicit central-moment identities — the "
+    "engine-portable formulation (Spark's skewness()/kurtosis() and "
+    "DuckDB's use different bias corrections), still one aggregation pass.",
+    tags=("stats", "agg"),
+)
+def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    p = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg(v).alias("m"),
+        F.avg(v * v).alias("q2"),
+        F.avg(v * v * v).alias("q3"),
+        F.avg(v * v * v * v).alias("q4"),
+    )
+    m, q2, q3, q4 = F.col("m"), F.col("q2"), F.col("q3"), F.col("q4")
+    var_pop = q2 - m * m
+    m3 = q3 - 3 * m * q2 + 2 * m * m * m
+    m4 = q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m
+    return p.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(m, 4).alias("mean_value"),
+        F.round(var_pop, 2).alias("var_pop"),
+        F.round(m3 / F.pow(var_pop, 1.5), 3).alias("skewness_g1"),
+        F.round(m4 / F.pow(var_pop, 2) - 3, 3).alias("kurtosis_g2"),
+    )
+
+
+@query(
+    "user_value_gini",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, round(sum(value), 2) AS mv
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    r AS (
+        SELECT mv, row_number() OVER (ORDER BY mv, user_id) AS rk FROM u
+    )
+    SELECT count(*) AS n_users,
+           round((2.0 * sum(rk * mv) - (count(*) + 1) * sum(mv))
+                 / (count(*) * sum(mv)), 4) AS gini
+    FROM r
+    """,
+    doc="Gini coefficient of per-user purchase spend via the rank identity "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)). The global ascending "
+    "rank comes from operators/ranks.global_rank — banded two-pass ranking, "
+    "NO single-partition window (the plan gate asserts it). Per-user totals "
+    "are rounded before ranking so tie order agrees across engines.",
+    tags=("stats", "rank"),
+)
+def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("mv"))
+    )
+    r = global_rank(u, "mv", ("user_id",), n_bands=64, rank_col="rk")
+    n, sx, srx = F.count("*"), F.sum("mv"), F.sum(F.col("rk") * F.col("mv"))
+    return r.agg(
+        n.alias("n_users"),
+        F.round((2.0 * srx - (n + 1) * sx) / (n * sx), 4).alias("gini"),
+    )
+
+
+@query(
+    "value_equiwidth_histogram",
+    oracle="""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    h AS (
+        SELECT CAST(least(floor((value - lo) / ((hi - lo) / 16)), 15) AS INT)
+                   AS bucket,
+               lo, hi, value
+        FROM events CROSS JOIN b
+    )
+    SELECT bucket,
+           round(min(lo) + bucket * ((min(hi) - min(lo)) / 16), 6) AS bucket_lo,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM h GROUP BY bucket
+    """,
+    doc="16-bucket equi-width histogram of event value: 1-row min/max "
+    "scalar broadcast (cross join), then a pure map-side bucket expression "
+    "— bucketing is identical floor arithmetic on identical doubles in "
+    "both engines (no width_bucket(), whose max-edge semantics differ).",
+    tags=("stats", "agg"),
+)
+def value_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    h = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 16)),
+            F.lit(15),
+        ).cast("int"),
+    )
+    return h.groupBy("bucket").agg(
+        # round at 6: bucket edges inherit the inputs' ≤6-decimal
+        # structure, so 6 digits never lands on a .5 rounding tie
+        # (Spark HALF_UP vs DuckDB disagree on exact ties at 4).
+        F.round(F.min("lo") + F.col("bucket") * ((F.min("hi") - F.min("lo")) / 16), 6).alias(
+            "bucket_lo"
+        ),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "priority_segment_chi2",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    obs AS (SELECT seg, pri, count(*) AS c FROM j GROUP BY seg, pri),
+    rs  AS (SELECT seg, sum(c) AS rtot FROM obs GROUP BY seg),
+    cs  AS (SELECT pri, sum(c) AS ctot FROM obs GROUP BY pri),
+    n   AS (SELECT sum(c) AS tot FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT obs.seg) - 1)
+                * (count(DISTINCT obs.pri) - 1) AS BIGINT) AS dof,
+           round(sum(power(obs.c - rs.rtot * cs.ctot / n.tot, 2)
+                     / (rs.rtot * cs.ctot / n.tot)), 3) AS chi2
+    FROM obs JOIN rs USING (seg) JOIN cs USING (pri) CROSS JOIN n
+    """,
+    doc="Chi-square independence statistic between customer market segment "
+    "and order priority. The fact join broadcasts the customer dim; the "
+    "margin/expected-count joins all run over the 25-cell contingency "
+    "aggregate — post-aggregation tiny, whatever the fact-table scale.",
+    tags=("stats", "join"),
+)
+def priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    obs = j.groupBy("seg", "pri").agg(F.count("*").alias("c"))
+    rs = obs.groupBy("seg").agg(F.sum("c").alias("rtot"))
+    cs = obs.groupBy("pri").agg(F.sum("c").alias("ctot"))
+    n = obs.agg(F.sum("c").alias("tot"))
+    e = F.col("rtot") * F.col("ctot") / F.col("tot")
+    return (
+        obs.join(rs, "seg")
+        .join(cs, "pri")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count("*").alias("n_cells"),
+            ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round(F.sum(F.pow(F.col("c") - e, 2) / e), 3).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "order_interarrival_by_customer",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   CAST(lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(g.gap_days) AS BIGINT) AS n_gaps,
+           round(avg(g.gap_days), 2) AS avg_gap_days,
+           round(quantile_cont(g.gap_days, 0.5), 2) AS median_gap_days,
+           max(g.gap_days) AS max_gap_days
+    FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Days between consecutive orders per customer (LAG window keyed by "
+    "customer — partition-parallel), profiled per market segment with "
+    "exact interpolated median.",
+    tags=("stats", "window"),
+)
+def order_interarrival_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.withColumn(
+        "gap_days",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w).cast("date"),
+        ),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        g.join(F.broadcast(c), g.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 2).alias("median_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
+@query(
+    "lineitem_benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CASE WHEN fd >= 10 THEN 1 ELSE fd END AS first_digit
+        FROM (
+            SELECT CAST(floor(l_extendedprice
+                       / power(10, floor(log10(l_extendedprice)))) AS INT) AS fd
+            FROM lineitem WHERE l_extendedprice > 0
+        )
+    ),
+    n AS (SELECT count(*) AS tot FROM d)
+    SELECT first_digit,
+           count(*) AS n_rows,
+           round(count(*) / (1.0 * min(n.tot)), 4) AS observed_share,
+           round(log10(1 + 1.0 / first_digit), 4) AS benford_expected,
+           round(abs(count(*) / (1.0 * min(n.tot))
+                     - log10(1 + 1.0 / first_digit)), 4) AS abs_deviation
+    FROM d CROSS JOIN n
+    GROUP BY first_digit
+    """,
+    doc="Benford first-significant-digit screen on line prices (fraud/"
+    "data-quality smell test). First digit is pure floor/log10 arithmetic; "
+    "at exact powers of ten libm log10 may land either side of an integer, "
+    "so the d=10 case is clamped to 1 identically in both engines. The "
+    "total is a 1-row scalar cross join, not a global window.",
+    tags=("stats", "agg"),
+)
+def lineitem_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    fd = F.floor(
+        F.col("l_extendedprice") / F.pow(10, F.floor(F.log10("l_extendedprice")))
+    ).cast("int")
+    d = li.select(F.when(fd >= 10, 1).otherwise(fd).alias("first_digit"))
+    n = d.agg(F.count("*").alias("tot"))
+    share = F.count("*") / (1.0 * F.min("tot"))
+    expected = F.log10(1 + 1.0 / F.col("first_digit"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("first_digit")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(share, 4).alias("observed_share"),
+            F.round(expected, 4).alias("benford_expected"),
+            F.round(F.abs(share - expected), 4).alias("abs_deviation"),
+        )
+    )
+
+
+@query(
+    "copurchase_triangles",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+        FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    w AS (
+        SELECT e1.dst AS x, e2.dst AS y
+        FROM o e1 JOIN o e2
+          ON e1.src = e2.src
+         AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+    ),
+    t AS (SELECT count(*) AS n_triangles
+          FROM w JOIN o ON w.x = o.src AND w.y = o.dst)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM t) AS n_triangles
+    """,
+    doc="Distributed triangle count on the part co-purchase graph via "
+    "degree orientation: every edge points from the ((degree, id)-) "
+    "smaller endpoint, so out-degrees are O(sqrt(E)) and the wedge "
+    "self-join is arboricity-bounded — the MPC-optimal formulation, no "
+    "cartesian products, all equi-joins (plan-gated).",
+    tags=("graph", "join", "bench"),
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+    )
+    e1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("dd").alias("ddx"))
+    e2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("ddy"))
+    w = e1.join(e2, "src").where(
+        (F.col("ddx") < F.col("ddy"))
+        | ((F.col("ddx") == F.col("ddy")) & (F.col("x") < F.col("y")))
+    ).select("x", "y")
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = w.join(closing, ["x", "y"]).agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.agg(F.count("*").alias("n_vertices"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(w.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(tri)
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS signup_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT s.user_id,
+               CAST(date_trunc('week', s.signup_day) AS DATE) AS cohort_week,
+               CAST(floor(date_diff('day', s.signup_day,
+                                    CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_age,
+               e.value, e.user_id AS buyer
+        FROM s JOIN events e ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+        SELECT CAST(cohort_week AS STRING) AS cohort_week, week_age,
+               count(DISTINCT buyer) AS n_active_users,
+               round(sum(value), 2) AS week_value
+        FROM p GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_age, n_active_users, week_value,
+           round(sum(week_value) OVER (
+               PARTITION BY cohort_week ORDER BY week_age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_value
+    FROM wk
+    """,
+    doc="Cohort lifetime-value curve: users bucketed by ISO signup week, "
+    "purchase value accumulated over weeks-since-signup with a cohort-"
+    "partitioned running sum (partition-parallel window; the cumulative "
+    "sum runs over rounded weekly totals so both engines add identical "
+    "doubles).",
+    tags=("stats", "window", "cohort"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("signup_day"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .select(
+            F.date_trunc("week", "signup_day").cast("date").cast("string").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("signup_day")) / 7.0
+            )
+            .cast("int")
+            .alias("week_age"),
+            "value",
+            F.col("user_id").alias("buyer"),
+        )
+    )
+    wk = p.groupBy("cohort_week", "week_age").agg(
+        F.countDistinct("buyer").alias("n_active_users"),
+        F.round(F.sum("value"), 2).alias("week_value"),
+    )
+    cum = Window.partitionBy("cohort_week").orderBy("week_age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return wk.withColumn("cum_value", F.round(F.sum("week_value").over(cum), 2))
+
+
+@query(
+    "user_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxday FROM events),
+    u AS (
+        SELECT e.user_id,
+               date_diff('day', max(CAST(e.ts AS DATE)), min(mx.maxday))
+                   AS recency_days,
+               count(*) AS frequency,
+               round(sum(e.value), 2) AS monetary,
+               CAST(round(round(sum(e.value), 2) * 100, 0) AS BIGINT) AS cents
+        FROM events e CROSS JOIN mx
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ),
+    b AS (
+        SELECT round(quantile_cont(recency_days, 1.0/3), 4) AS r1,
+               round(quantile_cont(recency_days, 2.0/3), 4) AS r2,
+               round(quantile_cont(frequency, 1.0/3), 4) AS f1,
+               round(quantile_cont(frequency, 2.0/3), 4) AS f2,
+               round(quantile_cont(monetary, 1.0/3), 4) AS m1,
+               round(quantile_cont(monetary, 2.0/3), 4) AS m2
+        FROM u
+    )
+    SELECT 1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+               AS r_band,
+           1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+               AS f_band,
+           1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+               AS m_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           floor(sum(cents) / count(*) + 0.5) / 100.0 AS avg_monetary
+    FROM u CROSS JOIN b
+    GROUP BY 1, 2, 3
+    """,
+    doc="RFM (recency/frequency/monetary) segmentation: per-user purchase "
+    "profile, tercile boundaries from ONE exact-percentile scalar row "
+    "(broadcast cross join — no global ntile window, the scale-safe "
+    "banding the round-3 review prescribed), 27-cell segment census. "
+    "Boundaries are rounded to 4 decimals before comparison so band "
+    "membership is engine-stable.",
+    tags=("stats", "segmentation"),
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("maxday"))
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.min("maxday"), F.max(F.col("ts").cast("date"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+            # exact integer cents: cell averages then divide identical
+            # exact sums on both engines (a plain avg() of the rounded
+            # doubles can straddle a rounding boundary between engines
+            # because summation order differs)
+            F.round(F.round(F.sum("value"), 2) * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    b = u.agg(
+        F.round(F.percentile("recency_days", F.lit(1.0 / 3)), 4).alias("r1"),
+        F.round(F.percentile("recency_days", F.lit(2.0 / 3)), 4).alias("r2"),
+        F.round(F.percentile("frequency", F.lit(1.0 / 3)), 4).alias("f1"),
+        F.round(F.percentile("frequency", F.lit(2.0 / 3)), 4).alias("f2"),
+        F.round(F.percentile("monetary", F.lit(1.0 / 3)), 4).alias("m1"),
+        F.round(F.percentile("monetary", F.lit(2.0 / 3)), 4).alias("m2"),
+    )
+    band = lambda col, lo, hi: (  # noqa: E731
+        1
+        + (F.col(col) > F.col(lo)).cast("int")
+        + (F.col(col) > F.col(hi)).cast("int")
+    )
+    return (
+        u.crossJoin(F.broadcast(b))
+        .groupBy(
+            band("recency_days", "r1", "r2").alias("r_band"),
+            band("frequency", "f1", "f2").alias("f_band"),
+            band("monetary", "m1", "m2").alias("m_band"),
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            # explicit floor(x+0.5) half-up on the exact cent average:
+            # engine round() builtins disagree on the .xx5 ties this
+            # division produces (Spark rounds the shortest-decimal
+            # rendering, DuckDB the binary value)
+            (F.floor(F.sum("cents") / F.count("*") + 0.5) / 100.0).alias("avg_monetary"),
+        )
+    )

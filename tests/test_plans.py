@@ -247,3 +247,73 @@ def test_filtered_knn_semi_join_prunes_corpus(spark):
     plan = inspect.simple_plan(df)
     assert "LeftSemi" in plan
     assert plan.count("BroadcastExchange") >= 2  # keep-list + query set
+
+
+def test_gini_rank_window_is_band_partitioned(spark):
+    """user_value_gini ranks every user globally — the ranking window
+    must be partitioned by the value band (operators/ranks), never an
+    unpartitioned row_number over the user set."""
+    plan = inspect.simple_plan(_q(spark, "user_value_gini"))
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__band" in line, line
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangles_all_equi_joins(spark):
+    """copurchase_triangles: degree orientation keeps the wedge
+    expansion an equi-join on the center vertex — no cartesian
+    product anywhere; the only nested-loop joins are the final 1-row
+    summary combines."""
+    plan = inspect.simple_plan(_q(spark, "copurchase_triangles"))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_bounds_are_scalar_broadcast(spark):
+    """user_rfm_segments banding joins each user row to ONE scalar
+    percentile-bounds row — must be a broadcast nested loop (scalar
+    fanout), never a shuffle join of the user set against bounds."""
+    df = _q(spark, "user_rfm_segments")
+    plan = inspect.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kl_divergence_no_vocab_broadcast(spark):
+    """doc_kl_source_divergence joins token-keyed (vocabulary-sized)
+    sides — no broadcast HINT may force them; only the 1-row corpus
+    total broadcasts. Stats-based auto-broadcast is disabled so only
+    explicit hints survive planning (the scale posture: Catalyst may
+    still auto-broadcast at toy sizes, which is correct adaptivity)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q(spark, "doc_kl_source_divergence")
+        plan = inspect.simple_plan(df)
+        assert plan.count("BroadcastExchange") == 1, plan
+        assert inspect.count_shuffle_joins(df) >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pmi_marginal_joins_are_shuffle(spark):
+    """doc_token_pmi_topk joins bigrams to unigram marginals twice —
+    both vocabulary-sized, neither may carry a broadcast hint (only
+    the two scalar totals broadcast)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q(spark, "doc_token_pmi_topk")
+        plan = inspect.simple_plan(df)
+        assert plan.count("BroadcastExchange") == 2, plan
+        assert inspect.count_shuffle_joins(df) >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """doc_bm25_topk's top-20 must plan as TakeOrderedAndProject,
+    and the postings scan must filter to the query terms (pushed to
+    the token explode, not post-aggregation)."""
+    df = _q(spark, "doc_bm25_topk")
+    assert "TakeOrderedAndProject" in inspect.simple_plan(df), inspect.simple_plan(df)
