@@ -234,3 +234,174 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dropped"),
         F.count_distinct("component").alias("n_groups"),
     )
+
+
+@query(
+    "embed_dim_variance_topk",
+    oracle="""
+    SELECT i AS dim,
+           round(avg(v), 4) + 0.0 AS mean_v,
+           round(var_samp(v), 4) AS var_v
+    FROM (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY i
+    ORDER BY var_v DESC, dim LIMIT 10
+    """,
+    doc="Top-10 highest-variance embedding dimensions (feature-selection "
+    "/ dead-dimension diagnostics). posexplode keys the shuffle on the "
+    "dimension index — row AND width parallelism, never a whole-vector "
+    "reduce — then TakeOrderedAndProject picks the top-k of the 64-row "
+    "aggregate. Means carry the +0.0 negative-zero canonicalization.",
+    tags=("vector", "stats", "topk"),
+)
+def embed_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy((F.col("i") + 1).alias("dim"))
+        .agg(
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_v"),
+            F.round(F.var_samp("v"), 4).alias("var_v"),
+        )
+    )
+    return per_dim.orderBy(F.desc("var_v"), "dim").limit(10)
+
+
+@query(
+    "embed_centroid_pair_distances",
+    oracle="""
+    WITH per_pos AS (
+        SELECT label, i, round(avg(v), 4) + 0.0 AS rv
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY label, i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum(power(a.rv - b.rv, 2))), 4) AS l2_dist,
+           round(sum(a.rv * b.rv)
+                 / sqrt(sum(a.rv * a.rv) * sum(b.rv * b.rv)), 4) AS cos_sim
+    FROM per_pos a JOIN per_pos b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Pairwise L2 + cosine between the per-label mean embeddings "
+    "(cluster-separation audit). Centroid components are rounded "
+    "BEFORE the distance sums so both engines add identical doubles; "
+    "the pair join is keyed on the dimension index (equi-join), "
+    "label-count-bounded — 45 pairs whatever the corpus size.",
+    tags=("vector", "stats", "join"),
+)
+def embed_centroid_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_pos = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("rv"))
+    )
+    a = per_pos.select(
+        F.col("label").alias("label_a"), "i", F.col("rv").alias("ra")
+    )
+    b = per_pos.select(
+        F.col("label").alias("label_b"), "i", F.col("rv").alias("rb")
+    )
+    return (
+        a.join(b, "i")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(F.sqrt(F.sum(F.pow(F.col("ra") - F.col("rb"), 2))), 4).alias("l2_dist"),
+            F.round(
+                F.sum(F.col("ra") * F.col("rb"))
+                / F.sqrt(F.sum(F.col("ra") * F.col("ra")) * F.sum(F.col("rb") * F.col("rb"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "embed_intra_label_cohesion",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, list(rv ORDER BY i) AS c
+        FROM (
+            SELECT label, i, round(avg(v), 4) + 0.0 AS rv
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i
+        )
+        GROUP BY label
+    ),
+    sims AS (
+        SELECT e.label,
+               {_dot('e.embedding', 'cent.c')}
+               / nullif({_norm('e.embedding')} * {_norm('cent.c')}, 0) AS cos_c
+        FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(cos_c), 4) AS avg_cohesion,
+           round(min(cos_c), 4) AS min_cohesion
+    FROM sims GROUP BY label
+    """,
+    doc="Intra-cluster cohesion: cosine of every vector to its own label "
+    "centroid, averaged per label (the within-class compactness signal "
+    "for label-quality audits). Centroids are a label-bounded broadcast "
+    "(10 rows); the member-to-centroid dot runs JVM-side in index order "
+    "via zip_with/aggregate so it matches the double-precision oracle "
+    "bit-for-bit.",
+    tags=("vector", "stats"),
+)
+def embed_intra_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("rv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "rv"))).getField("rv").alias("c")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    cos_c = V.dot(F.col("embedding"), F.col("c")) / F.nullif(
+        V.norm(F.col("embedding")) * V.norm(F.col("c")), F.lit(0.0)
+    )
+    return (
+        joined.select("label", cos_c.alias("cos_c"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("cos_c"), 4).alias("avg_cohesion"),
+            F.round(F.min("cos_c"), 4).alias("min_cohesion"),
+        )
+    )
+
+
+@query(
+    "embed_norm_quantiles_by_label",
+    oracle=f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(quantile_cont({_norm('embedding')}, 0.25), 4) AS p25_norm,
+           round(quantile_cont({_norm('embedding')}, 0.5), 4) AS p50_norm,
+           round(quantile_cont({_norm('embedding')}, 0.75), 4) AS p75_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Exact interpolated norm quartiles per label — the distributional "
+    "check behind norm-clipping / re-normalization decisions. Group-keyed "
+    "exact percentiles (Spark percentile == DuckDB quantile_cont).",
+    tags=("vector", "stats"),
+)
+def embed_norm_quantiles_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = V.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.percentile(n, F.lit(0.25)), 4).alias("p25_norm"),
+        F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50_norm"),
+        F.round(F.percentile(n, F.lit(0.75)), 4).alias("p75_norm"),
+    )
