@@ -563,3 +563,73 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("bigint").alias("min_value"),
         F.max("v").cast("bigint").alias("max_value"),
     )
+
+
+@query(
+    "session_stats_daily",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_idx,
+               CAST(CAST(min(ts) AS DATE) AS STRING) AS session_day,
+               count(*) AS n_events,
+               date_diff('second', min(ts), max(ts)) AS duration_sec
+        FROM sessions GROUP BY user_id, session_idx
+    )
+    SELECT session_day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4) AS bounce_rate,
+           round(avg(n_events), 2) AS avg_events,
+           round(quantile_cont(duration_sec, 0.5), 2) AS median_duration_sec
+    FROM per_session GROUP BY session_day
+    """,
+    doc="Daily session-quality profile on top of the gap-based "
+    "sessionization (30-min timeout): session count, bounce rate "
+    "(1-event sessions), mean events, exact median duration — the "
+    "serving-layer rollup of the sessionize operator. Same "
+    "user-partitioned windows (never global), then a day-keyed "
+    "aggregate over the per-session frame.",
+    tags=("window", "sessionize", "agg"),
+)
+def session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_session = (
+        flagged.withColumn("session_idx", F.sum("is_new_session").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.col("ts").cast("date")).cast("string").alias("session_day"),
+            F.count("*").alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_sec"
+            ),
+        )
+    )
+    return per_session.groupBy("session_day").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)), 4).alias(
+            "bounce_rate"
+        ),
+        F.round(F.avg("n_events"), 2).alias("avg_events"),
+        F.round(F.percentile("duration_sec", F.lit(0.5)), 2).alias("median_duration_sec"),
+    )

@@ -475,3 +475,156 @@ def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping): bilateral trade between two "
+    "nations by year — a 5-dim star join where every dim side "
+    "broadcasts and the nation predicates prune before aggregation "
+    "(/root/reference has no multi-nation join query; SURVEY §2.3 J6 "
+    "extension).",
+    tags=("join", "agg", "tpch"),
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nations = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    cn = F.broadcast(
+        nations.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    )
+    sn = F.broadcast(
+        nations.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "region_market_share_by_year",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+           round(sum(CASE WHEN sr.r_name = 'ASIA'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS local_supplier_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN region sr  ON sn.n_regionkey = sr.r_regionkey
+    WHERE cr.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape (market share): for ASIA customers, the share of "
+    "spend fulfilled by ASIA suppliers per year — conditional share "
+    "inside ONE aggregation (no self-join / rescan), snowflake dims "
+    "(nation→region) all broadcast.",
+    tags=("join", "agg", "tpch"),
+)
+def region_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # snowflake: resolve nation -> region name once, broadcast both maps
+    nr = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", F.col("r_name").alias("region_name")
+    )
+    cnr = F.broadcast(
+        nr.select(F.col("n_nationkey").alias("cnk"), F.col("region_name").alias("cust_region"))
+    )
+    snr = F.broadcast(
+        nr.select(F.col("n_nationkey").alias("snk"), F.col("region_name").alias("supp_region"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    local = F.when(F.col("supp_region") == "ASIA", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cnr, F.col("c_nationkey") == F.col("cnk"))
+        .where(F.col("cust_region") == "ASIA")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(snr, F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(local) / F.sum(rev), 4).alias("local_supplier_share"),
+        )
+    )
+
+
+@query(
+    "part_type_margin_by_year",
+    oracle="""
+    SELECT p.p_type AS part_type,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.8), 2) AS margin_proxy
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product profit by year): discounted revenue minus "
+    "a retail-price-derived cost proxy (the schema carries no "
+    "ps_supplycost), grouped by part type and order year — fact-to-fact "
+    "join on orderkey plus a broadcast part dim.",
+    tags=("join", "agg", "tpch"),
+)
+def part_type_margin_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.8
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(margin), 2).alias("margin_proxy"),
+        )
+    )
