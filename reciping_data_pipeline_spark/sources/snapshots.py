@@ -45,6 +45,7 @@ import shutil
 import uuid
 from datetime import datetime, timezone
 
+import pyspark.sql.functions as F
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -142,24 +143,63 @@ def _stage_files(df: DataFrame, path: str, partition_cols: list[str] | None) -> 
     return entries
 
 
-def _commit(path: str, merge, operation: str, schema_json: str) -> dict:
+def _evolved_schema_json(parent_schema_json: str | None, df_schema: StructType) -> str:
+    """Additive schema evolution: the committed schema is the parent's
+    columns (order preserved) plus any NEW columns the incoming frame
+    introduces. A column present in both with a different type is a
+    contract violation and raises — silent type widening is how
+    warehouse tables rot."""
+    if parent_schema_json is None:
+        return df_schema.json()
+    parent = StructType.fromJson(json.loads(parent_schema_json))
+    by_name = {f.name: f for f in df_schema.fields}
+    for f in parent.fields:
+        if f.name in by_name and by_name[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: "
+                f"{f.dataType.simpleString()} -> {by_name[f.name].dataType.simpleString()}"
+            )
+    merged = list(parent.fields) + [
+        f for f in df_schema.fields if f.name not in {p.name for p in parent.fields}
+    ]
+    return StructType(merged).json()
+
+
+def _commit(
+    path: str,
+    merge,
+    operation: str,
+    schema_json: str,
+    evolve: bool = False,
+    extra: dict | None = None,
+) -> dict:
     """Optimistic manifest commit. ``merge(parent_files) -> files``
     computes the new complete file list from the parent's; on an
     exclusive-create race the loop re-reads the winner and re-merges,
-    so concurrent appends both land (serialized, neither lost)."""
+    so concurrent appends both land (serialized, neither lost). With
+    ``evolve`` the committed schema is the additive union of the
+    parent's and ``schema_json`` (append/merge paths); without it the
+    incoming schema replaces wholesale (full overwrite)."""
     while True:
         try:
             parent = load_manifest(path)
         except AnalysisException:
             parent = None
         version = (parent["version"] + 1) if parent else 1
+        committed_schema = schema_json
+        if evolve:
+            committed_schema = _evolved_schema_json(
+                parent["schema"] if parent else None,
+                StructType.fromJson(json.loads(schema_json)),
+            )
         manifest = {
             "version": version,
             "parent": parent["version"] if parent else None,
             "operation": operation,
             "committed_at": datetime.now(timezone.utc).isoformat(),
-            "schema": schema_json,
+            "schema": committed_schema,
             "files": merge(parent["files"] if parent else []),
+            **(extra or {}),
         }
         os.makedirs(_snap_dir(path), exist_ok=True)
         try:
@@ -179,11 +219,14 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     Spark recover partition columns from the directory fragments, so
     partition pruning and pushdown behave exactly as a directory scan."""
     m = load_manifest(path, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
-        schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, f["path"]) for f in m["files"]]
-    reader = spark.read
+    # The manifest schema is authoritative (not footer inference): files
+    # written before an additive schema evolution simply lack the new
+    # columns and surface them as NULL — no mergeSchema footer sweep.
+    reader = spark.read.schema(schema)
     if any(f["partition"] for f in m["files"]):
         reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
     return reader.parquet(*files)
@@ -204,7 +247,7 @@ class SnapshotFormat(TableFormat):
             kept = [f for f in parent_files if f["partition"] not in replaced]
             return kept + new
 
-        _commit(path, merge, "overwrite_partitions", df.schema.json())
+        _commit(path, merge, "overwrite_partitions", df.schema.json(), evolve=True)
 
     def overwrite_table(
         self, df: DataFrame, path: str, partition_cols: list[str] | None = None
@@ -214,7 +257,7 @@ class SnapshotFormat(TableFormat):
 
     def append(self, df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
         new = _stage_files(df, path, partition_cols)
-        _commit(path, lambda parent: parent + new, "append", df.schema.json())
+        _commit(path, lambda parent: parent + new, "append", df.schema.json(), evolve=True)
 
     def read_table(self, spark: SparkSession, path: str) -> DataFrame:
         return read_version(spark, path, None)
@@ -282,3 +325,140 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
                     os.remove(full)
         os.remove(_manifest_path(path, v))
     return expired
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """MERGE INTO (upsert) with file-granular copy-on-write — the
+    Iceberg COW write path the reference's ADR relies on for dimension
+    upserts. Matched keys take the update row, unmatched update rows
+    insert, and ONLY data files that actually contain a matched key
+    are rewritten; every other file carries over into the new manifest
+    untouched (at 100 TB the rewrite cost is proportional to the
+    touched files, not the table).
+
+    Mechanics: tag current rows with ``input_file_name()``, semi-join
+    against the distinct update keys to find the affected files
+    (an O(files) driver list — same order as the manifest itself),
+    anti-join those files' rows against the keys to keep the
+    unmatched remainder, union the updates, stage, and commit
+    ``parent - affected + staged``. Concurrency follows the format's
+    optimistic protocol at file granularity; two merges racing on the
+    SAME keys serialize through the manifest commit but are not
+    key-conflict-checked (Iceberg's serializable-isolation validation
+    would go exactly here).
+    """
+    load_manifest(path)  # raise early when the table is missing
+    cur = read_version(spark, path).withColumn("_sg_file", F.input_file_name())
+    keys = updates.select(*key_cols).distinct()
+    affected = {
+        r["_sg_file"]
+        for r in cur.join(keys, key_cols, "leftsemi").select("_sg_file").distinct().collect()
+    }
+
+    def _abs(rel: str) -> str:
+        return "file://" + os.path.abspath(os.path.join(path, rel))
+
+    def _is_affected(entry: dict) -> bool:
+        a = _abs(entry["path"])
+        return a in affected or a.removeprefix("file://") in affected
+
+    if affected:
+        kept = (
+            cur.where(F.col("_sg_file").isin(*affected))
+            .drop("_sg_file")
+            .join(keys, key_cols, "left_anti")
+        )
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    staged = _stage_files(merged, path, partition_cols)
+    return _commit(
+        path,
+        lambda parent: [f for f in parent if not _is_affected(f)] + staged,
+        "merge",
+        updates.schema.json(),
+        evolve=True,
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession, path: str, version_from: int, version_to: int
+) -> DataFrame:
+    """Row-level change feed between two committed versions (CDC):
+    rows only in ``version_to`` come back as ``_change_type='insert'``,
+    rows only in ``version_from`` as ``'delete'`` (an update is a
+    delete + insert pair). Multiset semantics via ``exceptAll``.
+
+    File-pruned: manifests are compared first and ONLY files appearing
+    in exactly one version are read — rows in carried-over files cannot
+    differ (files are immutable), so a compaction that rewrites
+    identical rows diffs to empty and an upsert reads just the touched
+    files. Both sides are read with the ``version_to`` schema; a row
+    whose only change is a NULL in a newly added column therefore
+    reports as unchanged (additive evolution is not a row change)."""
+    mf = load_manifest(path, version_from)
+    mt = load_manifest(path, version_to)
+    pf = {f["path"]: f for f in mf["files"]}
+    pt = {f["path"]: f for f in mt["files"]}
+    only_old = [pf[p] for p in sorted(pf.keys() - pt.keys())]
+    only_new = [pt[p] for p in sorted(pt.keys() - pf.keys())]
+    schema = StructType.fromJson(json.loads(mt["schema"]))
+
+    def _read(entries: list[dict]) -> DataFrame:
+        if not entries:
+            return spark.createDataFrame([], schema)
+        reader = spark.read.schema(schema)
+        if any(e["partition"] for e in entries):
+            reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
+        return reader.parquet(*[os.path.join(path, e["path"]) for e in entries])
+
+    old_df, new_df = _read(only_old), _read(only_new)
+    return (
+        new_df.exceptAll(old_df)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete")))
+    )
+
+
+def append_stream_batch(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    partition_cols: list[str] | None = None,
+) -> dict | None:
+    """Transactional micro-batch append for ``foreachBatch`` sinks:
+    the committing manifest records ``batch_id``, and a replayed batch
+    (Structured Streaming re-offers the last uncommitted-at-crash
+    batch after restart) finds its id already committed and becomes a
+    no-op — exactly-once table growth WITHOUT relying on the payload
+    being dedupable (the generic version of the corpus stream's
+    fingerprint anti-join).
+
+    The replay check scans committed manifests (O(versions), bounded
+    by ``expire_snapshots``); a catalog-backed deployment would keep
+    the last batch id per stream in the table's CAS metadata instead.
+    Returns the committed manifest, or ``None`` when the batch was
+    already committed."""
+    try:
+        committed = any(
+            load_manifest(path, v).get("batch_id") == batch_id for v in versions(path)
+        )
+    except AnalysisException:
+        committed = False
+    if committed:
+        return None
+    new = _stage_files(df, path, partition_cols)
+    return _commit(
+        path,
+        lambda parent: parent + new,
+        "stream-append",
+        df.schema.json(),
+        evolve=True,
+        extra={"batch_id": batch_id},
+    )

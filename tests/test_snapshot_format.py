@@ -160,3 +160,138 @@ def test_medallion_bulk_rerun_idempotent_under_snapshot_format(spark, tmp_path, 
     from reciping_data_pipeline_spark.pipeline.gold import fact_path
 
     assert len(snapshots.versions(fact_path(wh))) >= 2
+
+
+def test_merge_upsert_rewrites_only_affected_files(spark, tmp_path, snap_format):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id INT, p STRING, v INT",
+    )
+    writers.overwrite_table(base, path, ["p"])
+    before = {f["path"] for f in snapshots.load_manifest(path)["files"]}
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (5, "b", 50)], "id INT, p STRING, v INT"
+    )
+    snapshots.merge_upsert(spark, path, updates, ["id"], ["p"])
+    got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
+    assert got == {(1, 10), (2, 99), (3, 30), (4, 40), (5, 50)}
+    # partition c holds no matched key: its file must carry over verbatim
+    after = snapshots.load_manifest(path)["files"]
+    carried = {f["path"] for f in after} & before
+    assert any(f["partition"].startswith("p=c") for f in after if f["path"] in carried)
+    # pre-merge state still time-travels
+    v1 = {(r["id"], r["v"]) for r in snapshots.read_version(spark, path, 1).collect()}
+    assert v1 == {(1, 10), (2, 20), (3, 30), (4, 40)}
+
+
+def test_merge_upsert_pure_insert(spark, tmp_path, snap_format):
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame([(1, 10)], "id INT, v INT"), path
+    )
+    before = {f["path"] for f in snapshots.load_manifest(path)["files"]}
+    snapshots.merge_upsert(
+        spark, path, spark.createDataFrame([(2, 20)], "id INT, v INT"), ["id"]
+    )
+    got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
+    assert got == {(1, 10), (2, 20)}
+    # no key matched: every pre-existing file carries over
+    after = {f["path"] for f in snapshots.load_manifest(path)["files"]}
+    assert before <= after
+
+
+def test_schema_evolution_additive_append(spark, tmp_path, snap_format):
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
+    writers.append_table(
+        spark.createDataFrame([(2, 20, "x")], "id INT, v INT, tag STRING"), path
+    )
+    cur = writers.read_table(spark, path)
+    assert cur.columns == ["id", "v", "tag"]
+    got = {(r["id"], r["v"], r["tag"]) for r in cur.collect()}
+    assert got == {(1, 10, None), (2, 20, "x")}
+    # the old version keeps the old two-column schema
+    assert snapshots.read_version(spark, path, 1).columns == ["id", "v"]
+
+
+def test_schema_evolution_type_conflict_raises(spark, tmp_path, snap_format):
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
+    with pytest.raises(ValueError, match="type conflict"):
+        writers.append_table(
+            spark.createDataFrame([(2, "oops")], "id INT, v STRING"), path
+        )
+
+
+def test_snapshot_diff_reports_upsert_changes_only(spark, tmp_path, snap_format):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id INT, p STRING, v INT"
+    )
+    writers.overwrite_table(base, path, ["p"])
+    updates = spark.createDataFrame([(2, "a", 99)], "id INT, p STRING, v INT")
+    snapshots.merge_upsert(spark, path, updates, ["id"], ["p"])
+    diff = snapshots.snapshot_diff(spark, path, 1, 2)
+    got = {(r["id"], r["v"], r["_change_type"]) for r in diff.collect()}
+    # update = delete of the old row + insert of the new; untouched
+    # rows in the same partition re-write but cancel in the multiset
+    assert got == {(2, 20, "delete"), (2, 99, "insert")}
+
+
+def test_snapshot_diff_after_compaction_is_empty(spark, tmp_path, snap_format):
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.range(100).selectExpr("id", "id*2 AS v"), path)
+    writers.append_table(spark.range(100, 150).selectExpr("id", "id*2 AS v"), path)
+    snapshots.compact(spark, path, target_file_bytes=1 << 30)
+    assert snapshots.snapshot_diff(spark, path, 2, 3).count() == 0
+
+
+def test_append_stream_batch_replay_is_noop(spark, tmp_path, snap_format):
+    """Replaying a micro-batch (same batch_id) must not duplicate rows
+    or advance the version — the foreachBatch exactly-once contract."""
+    path = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, 10)], "id INT, v INT")
+    b1 = spark.createDataFrame([(2, 20)], "id INT, v INT")
+    assert snapshots.append_stream_batch(b0, path, 0) is not None
+    assert snapshots.append_stream_batch(b1, path, 1) is not None
+    # crash/restart: batch 1 re-offered
+    assert snapshots.append_stream_batch(b1, path, 1) is None
+    assert writers.read_table(spark, path).count() == 2
+    assert snapshots.versions(path) == [1, 2]
+
+
+def test_append_stream_batch_into_streaming_sink(spark, tmp_path, snap_format):
+    """End-to-end: a file-source stream lands in a snapshot table via
+    foreachBatch + append_stream_batch; rerunning the stream over the
+    same checkpoint adds nothing."""
+    import json as _json
+
+    src_dir, table, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "t"),
+        str(tmp_path / "ck"),
+    )
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps({"id": i, "v": i * 10}) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id LONG, v LONG").format("json").load(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: snapshots.append_stream_batch(df, table, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert writers.read_table(spark, table).count() == 4
+    run_once()  # restart over the same checkpoint: no new batches
+    assert writers.read_table(spark, table).count() == 4
