@@ -675,3 +675,119 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum("cents") / F.count("*") + 0.5) / 100.0).alias("avg_monetary"),
         )
     )
+
+
+@query(
+    "customer_revenue_pareto",
+    oracle="""
+    WITH cr AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS total
+        FROM cr
+    )
+    SELECT CAST(least(floor((rk - 1) * 10.0 / n), 9) + 1 AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS decile_revenue,
+           round(sum(rev) / min(total), 4) AS revenue_share
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="Pareto revenue-concentration profile: customers ranked by total "
+    "spend (descending) and cut into rank deciles, with each decile's "
+    "share of total revenue — the 80/20 audit. The global descending "
+    "rank reuses operators/ranks.global_rank (banded two-pass, no "
+    "single-partition window over the customer set — plan-gated); the "
+    "oracle's window formulation is the semantic spec.",
+    tags=("stats", "rank"),
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    # ascending banded rank on -rev == descending rank on rev; the
+    # o_custkey tie column matches the oracle's (rev DESC, custkey).
+    ranked = global_rank(
+        cr.withColumn("neg_rev", -F.col("rev")), "neg_rev", ("o_custkey",), n_bands=64,
+        rank_col="rk",
+    )
+    totals = F.broadcast(
+        cr.agg(F.count("*").alias("n"), F.sum("rev").alias("total"))
+    )
+    decile = (
+        F.least(F.floor((F.col("rk") - 1) * 10.0 / F.col("n")), F.lit(9)) + 1
+    ).cast("int")
+    return (
+        ranked.crossJoin(totals)
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("decile_revenue"),
+            F.round(F.sum("rev") / F.min("total"), 4).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "copurchase_lift_topk",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT pairs.u, pairs.v, CAST(pairs.c_ab AS BIGINT) AS support,
+           round(pairs.c_ab * 1.0 * n.n_orders / (cu.c * cv.c), 4) AS lift
+    FROM pairs JOIN pc cu ON pairs.u = cu.l_partkey
+               JOIN pc cv ON pairs.v = cv.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, pairs.u, pairs.v LIMIT 20
+    """,
+    doc="Market-basket association lift: top-20 part pairs by "
+    "lift = P(a,b)/(P(a)P(b)) with support >= 3 — the frequent-itemset "
+    "signal behind the co-purchase graph. One (u,v) support "
+    "aggregation with map-side partials (the single big shuffle), "
+    "part-marginal joins on each side (item-catalog-sized — shuffle, "
+    "not broadcast), 1-row order-count broadcast, TakeOrdered top-k "
+    "on rounded lift with full tie-break.",
+    tags=("stats", "join", "topk"),
+)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = F.broadcast(li.agg(F.countDistinct("l_orderkey").alias("n_orders")))
+    pc = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    cu = pc.select(F.col("l_partkey").alias("u"), F.col("c").alias("cu"))
+    cv = pc.select(F.col("l_partkey").alias("v"), F.col("c").alias("cv"))
+    return (
+        pairs.join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(n)
+        .select(
+            "u", "v",
+            F.col("c_ab").alias("support"),
+            F.round(
+                F.col("c_ab") * 1.0 * F.col("n_orders") / (F.col("cu") * F.col("cv")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "u", "v")
+        .limit(20)
+    )
