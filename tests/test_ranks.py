@@ -5,6 +5,7 @@ never funnels through a single-partition window)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 from pyspark.sql import Window
 
 from reciping_data_pipeline_spark.operators.ranks import global_rank
@@ -53,3 +54,28 @@ def test_global_rank_data_window_is_band_partitioned(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "__band" in line, line
+
+
+@pytest.mark.parametrize("n_bands", [1, 2, 16, 1024])
+@pytest.mark.parametrize("dist", ["negatives", "skewed", "two_values"])
+def test_global_rank_adversarial_distributions(spark, dist, n_bands):
+    """Exactness must hold for any band count (bands affect only the
+    plan, never the result): negative ranges, heavy exponential skew
+    (nearly everything lands in band 0), and a two-value column where
+    most bands are empty."""
+    base = spark.range(300).selectExpr("id AS k")
+    if dist == "negatives":
+        df = base.selectExpr("k", "CAST(-(k % 13) * 7.5 AS DOUBLE) AS v")
+    elif dist == "skewed":
+        df = base.selectExpr("k", "CAST(exp(k % 40) AS DOUBLE) AS v")
+    else:
+        df = base.selectExpr("k", "CAST(CASE WHEN k % 97 = 0 THEN 1e9 ELSE 1.0 END AS DOUBLE) AS v")
+    got = {
+        r["k"]: r["rk"]
+        for r in global_rank(df, "v", ("k",), n_bands=n_bands, rank_col="rk").collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        r["k"]: r["rk"] for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
