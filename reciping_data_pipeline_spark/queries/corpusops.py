@@ -674,7 +674,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary-sized so it is left to Catalyst/AQE as a shuffle join "
     "— never broadcast (the doc_tfidf_topk lesson); only the 1-row "
     "corpus total broadcasts.",
-    tags=("text", "stats", "curation"),
+    tags=("text", "stats", "curation", "bench"),
 )
 def doc_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -809,7 +809,7 @@ def doc_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(1) work per emitted pair), unigram marginals joined on each side "
     "as vocabulary-sized SHUFFLE joins (never broadcast), scalar totals "
     "broadcast, top-30 by rounded PMI with full lexical tie-break.",
-    tags=("text", "stats", "topk"),
+    tags=("text", "stats", "topk", "bench"),
 )
 def doc_token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -909,4 +909,30 @@ def doc_ttr_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("distinct_tokens") * 1.0 / F.col("total_tokens"), 4).alias("ttr"),
         "n_docs",
         "avg_fertility",
+    )
+
+
+@query(
+    "doc_vocab_heavy_hitters_approx",
+    oracle=None,  # sketch estimator: rank-accuracy gated in test_approx.py
+    doc="Approximate heavy hitters over the token stream via "
+    "approx_top_k (Spark's bounded-memory frequent-items sketch): "
+    "top-25 tokens with estimated counts from ONE pass with O(tracked) "
+    "state per partition and mergeable partials — the scale path when "
+    "the vocabulary no longer fits a token-keyed exact aggregation "
+    "(the exact twin is doc_vocab_topk). Tracking 10x the requested k "
+    "keeps the head of a Zipfian stream exact (test-gated).",
+    tags=("text", "vocab", "approx"),
+)
+def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.col("text")))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.expr("approx_top_k(token, 25, 250)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("est_count"),
+        )
     )

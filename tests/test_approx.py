@@ -80,3 +80,32 @@ def test_wau_sketch_rollup_merge_accuracy(spark):
     assert got.keys() == exact.keys()
     for week, est in got.items():
         assert abs(est - exact[week]) <= max(0.05 * exact[week], 2), (week, est, exact[week])
+
+
+def test_vocab_heavy_hitters_head_is_exact(spark):
+    """approx_top_k's contract at 10x tracking headroom on a Zipfian
+    token stream: the reported top-25 must BE the exact top-25 (same
+    items, exact counts) — the sketch only degrades below the tracked
+    horizon."""
+    from reciping_data_pipeline_spark.queries import all_queries
+
+    reg = all_queries()
+    approx = {
+        (r["token"], r["est_count"])
+        for r in reg["doc_vocab_heavy_hitters_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r["token"], r["n"])
+        for r in reg["doc_vocab_topk"].fn(spark, SF_SMOKE).limit(25).collect()
+    }
+    # doc_vocab_topk returns top-50; sketch counts must be exact and
+    # every item strictly above the boundary count must be present
+    # (items TIED at the boundary may legitimately swap membership).
+    boundary = min(c for _, c in exact)
+    assert {e for e in exact if e[1] > boundary} <= approx
+    assert sorted(c for _, c in approx) == sorted(c for _, c in approx)
+    approx_items = {t for t, _ in approx}
+    exact_counts = dict(exact)
+    for tok, cnt in exact:
+        if tok in approx_items:
+            assert (tok, cnt) in approx  # counts exact where present
