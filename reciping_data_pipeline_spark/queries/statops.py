@@ -791,3 +791,44 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "event_count_autocorr",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_day_pairs,
+           round(corr(a.c, b.c), 4) AS lag1_autocorr
+    FROM d a JOIN d b
+      ON a.event_type = b.event_type AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.event_type
+    """,
+    doc="Lag-1 autocorrelation of the daily event-count series per type "
+    "(time-series regularity diagnostic — near zero for a memoryless "
+    "stream, high for trending/seasonal load). Daily counts come from "
+    "one aggregation; the lag pairing is an equi-join on (type, day+1) "
+    "over the O(days x types) aggregate, so the heavy input collapses "
+    "before any pairwise work.",
+    tags=("stats", "timeseries"),
+)
+def event_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("c"))
+    a = d.select("event_type", "day", F.col("c").alias("ca"))
+    b = d.select(
+        "event_type", (F.date_add("day", -1)).alias("day"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_day_pairs"),
+            F.round(F.corr("ca", "cb"), 4).alias("lag1_autocorr"),
+        )
+    )

@@ -583,3 +583,61 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint(F.col("text")).alias("fingerprint")
     )
     return dedup.incremental_exact_dedup(new_batch, existing, "doc_id", "text")
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH feat AS (
+        SELECT lang,
+               CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_EN_STOP})) AS DOUBLE) AS h_en,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN ('el','la','de','que','y','en','un','por','con','los'))) AS DOUBLE) AS h_es,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN ('le','la','et','les','des','en','un','du','que','pour'))) AS DOUBLE) AS h_fr,
+               CAST(len(list_filter({_TOKENS_SQL}, x -> x IN ('der','die','und','das','den','von','zu','mit','ist','des'))) AS DOUBLE) AS h_de
+        FROM documents
+    ), pred AS (
+        SELECT lang AS labeled_lang,
+               CASE WHEN h_en / nullif(n_tok, 0) > 0.02
+                         AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                    WHEN h_es / nullif(n_tok, 0) > 0.02
+                         AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+                    WHEN h_fr / nullif(n_tok, 0) > 0.02 AND h_fr >= h_de THEN 'fr'
+                    WHEN h_de / nullif(n_tok, 0) > 0.02 THEN 'de'
+                    ELSE 'und' END AS predicted_lang
+        FROM feat
+    ), tot AS (SELECT labeled_lang, count(*) AS n_label FROM pred GROUP BY 1)
+    SELECT p.labeled_lang, p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / min(tot.n_label), 4) AS label_share
+    FROM pred p JOIN tot USING (labeled_lang)
+    GROUP BY 1, 2
+    """,
+    doc="Classifier evaluation harness: confusion matrix of the heuristic "
+    "language detector against the labeled lang column, with per-label "
+    "recall shares — the quality-audit loop every corpus labeling step "
+    "needs. One detector pass (JVM lambda filters, no UDF), one "
+    "(label, prediction) aggregation, label-marginal join over the "
+    "label-bounded aggregate. NOTE: ratio comparisons reduce to hit-"
+    "count comparisons within a doc (same denominator), mirrored "
+    "identically in the oracle.",
+    tags=("text", "eval"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        T.detect_lang(F.col("text")).alias("predicted_lang"),
+    )
+    tot = pred.groupBy("labeled_lang").agg(F.count("*").alias("n_label"))
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(tot, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_label"), 4).alias("label_share"),
+        )
+    )
