@@ -295,3 +295,57 @@ def test_append_stream_batch_into_streaming_sink(spark, tmp_path, snap_format):
     assert writers.read_table(spark, table).count() == 4
     run_once()  # restart over the same checkpoint: no new batches
     assert writers.read_table(spark, table).count() == 4
+
+
+def test_concurrent_commit_race_serializes_both_appends(spark, tmp_path, snap_format):
+    """Two writers committing against the same parent version must BOTH
+    land (the loser re-reads the winner's manifest and re-merges) —
+    the optimistic-concurrency contract. Simulated deterministically:
+    stage both file sets against v1, then interleave the commits."""
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(0, 0)], "id INT, v INT"), path)
+    f_a = snapshots._stage_files(
+        spark.createDataFrame([(1, 10)], "id INT, v INT"), path, None
+    )
+    f_b = snapshots._stage_files(
+        spark.createDataFrame([(2, 20)], "id INT, v INT"), path, None
+    )
+    # both commits race from parent v1; the second re-merges onto v2
+    snapshots._commit(path, lambda parent: parent + f_a, "append", 
+                      spark.createDataFrame([(1, 10)], "id INT, v INT").schema.json())
+    snapshots._commit(path, lambda parent: parent + f_b, "append",
+                      spark.createDataFrame([(2, 20)], "id INT, v INT").schema.json())
+    assert snapshots.versions(path) == [1, 2, 3]
+    got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
+    assert got == {(0, 0), (1, 10), (2, 20)}
+
+
+def test_concurrent_commit_threaded_race(spark, tmp_path, snap_format):
+    """A real thread race on the manifest O_EXCL create: N threads
+    append concurrently; every append must survive with N+1 committed
+    versions and zero lost rows."""
+    import threading
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(0, 0)], "id INT, v INT"), path)
+    staged = [
+        snapshots._stage_files(
+            spark.createDataFrame([(i, i * 10)], "id INT, v INT"), path, None
+        )
+        for i in range(1, 5)
+    ]
+    schema_json = spark.createDataFrame([(0, 0)], "id INT, v INT").schema.json()
+    threads = [
+        threading.Thread(
+            target=snapshots._commit,
+            args=(path, (lambda fs: lambda parent: parent + fs)(fs), "append", schema_json),
+        )
+        for fs in staged
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(snapshots.versions(path)) == 5
+    got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
+    assert got == {(0, 0), (1, 10), (2, 20), (3, 30), (4, 40)}
