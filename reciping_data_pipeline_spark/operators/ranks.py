@@ -7,10 +7,12 @@ Global order statistics (dense ranks, Gini, exact quantile indexes)
 still need a total order, so this module provides the standard
 two-pass banded formulation that keeps every stage partitioned:
 
-1. one aggregate pass computes the value range (a 1-row scalar,
+1. one aggregate pass computes the band boundaries (a 1-row scalar,
    broadcast via cross join);
-2. rows are bucketed into ``n_bands`` fixed-width value bands — a
-   deterministic, data-independent partitioning key;
+2. rows are bucketed into ``n_bands`` value bands — equi-depth
+   boundaries from an approx-percentile sketch by default (skew-proof
+   balance), or fixed-width [min, max] slices — either way a pure
+   function of the value, so results never depend on the choice;
 3. per-band counts (≤ ``n_bands`` rows) get prefix-sum offsets with a
    window over the *aggregated* band table (tiny by construction —
    this is the only unpartitioned window, over at most ``n_bands``
@@ -38,26 +40,59 @@ def global_rank(
     tie_cols: tuple[str, ...] = (),
     n_bands: int = 256,
     rank_col: str = "global_rank",
+    bands: str = "quantile",
 ) -> DataFrame:
     """Append 1-based ascending ``rank_col`` ordered by
     ``(value_col, *tie_cols)`` without a global single-partition
-    window. ``value_col`` must be numeric and non-null."""
+    window. ``value_col`` must be numeric and non-null.
+
+    ``bands="quantile"`` (default) draws band boundaries from
+    ``percentile_approx`` — equi-DEPTH bands, so a skewed value
+    distribution (exponential tails, outlier spikes) still spreads
+    rows evenly across band partitions. ``bands="width"`` uses
+    fixed-width [min, max] slices — cheaper bounds pass, fine for
+    near-uniform values. The choice affects ONLY plan balance: band
+    assignment is a pure function of the value, so the computed ranks
+    are identical either way (approx-sketch nondeterminism in the
+    boundary placement is therefore harmless). The irreducible case
+    is a single value dominating the column: ties must share a band
+    (rank order inside a tie run still comes from ``tie_cols``), so
+    duplicates of one value always land in one partition — that is a
+    property of order statistics, not of the banding."""
     v = F.col(value_col)
-    bounds = df.agg(
-        F.min(v).alias("__lo"), F.max(v).alias("__hi")
-    )
-    banded = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__band",
-        F.when(
-            F.col("__hi") > F.col("__lo"),
-            F.least(
-                F.floor((v - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / n_bands)),
-                F.lit(n_bands - 1),
-            ),
+    if n_bands <= 1:
+        banded = df.withColumn("__band", F.lit(0))
+    elif bands == "quantile":
+        probs = [i / n_bands for i in range(1, n_bands)]
+        bounds = df.agg(
+            F.percentile_approx(v, F.array(*[F.lit(p) for p in probs]), F.lit(2000)).alias(
+                "__bs"
+            )
         )
-        .otherwise(F.lit(0))
-        .cast("int"),
-    ).drop("__lo", "__hi")
+        banded = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "__band",
+                F.size(F.filter(F.col("__bs"), lambda b: b < v)).cast("int"),
+            )
+            .drop("__bs")
+        )
+    elif bands == "width":
+        bounds = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        banded = df.crossJoin(F.broadcast(bounds)).withColumn(
+            "__band",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.least(
+                    F.floor((v - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / n_bands)),
+                    F.lit(n_bands - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("__lo", "__hi")
+    else:
+        raise ValueError(f"bands must be 'quantile' or 'width', got {bands!r}")
 
     # Band offsets: prefix sum over the aggregated (≤ n_bands rows)
     # band-count table. The unpartitioned window here is safe — it

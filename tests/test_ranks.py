@@ -56,9 +56,10 @@ def test_global_rank_data_window_is_band_partitioned(spark):
             assert "__band" in line, line
 
 
+@pytest.mark.parametrize("bands", ["quantile", "width"])
 @pytest.mark.parametrize("n_bands", [1, 2, 16, 1024])
 @pytest.mark.parametrize("dist", ["negatives", "skewed", "two_values"])
-def test_global_rank_adversarial_distributions(spark, dist, n_bands):
+def test_global_rank_adversarial_distributions(spark, dist, n_bands, bands):
     """Exactness must hold for any band count (bands affect only the
     plan, never the result): negative ranges, heavy exponential skew
     (nearly everything lands in band 0), and a two-value column where
@@ -72,7 +73,9 @@ def test_global_rank_adversarial_distributions(spark, dist, n_bands):
         df = base.selectExpr("k", "CAST(CASE WHEN k % 97 = 0 THEN 1e9 ELSE 1.0 END AS DOUBLE) AS v")
     got = {
         r["k"]: r["rk"]
-        for r in global_rank(df, "v", ("k",), n_bands=n_bands, rank_col="rk").collect()
+        for r in global_rank(
+            df, "v", ("k",), n_bands=n_bands, rank_col="rk", bands=bands
+        ).collect()
     }
     w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
     want = {
