@@ -462,3 +462,101 @@ def append_stream_batch(
         evolve=True,
         extra={"batch_id": batch_id},
     )
+
+
+def _file_column_stats(abs_path: str, stats_cols: list[str]) -> dict:
+    """Per-file min/max for ``stats_cols`` from the parquet FOOTER
+    (pyarrow metadata — no data pages read). Values are kept
+    JSON-portable; non-scalar/unstatted columns are skipped."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in stats_cols:
+        if col not in idx:
+            continue
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            try:
+                json.dumps([lo, hi])
+            except TypeError:
+                lo, hi = str(lo), str(hi)
+            out[col] = [lo, hi]
+    return out
+
+
+def collect_stats(path: str, stats_cols: list[str]) -> dict:
+    """ANALYZE for the snapshot format: commit a new version whose file
+    entries carry footer min/max for ``stats_cols`` (Iceberg keeps the
+    same bounds in its manifest entries). O(files) footer reads, no
+    data scan; carried-over entries keep existing stats so incremental
+    re-analyze only touches new files."""
+    current = load_manifest(path)
+
+    def merge(parent_files: list[dict]) -> list[dict]:
+        out = []
+        for f in parent_files:
+            entry = dict(f)
+            have = entry.get("stats", {})
+            missing = [c for c in stats_cols if c not in have]
+            if missing:
+                entry["stats"] = {
+                    **have,
+                    **_file_column_stats(os.path.join(path, f["path"]), missing),
+                }
+            out.append(entry)
+        return out
+
+    return _commit(path, merge, "collect_stats", current["schema"])
+
+
+def read_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned scan: read only the manifest files whose [min, max]
+    for ``col`` intersects [lo, hi], then apply the residual filter.
+    Files without stats are conservatively kept. This is manifest-level
+    skipping — pruned files are never OPENED, one level above parquet's
+    own row-group skipping (which still applies inside the survivors),
+    and it composes with partition pruning because the surviving list
+    keeps its directory fragments."""
+    m = load_manifest(path, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    keep = []
+    for f in m["files"]:
+        st = f.get("stats", {}).get(col)
+        if st is None or not (hi < st[0] or lo > st[1]):
+            keep.append(f)
+    if not keep:
+        return spark.createDataFrame([], schema).where(F.col(col).between(lo, hi))
+    reader = spark.read.schema(schema)
+    if any(f["partition"] for f in keep):
+        reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
+    df = reader.parquet(*[os.path.join(path, f["path"]) for f in keep])
+    return df.where(F.col(col).between(lo, hi))
+
+
+def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -> tuple[int, int]:
+    """(files kept, files total) for a [lo, hi] range on ``col`` — the
+    observability hook for the skipping ratio (the reference tracks the
+    same number as its partition-scan SLO)."""
+    m = load_manifest(path, version)
+    kept = 0
+    for f in m["files"]:
+        st = f.get("stats", {}).get(col)
+        if st is None or not (hi < st[0] or lo > st[1]):
+            kept += 1
+    return kept, len(m["files"])

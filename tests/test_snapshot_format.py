@@ -349,3 +349,40 @@ def test_concurrent_commit_threaded_race(spark, tmp_path, snap_format):
     assert len(snapshots.versions(path)) == 5
     got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
     assert got == {(0, 0), (1, 10), (2, 20), (3, 30), (4, 40)}
+
+
+def test_stats_skipping_prunes_files_and_keeps_answers(spark, tmp_path, snap_format):
+    """collect_stats + read_where: a narrow range over a value-sorted
+    table must skip most files at the MANIFEST level (never opened)
+    and still return exactly the directory-scan answer."""
+    path = str(tmp_path / "t")
+    # 8 files, disjoint id ranges -> tight footer min/max per file
+    df = spark.range(800).selectExpr("id", "id * 2 AS v").repartitionByRange(8, "id")
+    writers.overwrite_table(df, path)
+    snapshots.collect_stats(path, ["id"])
+    kept, total = snapshots.pruned_file_count(path, "id", 100, 120)
+    assert total == 8 and kept <= 2, (kept, total)
+    got = sorted(
+        r["id"] for r in snapshots.read_where(spark, path, "id", 100, 120).collect()
+    )
+    assert got == list(range(100, 121))
+
+
+def test_stats_survive_append_and_incremental_analyze(spark, tmp_path, snap_format):
+    """Carried-over entries keep their stats through appends; a second
+    collect_stats only has new files left to analyze."""
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.range(100).selectExpr("id", "id AS v").coalesce(1), path
+    )
+    snapshots.collect_stats(path, ["id"])
+    writers.append_table(
+        spark.range(1000, 1100).selectExpr("id", "id AS v").coalesce(1), path
+    )
+    # old file's stats carried through the append commit
+    m = snapshots.load_manifest(path)
+    assert sum(1 for f in m["files"] if "stats" in f) == 1
+    snapshots.collect_stats(path, ["id"])
+    kept, total = snapshots.pruned_file_count(path, "id", 0, 50)
+    assert (kept, total) == (1, 2)
+    assert snapshots.read_where(spark, path, "id", 0, 50).count() == 51
