@@ -120,3 +120,48 @@ def test_wav_codec_round_trip_exact(amp, n_frames):
     assert (nch, sr, nf) == (1, 16_000, n_frames)
     assert dur_ms == n_frames * 1000 // 16_000
     assert rms == (amp if n_frames else 0)
+
+
+@given(
+    names=st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=8, unique=True
+    ),
+    extra=st.lists(
+        st.sampled_from("wxyz"), min_size=0, max_size=4, unique=True
+    ),
+    split=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_evolved_schema_is_additive_and_order_stable(names, extra, split):
+    """snapshots._evolved_schema_json: parent column order is preserved,
+    new columns append in incoming order, overlap is idempotent, and
+    same-name/same-type overlap never raises."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from reciping_data_pipeline_spark.sources.snapshots import _evolved_schema_json
+
+    parent = StructType([StructField(n, LongType()) for n in names])
+    incoming_names = names[split:] + extra  # overlap + new columns
+    incoming = StructType([StructField(n, LongType()) for n in incoming_names])
+    out = StructType.fromJson(
+        __import__("json").loads(_evolved_schema_json(parent.json(), incoming))
+    )
+    assert [f.name for f in out] == names + [n for n in incoming_names if n not in names]
+    # idempotent: evolving again with the same incoming changes nothing
+    assert _evolved_schema_json(out.json(), incoming) == out.json()
+
+
+@given(name=st.sampled_from("abc"))
+@settings(max_examples=10, deadline=None)
+def test_evolved_schema_type_conflict_always_raises(name):
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from reciping_data_pipeline_spark.sources.snapshots import _evolved_schema_json
+
+    parent = StructType([StructField(name, LongType())])
+    incoming = StructType([StructField(name, StringType())])
+    with _pytest.raises(ValueError):
+        _evolved_schema_json(parent.json(), incoming)
