@@ -386,3 +386,42 @@ def test_stats_survive_append_and_incremental_analyze(spark, tmp_path, snap_form
     kept, total = snapshots.pruned_file_count(path, "id", 0, 50)
     assert (kept, total) == (1, 2)
     assert snapshots.read_where(spark, path, "id", 0, 50).count() == 51
+
+
+def test_medallion_incremental_replay_idempotent_under_snapshot_format(
+    spark, tmp_path, snap_format
+):
+    """The incremental path too: bulk-build under the snapshot format,
+    then replay an already-loaded interval — zero rows added at every
+    layer, with the replay's no-op visible as append history rather
+    than rewritten files."""
+    from datetime import timedelta
+
+    from reciping_data_pipeline_spark.pipeline import bronze, datagen, gold, runner, silver
+
+    root = str(tmp_path)
+    fix = datagen.generate_fixture(root, seed=11, n_users=25, n_days=2)
+    wh = f"{root}/wh"
+    start = datetime(2025, 9, 1)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark, fix["staging_dir"], wh, fix["recipe_master"], datetime(2025, 9, 3),
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-03 23:00:00"),
+        )
+        counts_before = (
+            bronze.read_bronze(spark, wh).count(),
+            silver.read_silver(spark, wh).count(),
+            gold.read_fact(spark, wh).count(),
+        )
+        runner.replay_loop(spark, fix["staging_dir"], wh, start, start + timedelta(hours=1))
+        counts_after = (
+            bronze.read_bronze(spark, wh).count(),
+            silver.read_silver(spark, wh).count(),
+            gold.read_fact(spark, wh).count(),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert counts_after == counts_before
+    assert counts_before[2] > 0
