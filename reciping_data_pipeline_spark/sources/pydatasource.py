@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 _SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
@@ -46,6 +51,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -86,3 +94,67 @@ class SyntheticEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotently register the source with the session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream flavor of the same source
+    (``spark.readStream.format("synthetic_events")``): every trigger
+    advances the offset by ``rows_per_batch`` GLOBAL row indices, the
+    index range splits evenly across ``num_partitions`` executor
+    tasks, and row content is a pure function of (seed, global index)
+    — so a replayed batch (same [start, end) offsets after a crash)
+    regenerates byte-identical rows: exactly-once end-to-end when
+    paired with an idempotent or transactional sink. Offsets are plain
+    JSON dicts, checkpointed by the engine like any built-in source."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 512))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 100))
+        self.start = datetime.fromisoformat(options.get("start", "2025-09-01")).replace(
+            tzinfo=timezone.utc
+        )
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._current += self.rows_per_batch
+        return {"index": self._current}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["index"], end["index"]
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        step = -(-(hi - lo) // self.num_partitions)
+        return [
+            InputPartition((i, min(i + step, hi))) for i in range(lo, hi, step)
+        ]
+
+    def read(self, partition: InputPartition):
+        for row in _rows_for_range(
+            partition.value[0], partition.value[1], self.seed, self.n_users, self.start
+        ):
+            yield row
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _rows_for_range(lo: int, hi: int, seed: int, n_users: int, start: datetime):
+    """Deterministic rows for global indices [lo, hi): content derives
+    from (seed, index) alone — shared by the stream reader and tests
+    (the replay-equality oracle)."""
+    import numpy as np
+
+    for idx in range(lo, hi):
+        rng = np.random.default_rng((seed, idx))
+        yield (
+            idx,
+            start + timedelta(seconds=idx),
+            int(rng.integers(0, n_users)),
+            EVENT_TYPES[int(rng.integers(0, len(EVENT_TYPES)))],
+            round(float(rng.exponential(scale=20.0)), 2),
+        )

@@ -256,3 +256,71 @@ def test_table_format_seam_routes_all_writes(spark, tmp_path):
     assert {"bronze_events", "silver_events", "fact_user_events"} <= written or len(written) >= 3
     assert any(op == "overwrite_partitions" for op, _ in calls)
     assert writers.get_table_format().name == "parquet"
+
+
+def test_python_stream_source_offsets_and_replay_determinism(spark):
+    """The streaming flavor of the Python data source: offset ranges
+    split across partitions without gaps/overlap, and a REPLAYED range
+    (same start/end offsets) regenerates byte-identical rows — the
+    property crash-recovery exactly-once rests on."""
+    from reciping_data_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader({"rows_per_batch": "64", "num_partitions": "4"})
+    assert r.initialOffset() == {"index": 0}
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    assert (o1["index"], o2["index"]) == (64, 128)
+    parts = r.partitions({"index": 0}, o1)
+    spans = sorted(p.value for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 64
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c  # contiguous, no gap/overlap
+    batch1 = [row for p in parts for row in r.read(p)]
+    replay = [row for p in r.partitions({"index": 0}, {"index": 64}) for row in r.read(p)]
+    assert batch1 == replay
+    assert [row[0] for row in batch1] == list(range(64))
+
+
+def test_python_stream_source_end_to_end_micro_batches(spark, tmp_path):
+    """spark.readStream over the registered source: micro-batches land
+    in a memory sink with exactly the deterministic rows for the
+    consumed offset range."""
+    import time as _time
+
+    from reciping_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 50)
+        .option("num_partitions", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM synth_stream").collect()[0]["c"] >= 50:
+                break
+            _time.sleep(1)
+        rows = spark.sql(
+            "SELECT event_id, user_id, event_type, value FROM synth_stream ORDER BY event_id LIMIT 50"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(rows) == 50
+    expected = list(
+        pydatasource._rows_for_range(
+            0, 50, 42, 100, __import__("datetime").datetime(2025, 9, 1,
+            tzinfo=__import__("datetime").timezone.utc)
+        )
+    )
+    got = [(r["event_id"], r["user_id"], r["event_type"], r["value"]) for r in rows]
+    want = [(e[0], e[2], e[3], e[4]) for e in expected]
+    assert got == want
