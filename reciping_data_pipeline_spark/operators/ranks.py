@@ -31,7 +31,7 @@ charge of the physical plan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 
 
 def global_rank(
