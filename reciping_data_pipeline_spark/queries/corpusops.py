@@ -936,3 +936,47 @@ def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("e.count").cast("bigint").alias("est_count"),
         )
     )
+
+
+@query(
+    "doc_unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, token
+        FROM (SELECT doc_id, unnest({_TRIM_TOKENS_SQL}) AS token FROM documents)
+    ),
+    uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    n AS (SELECT sum(c) AS total FROM uni)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(ln(uni.c * 1.0 / n.total)) / count(*), 4) AS avg_nll
+    FROM tok JOIN uni USING (token) CROSS JOIN n
+    GROUP BY tok.doc_id
+    """,
+    doc="Perplexity-proxy quality scoring (CCNet-style LM filtering with "
+    "the corpus's own unigram model): per-document mean negative "
+    "log-likelihood under token unigram probabilities. The LM 'training' "
+    "is the token aggregation itself; scoring joins the token stream "
+    "back to the vocabulary-sized model as a SHUFFLE join (a real LM "
+    "table is far too large to broadcast — the TF-IDF lesson); only the "
+    "1-row token total broadcasts. Low avg_nll = high-probability "
+    "(stereotypical) text, high = rare-token text; both tails get "
+    "dropped in pretraining curation.",
+    tags=("text", "quality", "curation"),
+)
+def doc_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.trim(F.col("text")))).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n = F.broadcast(uni.agg(F.sum("c").alias("total")))
+    return (
+        tok.join(uni, "token")
+        .crossJoin(n)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("c") * 1.0 / F.col("total"))) / F.count("*"), 4
+            ).alias("avg_nll"),
+        )
+    )
