@@ -425,3 +425,20 @@ def test_medallion_incremental_replay_idempotent_under_snapshot_format(
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert counts_after == counts_before
     assert counts_before[2] > 0
+
+
+def test_snapshot_read_keeps_partition_pruning(spark, tmp_path, snap_format):
+    """read_version hands Spark an explicit file list with basePath —
+    partition-column filters must STILL prune at planning time
+    (PartitionFilters non-empty), exactly like a directory scan."""
+    from reciping_data_pipeline_spark.plans import inspect as plan_inspect
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}", i * 1.0) for i in range(40)], "id INT, p STRING, v DOUBLE"
+    )
+    writers.overwrite_table(df, path, ["p"])
+    scan = writers.read_table(spark, path).where("p = 'p1'")
+    pf = " ".join(plan_inspect.partition_filters(scan))
+    assert "p" in pf, pf
+    assert scan.count() == 10
