@@ -560,3 +560,30 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
         if st is None or not (hi < st[0] or lo > st[1]):
             kept += 1
     return kept, len(m["files"])
+
+
+def remove_orphans(path: str) -> list[str]:
+    """Delete data files no committed manifest references — the debris
+    of writers that staged files but crashed before their manifest
+    commit (Iceberg's ``remove_orphan_files``). Safe by construction:
+    a file becomes visible only through a manifest, so an unreferenced
+    file can never be read; stale ``_txn-*`` scratch dirs are also
+    swept. Returns the removed relative paths."""
+    referenced = {
+        f["path"] for v in versions(path) for f in load_manifest(path, v)["files"]
+    }
+    removed: list[str] = []
+    data_root = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for dirpath, _, filenames in os.walk(data_root):
+            for fname in filenames:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, path)
+                if rel not in referenced:
+                    os.remove(full)
+                    removed.append(rel)
+    for entry in os.listdir(path):
+        if entry.startswith("_txn-"):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            removed.append(entry)
+    return removed

@@ -442,3 +442,23 @@ def test_snapshot_read_keeps_partition_pruning(spark, tmp_path, snap_format):
     pf = " ".join(plan_inspect.partition_filters(scan))
     assert "p" in pf, pf
     assert scan.count() == 10
+
+
+def test_remove_orphans_sweeps_uncommitted_files_only(spark, tmp_path, snap_format):
+    """Files staged by a crashed writer (no manifest commit) are swept;
+    every committed file — current AND historical — survives."""
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
+    writers.append_table(spark.createDataFrame([(2, 20)], "id INT, v INT"), path)
+    # simulate a crash: stage files, never commit a manifest
+    snapshots._stage_files(
+        spark.createDataFrame([(9, 90)], "id INT, v INT"), path, None
+    )
+    committed = {f["path"] for v in snapshots.versions(path)
+                 for f in snapshots.load_manifest(path, v)["files"]}
+    removed = snapshots.remove_orphans(path)
+    assert removed  # the staged-but-uncommitted file went away
+    assert not (set(removed) & committed)
+    # both versions still fully readable
+    assert snapshots.read_version(spark, path, 1).count() == 1
+    assert writers.read_table(spark, path).count() == 2
