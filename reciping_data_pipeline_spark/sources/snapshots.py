@@ -23,12 +23,14 @@ every concurrent writer (snapshot isolation), and any historical
 version stays readable until explicitly expired (time travel).
 
 Commit protocol — optimistic concurrency: stage data files under
-``data/`` (invisible until referenced), then create ``v{N+1}.json``
-with ``O_EXCL``; losing the race re-reads the winner's manifest as the
-new parent and re-merges. The single atomicity primitive is the
-filesystem's exclusive create; on an object store this one point is
-replaced by a compare-and-swap catalog entry (exactly the role
-Iceberg gives its catalog) and the rest of the protocol is unchanged.
+``data/`` (invisible until referenced), then publish ``v{N+1}.json``
+by writing it to a scratch name and hard-linking to the version path
+— the link is the exclusive-create arbiter AND makes the full content
+visible atomically (no created-but-empty window for readers); losing
+the race re-reads the winner's manifest as the new parent and
+re-merges. On an object store this one point is replaced by a
+compare-and-swap catalog entry (exactly the role Iceberg gives its
+catalog) and the rest of the protocol is unchanged.
 
 Scale notes: the manifest lists files, not rows — O(files) JSON, kept
 small by compaction. Reads hand Spark an explicit file list with
@@ -202,14 +204,22 @@ def _commit(
             **(extra or {}),
         }
         os.makedirs(_snap_dir(path), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
-            )
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        # Publish atomically: write the FULL manifest to a scratch name,
+        # then hard-link it to the version path. link(2) fails with
+        # FileExistsError if the version was taken (the exclusive-create
+        # race arbiter), and the manifest appears with its complete
+        # content in one step — a concurrent reader can never observe a
+        # created-but-empty manifest (plain O_CREAT|O_EXCL + write has
+        # exactly that window; it flaked the threaded race test).
+        tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(path, version))
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
         return manifest
 
 

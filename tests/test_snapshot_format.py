@@ -321,9 +321,11 @@ def test_concurrent_commit_race_serializes_both_appends(spark, tmp_path, snap_fo
 
 
 def test_concurrent_commit_threaded_race(spark, tmp_path, snap_format):
-    """A real thread race on the manifest O_EXCL create: N threads
+    """A real thread race on the atomic manifest publication: N threads
     append concurrently; every append must survive with N+1 committed
-    versions and zero lost rows."""
+    versions and zero lost rows. (Regression: plain O_CREAT|O_EXCL +
+    write let a concurrent loser read a created-but-EMPTY manifest and
+    crash; the link-based publish closes that window.)"""
     import threading
 
     path = str(tmp_path / "t")
