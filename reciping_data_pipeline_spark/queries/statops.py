@@ -832,3 +832,114 @@ def event_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("ca", "cb"), 4).alias("lag1_autocorr"),
         )
     )
+
+
+@query(
+    "signup_conversion_survival",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS signup_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    mx AS (SELECT max(CAST(ts AS DATE)) AS maxday FROM events),
+    fp AS (
+        SELECT s.user_id,
+               min(CASE WHEN e.event_type = 'purchase'
+                         AND CAST(e.ts AS DATE) >= s.signup_day
+                        THEN CAST(e.ts AS DATE) END) AS conv_day
+        FROM s LEFT JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id
+    ),
+    u AS (
+        SELECT fp.user_id,
+               CASE WHEN fp.conv_day IS NOT NULL THEN 1 ELSE 0 END AS converted,
+               date_diff('day', s.signup_day,
+                         coalesce(fp.conv_day, mx.maxday)) AS t
+        FROM fp JOIN s USING (user_id) CROSS JOIN mx
+    ),
+    per_t AS (
+        SELECT t,
+               CAST(sum(converted) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM u GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d, leaving,
+               (SELECT count(*) FROM u) 
+                   - coalesce(sum(leaving) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM per_t
+    )
+    SELECT CAST(t AS INT) AS duration_days,
+           n_at_risk, d AS n_converted,
+           (leaving - d) AS n_censored,
+           round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_at_risk, 1e-12)))
+                 OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+               AS survival
+    FROM risk
+    """,
+    doc="Kaplan-Meier product-limit estimator for signup-to-first-purchase "
+    "conversion: users who never convert are right-censored at the "
+    "observation horizon, the per-day risk table collapses the user set "
+    "to O(days) rows, and the survival product runs as exp(cumsum(ln)) "
+    "over that TINY ordered table (the only unpartitioned window is over "
+    "the per-day aggregate, never the users). The classic time-to-event "
+    "analytic no count/avg suite can express.",
+    tags=("stats", "survival", "window"),
+)
+def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("signup_day"))
+    )
+    mx = F.broadcast(ev.agg(F.max(F.col("ts").cast("date")).alias("maxday")))
+    fp = (
+        s.join(ev, "user_id", "left")
+        .groupBy("user_id", "signup_day")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts").cast("date") >= F.col("signup_day")),
+                    F.col("ts").cast("date"),
+                )
+            ).alias("conv_day")
+        )
+    )
+    u = fp.crossJoin(mx).select(
+        F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("converted"),
+        F.datediff(F.coalesce("conv_day", "maxday"), "signup_day").alias("t"),
+    )
+    per_t = u.groupBy("t").agg(
+        F.sum("converted").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    total = F.broadcast(u.agg(F.count("*").alias("n_total")))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.crossJoin(total).withColumn(
+        "n_at_risk",
+        F.col("n_total") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    return risk.select(
+        F.col("t").cast("int").alias("duration_days"),
+        "n_at_risk",
+        F.col("d").alias("n_converted"),
+        (F.col("leaving") - F.col("d")).alias("n_censored"),
+        # greatest(..., 1e-12): the terminal risk group (everyone
+        # converts) has factor 0 — DuckDB's ln(0) ERRORS (no -inf), so
+        # both engines take ln of a floored factor; exp(<=-27.6) rounds
+        # to the exact 0.0 the estimator calls for.
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(F.greatest(1.0 - F.col("d") * 1.0 / F.col("n_at_risk"), F.lit(1e-12)))
+                ).over(w_cum)
+            ),
+            4,
+        ).alias("survival"),
+    )
