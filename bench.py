@@ -137,7 +137,17 @@ def main() -> None:
         timings[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    medallion = bench_medallion(spark)
+    # Median of 3 medallion runs as well: the bulk build fluctuated
+    # 13-24 s across same-code runs on this machine (page cache / JVM
+    # contention), more than any real cross-round change.
+    runs = [bench_medallion(spark) for _ in range(3)]
+    medallion = {
+        k: (sorted(r[k] for r in runs)[1] if isinstance(runs[0][k], float) else runs[0][k])
+        for k in runs[0]
+    }
+    medallion["bulk_events_per_sec"] = round(
+        medallion["bulk_events"] / medallion["bulk_sec"], 1
+    )
     print(
         json.dumps(
             {
