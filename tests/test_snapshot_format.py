@@ -464,3 +464,64 @@ def test_remove_orphans_sweeps_uncommitted_files_only(spark, tmp_path, snap_form
     # both versions still fully readable
     assert snapshots.read_version(spark, path, 1).count() == 1
     assert writers.read_table(spark, path).count() == 2
+
+
+def test_stats_skipping_composes_with_partitions(spark, tmp_path, snap_format):
+    """Stats skipping on a PARTITIONED snapshot table: pruning works on
+    the file entries inside partition dirs and the partition column
+    still materializes from the directory fragments."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", i * 1.0) for i in range(400)],
+        "id INT, par STRING, v DOUBLE",
+    ).repartitionByRange(4, "id")
+    writers.overwrite_table(df, path, ["par"])
+    snapshots.collect_stats(path, ["id"])
+    kept, total = snapshots.pruned_file_count(path, "id", 0, 40)
+    assert kept < total, (kept, total)
+    out = snapshots.read_where(spark, path, "id", 0, 40)
+    got = {(r["id"], r["par"]) for r in out.collect()}
+    assert got == {(i, "even" if i % 2 == 0 else "odd") for i in range(41)}
+
+
+def test_corpus_stream_on_snapshot_format(spark, tmp_path, snap_format):
+    """The streaming corpus ingest runs unchanged on the snapshot
+    format (it reads/writes only through the writers seam): re-offered
+    files dedup against the fingerprint index, and every micro-batch
+    append is a committed manifest version."""
+    import json as _json
+
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, docs):
+        with open(incoming / name, "w") as f:
+            for d in docs:
+                f.write(_json.dumps(d) + "\n")
+
+    write_wave(
+        "w1.jsonl",
+        [
+            {"doc_id": 1, "source": "web", "text": "alpha beta gamma"},
+            {"doc_id": 2, "source": "web", "text": "Alpha beta GAMMA!"},  # dup of 1
+        ],
+    )
+    q = ingest.start_corpus_stream(spark, str(incoming), corpus_dir, ckpt)
+    q.awaitTermination(60)
+    write_wave(
+        "w2.jsonl",
+        [
+            {"doc_id": 3, "source": "books", "text": "alpha beta gamma"},  # dup
+            {"doc_id": 4, "source": "books", "text": "delta epsilon"},
+        ],
+    )
+    q = ingest.start_corpus_stream(spark, str(incoming), corpus_dir, ckpt)
+    q.awaitTermination(60)
+    corpus = writers.read_table(spark, corpus_dir)
+    assert sorted(r["doc_id"] for r in corpus.select("doc_id").collect()) == [1, 4]
+    ops = [h["operation"] for h in snapshots.table_history(corpus_dir)]
+    assert all(op in ("append", "overwrite_table") for op in ops) and len(ops) >= 2
