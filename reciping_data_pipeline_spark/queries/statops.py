@@ -3,12 +3,15 @@
 A family the reference has no counterpart for (its analytics suite
 stops at counts/avgs/shares — ``/root/reference`` ``sql_queries/*.sql``):
 correlation and least-squares regression aggregates, entropy,
-higher-moment profiles, Gini concentration, chi-square independence,
-Benford first-digit screening, RFM segmentation, cohort LTV, and a
-degree-oriented distributed triangle count. Everything is expressed
+higher-moment profiles, Gini concentration + Pareto deciles,
+chi-square independence, Benford first-digit screening, equi-width
+histograms, RFM segmentation, cohort LTV, interarrival profiles,
+lag-1 autocorrelation, Kaplan-Meier survival, market-basket lift, and
+a degree-oriented distributed triangle count. Everything is expressed
 as one-pass JVM aggregations (no UDFs); global order statistics go
 through :mod:`reciping_data_pipeline_spark.operators.ranks` instead
-of a single-partition window.
+of a single-partition window, and ordered windows appear only over
+pre-aggregated O(days)/O(bands) tables.
 
 Cross-engine determinism rules (see queries/__init__ docstring):
 every float output rounded; per-user money totals rounded *before*
