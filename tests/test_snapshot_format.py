@@ -525,3 +525,34 @@ def test_corpus_stream_on_snapshot_format(spark, tmp_path, snap_format):
     assert sorted(r["doc_id"] for r in corpus.select("doc_id").collect()) == [1, 4]
     ops = [h["operation"] for h in snapshots.table_history(corpus_dir)]
     assert all(op in ("append", "overwrite_table") for op in ops) and len(ops) >= 2
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path, snap_format):
+    """Z-order vs lexicographic sort, same file count, same stats
+    machinery: the linear (id, y2)-sort prunes only on the leading
+    column, the Z-layout prunes on BOTH — the multi-dimensional
+    skipping contract."""
+    from reciping_data_pipeline_spark.sources.layout import zorder_frame
+
+    df = spark.range(4096).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "CAST(pmod(id * 2654435761, 4096) AS DOUBLE) AS y2"
+    )
+    lin, zed = str(tmp_path / "lin"), str(tmp_path / "zed")
+    writers.overwrite_table(df.repartitionByRange(16, "x").sortWithinPartitions("x", "y2"), lin)
+    writers.overwrite_table(zorder_frame(df, ["x", "y2"], n_files=16), zed)
+    for p in (lin, zed):
+        snapshots.collect_stats(p, ["x", "y2"])
+    # leading column: both layouts skip
+    assert snapshots.pruned_file_count(lin, "x", 0, 200)[0] <= 4
+    assert snapshots.pruned_file_count(zed, "x", 0, 200)[0] <= 8
+    # secondary column: only the Z-layout skips
+    lin_kept, total = snapshots.pruned_file_count(lin, "y2", 0, 200)
+    zed_kept, _ = snapshots.pruned_file_count(zed, "y2", 0, 200)
+    assert lin_kept == total, (lin_kept, total)  # linear sort: no pruning on y2
+    assert zed_kept <= total // 2, (zed_kept, total)
+    # and answers are exact through the pruned read
+    got = sorted(r["x"] for r in snapshots.read_where(spark, zed, "y2", 0, 200).collect())
+    want = sorted(
+        r["x"] for r in df.where("y2 BETWEEN 0 AND 200").collect()
+    )
+    assert got == want
