@@ -1,0 +1,58 @@
+"""Distributed weighted sampling without replacement (exponential keys).
+
+Sampling k items with probability proportional to a weight column —
+quality-weighted corpus subset selection, importance-weighted eval
+sets — via the A-ES / exponential-races construction: give every row
+the key ``-ln(u) / w`` with ``u`` uniform in (0,1) and keep the k
+SMALLEST keys. For k=1 this is exactly weighted sampling
+(P(argmin = i) = w_i / Σw — competing exponential clocks); for k>1 it
+is successive without-replacement draws (Efraimidis-Spirakis A-ES,
+the ``u^(1/w)`` formulation under a monotone transform).
+
+Spark shape: one map-side key expression + ``TakeOrderedAndProject``
+(per-partition bounded heaps, single k-row merge) — no shuffle of the
+data, no RNG state. ``u`` derives from ``xxhash64(id, seed)``, so the
+draw is reproducible across runs, executors, and partitionings, and a
+new ``seed`` is a fresh independent draw.
+
+The catalog query for this operator registers in the next driver
+window (the current round's 50 verification slots are exactly full);
+the statistical contract is test-gated in ``tests/test_sampling.py``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# xxhash64 output spans the full signed-64 range; fold to (0, 1)
+# exclusive: (h mod M + M) mod M maps to [0, M), then +0.5 shifts off
+# the endpoints. M = 2^53 keeps every value exactly representable.
+_M = 1 << 53
+
+
+def _uniform(id_col: Column, seed: int) -> Column:
+    h = F.xxhash64(id_col, F.lit(seed))
+    folded = ((h % _M) + _M) % _M
+    return (folded.cast("double") + 0.5) / _M
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """k rows drawn without replacement with probability ∝
+    ``weight_col`` (must be > 0; non-positive weights never win).
+    Deterministic in (data, seed); independent across seeds."""
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, -F.log(_uniform(F.col(id_col), seed)) / w)
+    return (
+        df.withColumn("_sample_key", key)
+        .where(F.col("_sample_key").isNotNull())
+        .orderBy(F.col("_sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_sample_key")
+    )
