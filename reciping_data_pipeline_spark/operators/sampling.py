@@ -56,3 +56,33 @@ def weighted_sample(
         .limit(k)
         .drop("_sample_key")
     )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    k_per_stratum: int,
+    weight_col: str,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the same
+    exponential keys, ranked within each stratum — k winners per
+    group in ONE window pass partitioned by the stratum (parallel
+    across strata; Spark runs the rank filter with per-partition
+    heaps). The per-source quota draw for corpus mixing when quotas
+    must respect a quality weight rather than a plain hash order."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, -F.log(_uniform(F.col(id_col), seed)) / w)
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.col("_sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_sample_key", key)
+        .where(F.col("_sample_key").isNotNull())
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= k_per_stratum)
+        .drop("_sample_key", "_rk")
+    )

@@ -54,3 +54,34 @@ def test_weighted_sample_plans_as_take_ordered(spark):
     df = _items(spark)
     plan = inspect.simple_plan(weighted_sample(df, 2, "w"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stratified_weighted_sample_quota_and_law(spark):
+    """Exactly k winners per stratum, drawn by the same exponential-key
+    law within each stratum (heavy item wins its stratum's k=1 draw
+    about w/(sum w) of the time), deterministic per seed."""
+    from reciping_data_pipeline_spark.operators.sampling import (
+        stratified_weighted_sample,
+    )
+
+    rows = [(s * 100 + i, f"s{s}", 9.0 if i == 0 else 1.0) for s in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id INT, src STRING, w DOUBLE").cache()
+    out = stratified_weighted_sample(df, 2, "w", "src", seed=5)
+    got = [(r["src"], r["doc_id"]) for r in out.collect()]
+    per = {}
+    for s, d in got:
+        per.setdefault(s, []).append(d)
+    assert all(len(v) == 2 for v in per.values()) and len(per) == 3
+    # same seed, different partitioning -> identical draw
+    again = stratified_weighted_sample(df.repartition(16), 2, "w", "src", seed=5)
+    assert sorted(got) == sorted((r["src"], r["doc_id"]) for r in again.collect())
+    # law: the weight-9 item (P = 9/18 = 0.5 for its stratum's first
+    # pick) should lead stratum s0's draw roughly half of 120 seeds
+    wins = 0
+    for seed in range(120):
+        top = (
+            stratified_weighted_sample(df.where("src = 's0'"), 1, "w", "src", seed=seed)
+            .collect()[0]["doc_id"]
+        )
+        wins += top == 0
+    assert 0.3 < wins / 120 < 0.7, wins
