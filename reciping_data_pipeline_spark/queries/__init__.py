@@ -104,6 +104,34 @@ _DRIVER_VERIFIED = frozenset(
         # r03 rows-only (no-oracle by design; recorded in CORRECTNESS_r03)
         "dau_approx", "event_value_percentiles_approx", "embed_lsh_ann",
         "embed_ivf_ann", "embed_pq_ann", "embed_semantic_dedup",
+        # r04 hash-green (CORRECTNESS_r04.json); the two r04 reds
+        # (signup_conversion_survival, embed_label_centroids) are
+        # deliberately ABSENT so their fixes rotate to the front of the
+        # r05 driver window.
+        "session_stats_daily", "langid_confusion_matrix", "doc_bm25_topk",
+        "doc_kl_source_divergence", "doc_zipf_slope", "doc_source_cap_sample",
+        "doc_token_pmi_topk", "doc_ttr_fertility_by_source",
+        "doc_unigram_logprob_quality", "returnflag_price_corr",
+        "discount_price_slope", "event_type_entropy_daily",
+        "value_moments_by_type", "user_value_gini",
+        "value_equiwidth_histogram", "priority_segment_chi2",
+        "order_interarrival_by_customer", "lineitem_benford_first_digit",
+        "copurchase_triangles", "cohort_ltv_curve", "user_rfm_segments",
+        "customer_revenue_pareto", "copurchase_lift_topk",
+        "event_count_autocorr", "nation_pair_trade_volume",
+        "region_market_share_by_year", "part_type_margin_by_year",
+        "embed_dim_variance_topk", "embed_centroid_pair_distances",
+        "embed_intra_label_cohesion", "embed_norm_quantiles_by_label",
+        "doc_length_winsorize", "doc_split_leakage", "doc_ngram_novelty",
+        "doc_dup_cluster_histogram", "doc_boilerplate_prefix",
+        "doc_token_frequency_spectrum", "embed_filtered_knn",
+        "doc_repeated_passages", "user_day_transcripts",
+        "user_trailing_7d_value", "user_timeseries_similarity",
+        "behavior_path_bigrams", "cohort_retention_matrix",
+        "strict_funnel_per_user_day", "event_volume_anomaly_days",
+        "source_vocab_drift",
+        # r04 rows-only (no-oracle by design; recorded in CORRECTNESS_r04)
+        "doc_vocab_heavy_hitters_approx",
     }
 )
 

@@ -360,7 +360,9 @@ def embed_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_label_centroids",
     oracle="""
-    SELECT label, list(rv ORDER BY i) AS centroid
+    SELECT label,
+           array_to_string(list(printf('%.4f', rv) ORDER BY i), ',')
+               AS centroid
     FROM (
         -- + 0.0 normalizes IEEE negative zero: round() of a tiny
         -- negative mean yields -0.0 in DuckDB but 0.0 in Spark
@@ -377,8 +379,10 @@ def embed_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode keys the shuffle on (label, position) with map-side "
     "partial sums — 64 narrow rows per vector, never a whole-vector "
     "reduce on one node — then the centroid is reassembled with an "
-    "order-pinned array_agg. At 100 TB this is the only shape that "
-    "scales: vector width parallelism AND row parallelism.",
+    "order-pinned array_agg and serialized to a fixed-decimal CSV "
+    "string (array-typed result columns are not sortable by a generic "
+    "pandas-based comparison harness). At 100 TB this is the only "
+    "shape that scales: vector width parallelism AND row parallelism.",
     tags=("vector", "agg", "curation"),
 )
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +393,13 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("rv"))
     )
     return per_pos.groupBy("label").agg(
-        F.array_sort(F.collect_list(F.struct("i", "rv"))).getField("rv").alias("centroid")
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "rv"))).getField("rv"),
+                lambda v: F.format_string("%.4f", v),
+            ),
+            ",",
+        ).alias("centroid")
     )
 
 

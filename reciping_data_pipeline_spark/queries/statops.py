@@ -877,9 +877,18 @@ def event_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t AS INT) AS duration_days,
            n_at_risk, d AS n_converted,
            (leaving - d) AS n_censored,
-           round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_at_risk, 1e-12)))
+           -- factor coarsened to 6 decimals via floor(x*1e6+0.5)/1e6 —
+           -- pure IEEE mul/add/floor, bit-identical across engines
+           -- (unlike each engine's round(), which disagrees on doubles);
+           -- final 4-dp step uses the same construction so no libm
+           -- last-ulp can land on a rounding boundary.
+           floor(exp(sum(ln(greatest(
+                     floor((1.0 - d * 1.0 / n_at_risk) * 1000000.0 + 0.5)
+                         / 1000000.0,
+                     1e-12)))
                  OVER (ORDER BY t
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 10000.0 + 0.5) / 10000.0
                AS survival
     FROM risk
     """,
@@ -937,12 +946,32 @@ def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         # converts) has factor 0 — DuckDB's ln(0) ERRORS (no -inf), so
         # both engines take ln of a floored factor; exp(<=-27.6) rounds
         # to the exact 0.0 the estimator calls for.
-        F.round(
-            F.exp(
-                F.sum(
-                    F.log(F.greatest(1.0 - F.col("d") * 1.0 / F.col("n_at_risk"), F.lit(1e-12)))
-                ).over(w_cum)
-            ),
-            4,
+        # The per-day factor is coarsened to 6 decimals BEFORE ln via
+        # floor(x*1e6+0.5)/1e6 — plain IEEE mul/add/floor that is
+        # bit-identical in Spark and DuckDB (engine round() on doubles
+        # is not: Spark goes through BigDecimal shortest-repr, DuckDB
+        # rounds the binary value). The final 4-dp step uses the same
+        # construction so no libm last-ulp sits on a half boundary.
+        (
+            F.floor(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.greatest(
+                                F.floor(
+                                    (1.0 - F.col("d") * 1.0 / F.col("n_at_risk"))
+                                    * 1000000.0
+                                    + 0.5
+                                )
+                                / 1000000.0,
+                                F.lit(1e-12),
+                            )
+                        )
+                    ).over(w_cum)
+                )
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
         ).alias("survival"),
     )

@@ -14,6 +14,22 @@ from pyspark.sql import DataFrame
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        # Driver-faithfulness guard: the driver's canonicalizer sorts
+        # the RAW frame and crashes on list/array-typed cells
+        # (`TypeError: unhashable type: 'list'` — CORRECTNESS_r04
+        # embed_label_centroids). Reject them here too so the local
+        # gate can never pass a result shape the driver cannot hash;
+        # queries must serialize arrays (CSV string or long format).
+        if df[c].map(lambda v: isinstance(v, (list, tuple, dict, set))).any() or str(
+            df[c].dtype
+        ).startswith("object") and df[c].map(
+            lambda v: hasattr(v, "__array__") and not isinstance(v, str)
+        ).any():
+            raise AssertionError(
+                f"column {c!r} holds list/array-typed values — the driver's "
+                "comparison harness cannot sort these; emit long format or a "
+                "fixed-decimal serialized string instead"
+            )
         # Normalize date/timestamp-ish columns to ISO strings so
         # datetime.date vs pandas.Timestamp compare equal.
         if df[c].dtype == object or "datetime" in str(df[c].dtype):
