@@ -126,6 +126,13 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["index"], end["index"]
+        # Restart recovery: a fresh reader instance starts _current at 0
+        # while the engine replans from its CHECKPOINTED offset. Clamp
+        # the counter to the engine-reported range so latestOffset()
+        # never again returns a value below the checkpoint — without
+        # this, the engine would commit the regressed offset and later
+        # batches would regenerate already-delivered global indices.
+        self._current = max(self._current, lo, hi)
         if hi <= lo:
             return [InputPartition((lo, lo))]
         step = -(-(hi - lo) // self.num_partitions)

@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from datetime import datetime, timezone
 
@@ -119,13 +120,21 @@ def _stage_files(df: DataFrame, path: str, partition_cols: list[str] | None) -> 
     """Write ``df`` as immutable data files under ``data/`` and return
     their manifest entries. Files are written to a scratch dir then
     moved into the shared partition layout under a transaction-unique
-    name — unreferenced until a manifest commit points at them."""
+    name — unreferenced until a manifest commit points at them.
+
+    Column min/max bounds are captured HERE, at write time, from the
+    just-written footers (page-cache hot, O(new files) per batch) —
+    the Iceberg discipline: stats ride along with the commit, so
+    ``read_where`` skipping works on fresh appends without a separate
+    ANALYZE pass. ``collect_stats`` remains only as a backfill for
+    tables written before this."""
     txn = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f"_txn-{txn}")
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
+    stat_cols = [f.name for f in df.schema.fields if f.name not in (partition_cols or [])]
     entries: list[dict] = []
     for dirpath, _, filenames in os.walk(tmp):
         for fname in filenames:
@@ -138,9 +147,16 @@ def _stage_files(df: DataFrame, path: str, partition_cols: list[str] | None) -> 
             )
             os.makedirs(dest_dir, exist_ok=True)
             dest_name = f"{txn}-{fname}"
-            os.rename(os.path.join(dirpath, fname), os.path.join(dest_dir, dest_name))
+            dest = os.path.join(dest_dir, dest_name)
+            os.rename(os.path.join(dirpath, fname), dest)
             rel_path = "/".join(p for p in (_DATA_DIR, partition, dest_name) if p)
-            entries.append({"path": rel_path, "partition": partition})
+            entries.append(
+                {
+                    "path": rel_path,
+                    "partition": partition,
+                    "stats": _file_column_stats(dest, stat_cols),
+                }
+            )
     shutil.rmtree(tmp, ignore_errors=True)
     return entries
 
@@ -181,14 +197,25 @@ def _commit(
     so concurrent appends both land (serialized, neither lost). With
     ``evolve`` the committed schema is the additive union of the
     parent's and ``schema_json`` (append/merge paths); without it the
-    incoming schema replaces wholesale (full overwrite)."""
+    incoming schema replaces wholesale (full overwrite).
+    ``schema_json=None`` means "carry the parent's schema" — resolved
+    INSIDE the retry loop, so a metadata-only commit (stats backfill)
+    that loses the race to a schema-evolving append re-reads and
+    carries the EVOLVED schema, never a stale caller-captured one."""
     while True:
         try:
             parent = load_manifest(path)
         except AnalysisException:
             parent = None
         version = (parent["version"] + 1) if parent else 1
-        committed_schema = schema_json
+        if schema_json is None:
+            if parent is None:
+                raise AnalysisException(
+                    f"[PATH_NOT_FOUND] schema-carrying commit on missing table {path}"
+                )
+            committed_schema = parent["schema"]
+        else:
+            committed_schema = schema_json
         if evolve:
             committed_schema = _evolved_schema_json(
                 parent["schema"] if parent else None,
@@ -476,8 +503,13 @@ def append_stream_batch(
 
 def _file_column_stats(abs_path: str, stats_cols: list[str]) -> dict:
     """Per-file min/max for ``stats_cols`` from the parquet FOOTER
-    (pyarrow metadata — no data pages read). Values are kept
-    JSON-portable; non-scalar/unstatted columns are skipped."""
+    (pyarrow metadata — no data pages read). Only bool/int/float/str
+    bounds are recorded: those JSON round-trip AND compare correctly
+    against query bounds of the same Python type. Temporal/decimal/
+    binary stats are skipped entirely (their files are conservatively
+    kept by ``read_where``) — a stringified fallback would compare
+    lexicographically against typed bounds and could WRONGLY prune
+    files that contain matching rows."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -494,38 +526,62 @@ def _file_column_stats(abs_path: str, stats_cols: list[str]) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
-            try:
-                json.dumps([lo, hi])
-            except TypeError:
-                lo, hi = str(lo), str(hi)
+        if (
+            lo is not None
+            and type(lo) in (bool, int, float, str)
+            and type(hi) in (bool, int, float, str)
+        ):
             out[col] = [lo, hi]
     return out
 
 
-def collect_stats(path: str, stats_cols: list[str]) -> dict:
-    """ANALYZE for the snapshot format: commit a new version whose file
-    entries carry footer min/max for ``stats_cols`` (Iceberg keeps the
-    same bounds in its manifest entries). O(files) footer reads, no
-    data scan; carried-over entries keep existing stats so incremental
-    re-analyze only touches new files."""
+def collect_stats(path: str, stats_cols: list[str], spark: SparkSession | None = None) -> dict:
+    """Stats BACKFILL for files committed without bounds (pre-write-time
+    -stats tables; ``_stage_files`` now records min/max at write time, so
+    fresh commits never need this). Footer-only reads, no data scan;
+    entries that already carry bounds for ``stats_cols`` are untouched,
+    so re-analyze is incremental.
+
+    With ``spark`` the footer reads fan out over the executors
+    (``parallelize(paths).mapPartitions`` — at 100 TB / ~800k files a
+    serial driver loop is hours; distributed it is one short metadata
+    job returning O(files) small dicts). Without ``spark`` a driver
+    loop handles small tables. The commit carries ``schema_json=None``
+    so a lost optimistic race re-reads the winner's (possibly evolved)
+    schema instead of clobbering it with a stale snapshot."""
     current = load_manifest(path)
+    todo = [
+        f["path"]
+        for f in current["files"]
+        if any(c not in f.get("stats", {}) for c in stats_cols)
+    ]
+    if spark is not None and todo:
+        root = os.path.abspath(path)
+        cols = list(stats_cols)
+        n_slices = max(1, min(len(todo), spark.sparkContext.defaultParallelism))
+
+        def _scan(paths):
+            for rel in paths:
+                yield rel, _file_column_stats(os.path.join(root, rel), cols)
+
+        computed = dict(
+            spark.sparkContext.parallelize(todo, n_slices).mapPartitions(_scan).collect()
+        )
+    else:
+        computed = {
+            rel: _file_column_stats(os.path.join(path, rel), stats_cols) for rel in todo
+        }
 
     def merge(parent_files: list[dict]) -> list[dict]:
         out = []
         for f in parent_files:
             entry = dict(f)
-            have = entry.get("stats", {})
-            missing = [c for c in stats_cols if c not in have]
-            if missing:
-                entry["stats"] = {
-                    **have,
-                    **_file_column_stats(os.path.join(path, f["path"]), missing),
-                }
+            if entry["path"] in computed:
+                entry["stats"] = {**computed[entry["path"]], **entry.get("stats", {})}
             out.append(entry)
         return out
 
-    return _commit(path, merge, "collect_stats", current["schema"])
+    return _commit(path, merge, "collect_stats", None)
 
 
 def read_where(
@@ -572,28 +628,65 @@ def pruned_file_count(path: str, col: str, lo, hi, version: int | None = None) -
     return kept, len(m["files"])
 
 
-def remove_orphans(path: str) -> list[str]:
+def remove_orphans(path: str, older_than_seconds: float = 3 * 86400.0) -> list[str]:
     """Delete data files no committed manifest references — the debris
     of writers that staged files but crashed before their manifest
-    commit (Iceberg's ``remove_orphan_files``). Safe by construction:
-    a file becomes visible only through a manifest, so an unreferenced
-    file can never be read; stale ``_txn-*`` scratch dirs are also
-    swept. Returns the removed relative paths."""
+    commit (Iceberg's ``remove_orphan_files``). Returns the removed
+    relative paths.
+
+    NOT safe against arbitrary in-flight writers by construction alone:
+    ``_stage_files`` moves files into ``data/`` BEFORE the manifest
+    commit, so a freshly staged file is indistinguishable from a crash
+    orphan. Two guards make the sweep safe under the format's
+    concurrent-writer contract:
+
+    - an mtime age threshold (``older_than_seconds``, default 3 days —
+      Iceberg's default for the same knob): anything younger than the
+      cutoff, including ``_txn-*`` scratch dirs, is left alone, so a
+      writer between staging and commit keeps its files as long as its
+      stage-to-commit gap is under the threshold;
+    - candidates are collected first and the referenced set is
+      RE-READ after the walk — a commit that landed mid-walk gets its
+      just-referenced files dropped from the candidate list before
+      anything is deleted."""
+    cutoff = time.time() - older_than_seconds
     referenced = {
         f["path"] for v in versions(path) for f in load_manifest(path, v)["files"]
     }
-    removed: list[str] = []
+    candidates: list[str] = []
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for dirpath, _, filenames in os.walk(data_root):
             for fname in filenames:
                 full = os.path.join(dirpath, fname)
+                try:
+                    young = os.path.getmtime(full) > cutoff
+                except OSError:
+                    continue
                 rel = os.path.relpath(full, path)
-                if rel not in referenced:
-                    os.remove(full)
-                    removed.append(rel)
+                if rel not in referenced and not young:
+                    candidates.append(rel)
+    # Second look: drop anything a commit referenced while we walked.
+    referenced_now = {
+        f["path"] for v in versions(path) for f in load_manifest(path, v)["files"]
+    }
+    removed: list[str] = []
+    for rel in candidates:
+        if rel in referenced_now:
+            continue
+        try:
+            os.remove(os.path.join(path, rel))
+        except FileNotFoundError:
+            continue
+        removed.append(rel)
     for entry in os.listdir(path):
         if entry.startswith("_txn-"):
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            full = os.path.join(path, entry)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
             removed.append(entry)
     return removed

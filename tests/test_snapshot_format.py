@@ -371,23 +371,67 @@ def test_stats_skipping_prunes_files_and_keeps_answers(spark, tmp_path, snap_for
 
 
 def test_stats_survive_append_and_incremental_analyze(spark, tmp_path, snap_format):
-    """Carried-over entries keep their stats through appends; a second
-    collect_stats only has new files left to analyze."""
+    """Write-time stats: every commit's files carry min/max bounds the
+    moment they land (no ANALYZE pass), stats survive append commits,
+    and skipping engages on a freshly appended table."""
     path = str(tmp_path / "t")
     writers.overwrite_table(
         spark.range(100).selectExpr("id", "id AS v").coalesce(1), path
     )
-    snapshots.collect_stats(path, ["id"])
     writers.append_table(
         spark.range(1000, 1100).selectExpr("id", "id AS v").coalesce(1), path
     )
-    # old file's stats carried through the append commit
+    # both files carry id-bounds straight from their commits
     m = snapshots.load_manifest(path)
-    assert sum(1 for f in m["files"] if "stats" in f) == 1
-    snapshots.collect_stats(path, ["id"])
+    assert sum(1 for f in m["files"] if "id" in f.get("stats", {})) == 2
     kept, total = snapshots.pruned_file_count(path, "id", 0, 50)
     assert (kept, total) == (1, 2)
     assert snapshots.read_where(spark, path, "id", 0, 50).count() == 51
+
+
+def test_collect_stats_backfills_legacy_entries_distributed(spark, tmp_path, snap_format):
+    """collect_stats is the backfill for tables committed BEFORE
+    write-time stats: strip the bounds from the manifest (simulating a
+    legacy table), backfill through the executors, and verify skipping
+    re-engages and the committed schema is carried (schema_json=None
+    path), not clobbered."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    df = spark.range(800).selectExpr("id", "id * 2 AS v").repartitionByRange(8, "id")
+    writers.overwrite_table(df, path)
+    m = snapshots.load_manifest(path)
+    stripped = dict(m, files=[{k: v for k, v in f.items() if k != "stats"} for f in m["files"]])
+    with open(snapshots._manifest_path(path, m["version"]), "w", encoding="utf-8") as fh:
+        _json.dump(stripped, fh)
+    kept, total = snapshots.pruned_file_count(path, "id", 100, 120)
+    assert kept == total == 8  # no stats -> conservative keep-all
+    committed = snapshots.collect_stats(path, ["id"], spark=spark)
+    assert committed["schema"] == m["schema"]
+    kept, total = snapshots.pruned_file_count(path, "id", 100, 120)
+    assert total == 8 and kept <= 2, (kept, total)
+    got = sorted(
+        r["id"] for r in snapshots.read_where(spark, path, "id", 100, 120).collect()
+    )
+    assert got == list(range(100, 121))
+
+
+def test_temporal_stats_are_skipped_not_stringified(spark, tmp_path, snap_format):
+    """Timestamp/date bounds are NOT recorded (a stringified fallback
+    would compare lexicographically against typed query bounds and
+    could wrongly prune); files stay conservatively kept for those
+    columns while numeric columns on the same files still prune."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id", "timestamp_seconds(1700000000 + id * 3600) AS ts"
+    ).repartitionByRange(4, "id")
+    writers.overwrite_table(df, path)
+    m = snapshots.load_manifest(path)
+    for f in m["files"]:
+        assert "ts" not in f.get("stats", {}), f
+        assert "id" in f.get("stats", {}), f
+    kept, total = snapshots.pruned_file_count(path, "id", 0, 10)
+    assert kept < total
 
 
 def test_medallion_incremental_replay_idempotent_under_snapshot_format(
@@ -447,19 +491,33 @@ def test_snapshot_read_keeps_partition_pruning(spark, tmp_path, snap_format):
 
 
 def test_remove_orphans_sweeps_uncommitted_files_only(spark, tmp_path, snap_format):
-    """Files staged by a crashed writer (no manifest commit) are swept;
-    every committed file — current AND historical — survives."""
+    """Files staged by a crashed writer (no manifest commit) are swept
+    once OLDER than the age threshold; every committed file — current
+    AND historical — survives. Young orphans (a writer possibly
+    in-flight between staging and commit) are left alone — the guard
+    ADVICE r04 asked for."""
+    import os as _os
+    import time as _time
+
     path = str(tmp_path / "t")
     writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
     writers.append_table(spark.createDataFrame([(2, 20)], "id INT, v INT"), path)
     # simulate a crash: stage files, never commit a manifest
-    snapshots._stage_files(
+    orphans = snapshots._stage_files(
         spark.createDataFrame([(9, 90)], "id INT, v INT"), path, None
     )
     committed = {f["path"] for v in snapshots.versions(path)
                  for f in snapshots.load_manifest(path, v)["files"]}
+    # default threshold: freshly staged files are YOUNG -> untouched
+    assert snapshots.remove_orphans(path) == []
+    for f in orphans:
+        assert _os.path.isfile(_os.path.join(path, f["path"]))
+    # age the orphans past the cutoff -> swept
+    old = _time.time() - 10 * 86400
+    for f in orphans:
+        _os.utime(_os.path.join(path, f["path"]), (old, old))
     removed = snapshots.remove_orphans(path)
-    assert removed  # the staged-but-uncommitted file went away
+    assert set(removed) == {f["path"] for f in orphans}
     assert not (set(removed) & committed)
     # both versions still fully readable
     assert snapshots.read_version(spark, path, 1).count() == 1

@@ -283,6 +283,30 @@ def test_python_stream_source_offsets_and_replay_determinism(spark):
     assert [row[0] for row in batch1] == list(range(64))
 
 
+def test_python_stream_source_offset_recovers_after_restart(spark):
+    """Restart recovery (ADVICE r04): a FRESH reader instance starts
+    its counter at 0 while the engine replans from the checkpointed
+    offset. Planning any batch clamps the counter to the engine range,
+    so latestOffset never regresses below the checkpoint and no global
+    index is ever regenerated as a duplicate."""
+    from reciping_data_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader({"rows_per_batch": "64", "num_partitions": "4"})
+    # pre-crash stream had committed up to index 1024 (checkpoint)
+    stale_latest = r.latestOffset()  # fresh instance: 64, BELOW checkpoint
+    assert stale_latest["index"] < 1024
+    # engine replans from the checkpoint; hi<=lo yields an empty batch
+    parts = r.partitions({"index": 1024}, stale_latest)
+    assert [row for p in parts for row in r.read(p)] == []
+    # after planning, the counter is clamped: offsets only move forward
+    nxt = r.latestOffset()
+    assert nxt["index"] >= 1024 + 64
+    spans = [p.value for p in r.partitions({"index": 1024}, nxt)]
+    assert spans[0][0] == 1024 and spans[-1][1] == nxt["index"]
+
+
 def test_python_stream_source_end_to_end_micro_batches(spark, tmp_path):
     """spark.readStream over the registered source: micro-batches land
     in a memory sink with exactly the deterministic rows for the
