@@ -15,9 +15,11 @@ data, no RNG state. ``u`` derives from ``xxhash64(id, seed)``, so the
 draw is reproducible across runs, executors, and partitionings, and a
 new ``seed`` is a fresh independent draw.
 
-The catalog query for this operator registers in the next driver
-window (the current round's 50 verification slots are exactly full);
-the statistical contract is test-gated in ``tests/test_sampling.py``.
+Catalog entries ``doc_weighted_sample`` / ``doc_stratified_weighted_
+sample`` (``queries/samplingops.py``) drive this operator with an
+engine-portable LCG uniform so a DuckDB oracle replays the exact
+winner set; the statistical contract (frequency ∝ weight) is
+test-gated in ``tests/test_sampling.py``.
 """
 
 from __future__ import annotations
@@ -43,12 +45,17 @@ def weighted_sample(
     weight_col: str,
     id_col: str = "doc_id",
     seed: int = 42,
+    uniform: Column | None = None,
 ) -> DataFrame:
     """k rows drawn without replacement with probability ∝
     ``weight_col`` (must be > 0; non-positive weights never win).
-    Deterministic in (data, seed); independent across seeds."""
+    Deterministic in (data, seed); independent across seeds.
+    ``uniform`` overrides the per-row u in (0,1) — e.g. an
+    engine-portable hash when the draw must be replayable outside
+    Spark; the default xxhash64 derivation is the production path."""
     w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, -F.log(_uniform(F.col(id_col), seed)) / w)
+    u = _uniform(F.col(id_col), seed) if uniform is None else uniform
+    key = F.when(w > 0, -F.log(u) / w)
     return (
         df.withColumn("_sample_key", key)
         .where(F.col("_sample_key").isNotNull())
@@ -65,6 +72,7 @@ def stratified_weighted_sample(
     stratum_col: str,
     id_col: str = "doc_id",
     seed: int = 42,
+    uniform: Column | None = None,
 ) -> DataFrame:
     """Per-stratum weighted sampling without replacement: the same
     exponential keys, ranked within each stratum — k winners per
@@ -75,7 +83,8 @@ def stratified_weighted_sample(
     from pyspark.sql import Window
 
     w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, -F.log(_uniform(F.col(id_col), seed)) / w)
+    u = _uniform(F.col(id_col), seed) if uniform is None else uniform
+    key = F.when(w > 0, -F.log(u) / w)
     win = Window.partitionBy(stratum_col).orderBy(
         F.col("_sample_key").asc(), F.col(id_col).asc()
     )

@@ -143,9 +143,11 @@ def all_queries() -> dict[str, Query]:
     from reciping_data_pipeline_spark.queries import (  # noqa: F401
         clickstream,
         corpusops,
+        layoutops,
         medallionops,
         multimodalops,
         relational_ext,
+        samplingops,
         statops,
         subqueries,
         textops,

@@ -1,0 +1,135 @@
+"""Driver-checkable catalog entry for Z-order layout + stats skipping.
+
+``sources/layout.zorder_frame`` clusters rows on a Morton curve over
+quantile-bucket indexes; the snapshot format records per-file min/max
+at write time; ``snapshots.read_where`` prunes manifest files whose
+bounds miss the predicate. This query exercises the full chain as a
+driver row, mirroring the reference's partition-scan-ratio SLO
+(``/root/reference/README.md`` scan-ratio requirement): lay the
+``documents`` table out Z-ordered on ``(doc_id, n_chars)``, probe a
+narrow range on EACH dimension, and report per probe the row count,
+a content checksum (sum of n_chars), and whether manifest-level file
+skipping actually engaged.
+
+The DuckDB oracle recomputes rows/checksums straight from the raw
+``documents`` view with the same integer-derived bounds — any drift in
+the pruned scan's ROWS breaks the hash — and pins ``files_pruned`` to
+TRUE: a layout that stops skipping (every file overlapping every
+range) fails the driver check, which is precisely the point of
+Z-order over a single-column sort (the second dimension would prune
+nothing there).
+
+The Z-ordered snapshot table is a per-SF cached fixture built with the
+sentinel + atomic-rename discipline (a partial build can never poison
+the comparison).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.sources import snapshots
+from reciping_data_pipeline_spark.sources.layout import zorder_frame
+from reciping_data_pipeline_spark.tables import load_table
+
+_SENTINEL = "_FIXTURE_COMPLETE"
+_N_FILES = 8
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"zorder_skip_fixture_{tag}_v1")
+
+
+def _ensure_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per SF) a snapshot table of ``documents`` Z-ordered
+    on (doc_id, n_chars). Built into a scratch dir, sentinel-marked,
+    atomically renamed — same discipline as the medallion fixture."""
+    root = _fixture_dir(sf_dir)
+    table = os.path.join(root, "documents_z")
+    if os.path.isfile(os.path.join(root, _SENTINEL)):
+        return table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    tmp = f"{root}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snapshots.SnapshotFormat().overwrite_table(
+        zorder_frame(docs, ["doc_id", "n_chars"], n_files=_N_FILES),
+        os.path.join(tmp, "documents_z"),
+    )
+    with open(os.path.join(tmp, _SENTINEL), "w", encoding="utf-8"):
+        pass
+    if os.path.isdir(root) and not os.path.isfile(os.path.join(root, _SENTINEL)):
+        shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(root, _SENTINEL)):
+            raise
+    return table
+
+
+@query(
+    "doc_zorder_skipping",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(max(doc_id) / 16) AS BIGINT) AS id_hi,
+               min(n_chars) AS c_lo,
+               CAST(min(n_chars)
+                    + floor((max(n_chars) - min(n_chars)) / 16) AS BIGINT) AS c_hi
+        FROM documents
+    )
+    SELECT 'doc_id' AS probe,
+           count(*) AS n_rows,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars,
+           true AS files_pruned
+    FROM documents, b
+    WHERE doc_id BETWEEN 0 AND b.id_hi
+    UNION ALL
+    SELECT 'n_chars',
+           count(*),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+           true
+    FROM documents, b
+    WHERE n_chars BETWEEN b.c_lo AND b.c_hi
+    """,
+    doc="Z-order layout + manifest min/max skipping, end to end: a "
+    "1/16-of-the-value-space range on EITHER layout dimension must "
+    "read a strict subset of the table's files (files_pruned) while "
+    "returning exactly the directory-scan rows (n_rows + checksum vs "
+    "the raw table). At 100 TB this chain — write-time stats, "
+    "manifest pruning before any file opens, parquet row-group "
+    "skipping inside survivors — is the difference between a full "
+    "scan and a bounded one on multi-dimensional predicates.",
+    tags=("layout", "zorder", "skipping", "snapshot"),
+)
+def doc_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _ensure_layout(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.floor(F.max("doc_id") / 16).cast("long").alias("id_hi"),
+        F.min("n_chars").alias("c_lo"),
+        (F.min("n_chars") + F.floor((F.max("n_chars") - F.min("n_chars")) / 16))
+        .cast("long")
+        .alias("c_hi"),
+    ).collect()[0]
+
+    def _probe(name: str, col: str, lo: int, hi: int) -> DataFrame:
+        kept, total = snapshots.pruned_file_count(table, col, lo, hi)
+        scan = snapshots.read_where(spark, table, col, lo, hi)
+        return scan.agg(
+            F.lit(name).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+            F.lit(bool(kept < total)).alias("files_pruned"),
+        )
+
+    return _probe("doc_id", "doc_id", 0, b["id_hi"]).unionByName(
+        _probe("n_chars", "n_chars", b["c_lo"], b["c_hi"])
+    )
