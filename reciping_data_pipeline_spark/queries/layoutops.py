@@ -107,7 +107,7 @@ def _ensure_layout(spark: SparkSession, sf_dir: str) -> str:
     "manifest pruning before any file opens, parquet row-group "
     "skipping inside survivors — is the difference between a full "
     "scan and a bounded one on multi-dimensional predicates.",
-    tags=("layout", "zorder", "skipping", "snapshot"),
+    tags=("layout", "zorder", "skipping", "snapshot", "bench"),
 )
 def doc_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _ensure_layout(spark, sf_dir)

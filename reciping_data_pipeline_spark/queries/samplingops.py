@@ -70,7 +70,7 @@ def _portable_uniform(id_col: Column) -> Column:
     "k-row merge) — no data shuffle, no RNG state, reproducible "
     "across runs and partitionings. The DuckDB oracle replays the "
     "identical keys and must produce the identical winner set.",
-    tags=("sampling", "corpus", "topk"),
+    tags=("sampling", "corpus", "topk", "bench"),
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -105,7 +105,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratum-partitioned row_number window (rank filters run with "
     "per-partition heaps, parallel across sources); same portable "
     "uniform, so the oracle replays every stratum's winners exactly.",
-    tags=("sampling", "corpus", "window"),
+    tags=("sampling", "corpus", "window", "bench"),
 )
 def doc_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -165,3 +165,143 @@ def test_evolved_schema_type_conflict_always_raises(name):
     incoming = StructType([StructField(name, StringType())])
     with _pytest.raises(ValueError):
         _evolved_schema_json(parent.json(), incoming)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine FP rounding-boundary properties (VERDICT r04 #6).
+#
+# Three driver reds across rounds r02-r04 were the same defect class: a
+# float column rounded at n decimals whose pre-rounding value sat within
+# a libm last-ulp of the half boundary, so Spark and DuckDB rounded to
+# DIFFERENT grid points. These tests gate the two constructions the
+# catalog standardizes on, with inputs DELIBERATELY placed on and
+# within-one-ulp of half boundaries — the exact inputs that produced
+# the reds.
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_doubles() -> list[float]:
+    """Half-boundary-adjacent doubles at 4 and 6 decimals (on the tie,
+    one ulp below, one ulp above) plus seeded uniform noise."""
+    rng = np.random.default_rng(7)
+    vals: list[float] = []
+    for n in (4, 6):
+        scale = 10**n
+        for k in rng.integers(0, 10 * scale, 300):
+            x = (int(k) + 0.5) / scale
+            vals.extend([x, float(np.nextafter(x, -np.inf)), float(np.nextafter(x, np.inf))])
+    vals.extend(float(v) for v in rng.random(500) * 10)
+    return vals
+
+
+def test_floor_half_rounding_bit_identical_across_engines(spark, duck):
+    """floor(x * 10^n + 0.5) / 10^n — the catalog's construction for
+    value-affecting rounding — must agree EXACTLY between Spark and
+    DuckDB for every input, including exact ties and their ulp
+    neighbours: it is pure IEEE mul/add/floor, which both engines
+    evaluate identically (unlike their round() builtins)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame({"i": range(len(_adversarial_doubles())), "x": _adversarial_doubles()})
+    sdf = spark.createDataFrame(pdf)
+    duck.register("fp_vals", pdf)
+    for n in (4, 6):
+        s = float(10**n)
+        got = [
+            r["r"]
+            for r in sdf.select("i", (F.floor(F.col("x") * s + 0.5) / s).alias("r"))
+            .orderBy("i")
+            .collect()
+        ]
+        want = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT floor(x * {s} + 0.5) / {s} FROM fp_vals ORDER BY i"
+            ).fetchall()
+        ]
+        assert got == want, f"n={n}: first diff at {next(i for i, (a, b) in enumerate(zip(got, want)) if a != b)}"
+
+
+def test_engine_round_agreement_off_ties(spark, duck):
+    """Engine round() builtins DO agree once the value is at least
+    1e-9 away from a half boundary at the rounded precision — the
+    regime where the catalog still uses round(): display rounding of
+    aggregates whose value is not a systematic ratio of small
+    integers. (On exact ties they are KNOWN to differ — Spark rounds
+    the shortest-decimal repr HALF_UP, DuckDB rounds the binary value
+    — which is why value-affecting rounding uses the floor form.)"""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(13)
+    raw = rng.random(3000) * 100
+    off_tie = [
+        float(x)
+        for x in raw
+        if abs((x * 1e4) % 1.0 - 0.5) > 1e-5  # > 1e-9 absolute at 4dp
+    ]
+    pdf = pd.DataFrame({"i": range(len(off_tie)), "x": off_tie})
+    sdf = spark.createDataFrame(pdf)
+    duck.register("fp_off_tie", pdf)
+    got = [r["r"] for r in sdf.select("i", F.round("x", 4).alias("r")).orderBy("i").collect()]
+    want = [
+        r[0] for r in duck.execute("SELECT round(x, 4) FROM fp_off_tie ORDER BY i").fetchall()
+    ]
+    assert got == want
+
+
+def test_km_survival_chain_bit_identical_across_engines(spark, duck):
+    """The full statops Kaplan-Meier arithmetic chain — coarsen the
+    per-step factor to 6 decimals with the floor form, ln, cumulative
+    sum over an ordered window, exp, final 4-dp floor-round — agrees
+    bit-for-bit across engines on adversarial risk tables, including
+    n = 10^6 rows where d/n lands EXACTLY on the 6-decimal coarsening
+    grid (the tie case engine round() gets wrong)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(20):
+        for t in range(30):
+            if g < 5:
+                n = 1_000_000  # exact 6-decimal grid: factor coarsening ties
+            else:
+                n = int(rng.integers(1, 1_000_000))
+            d = int(rng.integers(0, max(1, n // 10)))
+            rows.append((g, t, d, n))
+    pdf = pd.DataFrame(rows, columns=["g", "t", "d", "n"])
+    sdf = spark.createDataFrame(pdf)
+    duck.register("km_risk", pdf)
+
+    w = Window.partitionBy("g").orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    factor = F.greatest(
+        F.floor((1.0 - F.col("d") * 1.0 / F.col("n")) * 1000000.0 + 0.5) / 1000000.0,
+        F.lit(1e-12),
+    )
+    got = {
+        (r["g"], r["t"]): r["s"]
+        for r in sdf.select(
+            "g",
+            "t",
+            (F.floor(F.exp(F.sum(F.log(factor)).over(w)) * 10000.0 + 0.5) / 10000.0).alias("s"),
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            """
+            SELECT g, t,
+                   floor(exp(sum(ln(greatest(
+                       floor((1.0 - d * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0,
+                       1e-12)))
+                   OVER (PARTITION BY g ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   * 10000.0 + 0.5) / 10000.0
+            FROM km_risk
+            """
+        ).fetchall()
+    }
+    assert got == want
