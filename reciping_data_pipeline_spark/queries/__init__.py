@@ -143,9 +143,12 @@ def all_queries() -> dict[str, Query]:
     from reciping_data_pipeline_spark.queries import (  # noqa: F401
         clickstream,
         corpusops,
+        graphops,
+        intervalops,
         layoutops,
         medallionops,
         multimodalops,
+        qualityops,
         relational_ext,
         samplingops,
         statops,

@@ -1,0 +1,99 @@
+"""Iterative graph analytics on the part co-purchase graph.
+
+Builds on ``operators/graph.pagerank`` (bulk-synchronous power
+iteration: one equi-join + one keyed aggregation per round, O(V)
+state, O(E) shuffles — the Pregel lowering) the same way the triangle
+and connected-components queries build on their operators. The DuckDB
+oracle UNROLLS the three iterations as chained CTEs computing the
+identical double arithmetic, so the driver hash checks the full
+iterative computation, not just its shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from reciping_data_pipeline_spark.operators.graph import pagerank
+from reciping_data_pipeline_spark.queries import query
+from reciping_data_pipeline_spark.tables import load_table
+
+# One PageRank iteration as a DuckDB CTE body: rank flows from {prev}
+# over the symmetric edge list, all floating-point steps in DOUBLE
+# (decimal literals are cast; (1 - d) is computed in doubles so the
+# constant folds to the bit-identical value Spark folds to).
+_ITER = """
+{name} AS (
+    SELECT ed.dst AS node,
+           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             + CAST(0.85 AS DOUBLE) * sum({prev}.pr / deg.deg) AS pr
+    FROM ed
+    JOIN deg ON ed.src = deg.src
+    JOIN {prev} ON ed.src = {prev}.node
+    CROSS JOIN n
+    GROUP BY ed.dst, n.n
+)"""
+
+
+@query(
+    "copurchase_pagerank",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT deg.src AS node, CAST(1 AS DOUBLE) / n.n AS pr
+           FROM deg CROSS JOIN n),
+    {_ITER.format(name="r1", prev="r0")},
+    {_ITER.format(name="r2", prev="r1")},
+    {_ITER.format(name="r3", prev="r2")}
+    SELECT node AS l_partkey,
+           floor(pr * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+    FROM r3
+    ORDER BY pagerank DESC, node ASC
+    LIMIT 20
+    """,
+    doc="PageRank centrality of parts in the co-purchase graph "
+    "(support >= 2 edges, symmetrized): 3 power iterations from the "
+    "uniform vector, damping 0.85 — 'which products anchor the "
+    "co-purchase network' rather than raw degree. Each iteration is "
+    "one rank->edge equi-join plus one dst-keyed aggregation "
+    "(map-side partials absorb celebrity-node in-degree skew); the "
+    "rank vector is localCheckpoint-pinned so iteration t never "
+    "re-executes t-1 (no DataFrame CSE in Spark). Scores floor-"
+    "rounded at 6dp; the oracle unrolls the identical arithmetic.",
+    tags=("graph", "iterative", "join", "bench"),
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    ranks = pagerank(ed, damping=0.85, iterations=3)
+    return (
+        ranks.select(
+            F.col("node").alias("l_partkey"),
+            (F.floor(F.col("rank") * 1000000.0 + 0.5) / 1000000.0).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
