@@ -364,12 +364,22 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     return expired
 
 
+class ConcurrentMergeConflictError(RuntimeError):
+    """A concurrent commit changed rows this merge read: files added
+    since the merge's base snapshot contain merge keys, or a file the
+    merge planned to rewrite was rewritten by someone else. Committing
+    anyway would duplicate or lose rows; the merge must be re-run
+    against the new snapshot."""
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key_cols: list[str],
     partition_cols: list[str] | None = None,
+    conflict_retries: int = 2,
+    _between_stage_and_commit=None,
 ) -> dict:
     """MERGE INTO (upsert) with file-granular copy-on-write — the
     Iceberg COW write path the reference's ADR relies on for dimension
@@ -384,14 +394,30 @@ def merge_upsert(
     (an O(files) driver list — same order as the manifest itself),
     anti-join those files' rows against the keys to keep the
     unmatched remainder, union the updates, stage, and commit
-    ``parent - affected + staged``. Concurrency follows the format's
-    optimistic protocol at file granularity; two merges racing on the
-    SAME keys serialize through the manifest commit but are not
-    key-conflict-checked (Iceberg's serializable-isolation validation
-    would go exactly here).
+    ``parent - affected + staged``.
+
+    Serializable-isolation validation (Iceberg's
+    ``validateNoConflictingData`` analog, file-granular): the commit
+    remembers the base snapshot's file set, and inside the optimistic
+    retry loop a changed parent is checked for (a) disappearance of
+    any file this merge planned to rewrite — its replacement holds
+    rows this merge ALSO carries in its kept-remainder — and (b) any
+    file added since the base containing one of the merge keys (a
+    distributed semi-join over just the added files, O(new files)).
+    Either raises :class:`ConcurrentMergeConflictError`; the merge is
+    then re-run from the fresh snapshot up to ``conflict_retries``
+    times (each abandoned attempt's staged files are crash debris for
+    ``remove_orphans``). Disjoint merges — different files, different
+    keys — still commit concurrently without conflict.
+
+    ``_between_stage_and_commit`` is a deterministic-interleave test
+    seam (runs after staging, before the commit attempt).
     """
-    load_manifest(path)  # raise early when the table is missing
-    cur = read_version(spark, path).withColumn("_sg_file", F.input_file_name())
+    base = load_manifest(path)  # raise early when the table is missing
+    base_paths = {f["path"] for f in base["files"]}
+    cur = read_version(spark, path, base["version"]).withColumn(
+        "_sg_file", F.input_file_name()
+    )
     keys = updates.select(*key_cols).distinct()
     affected = {
         r["_sg_file"]
@@ -415,13 +441,55 @@ def merge_upsert(
     else:
         merged = updates
     staged = _stage_files(merged, path, partition_cols)
-    return _commit(
-        path,
-        lambda parent: [f for f in parent if not _is_affected(f)] + staged,
-        "merge",
-        updates.schema.json(),
-        evolve=True,
-    )
+    staged_paths = {f["path"] for f in staged}
+
+    def merge_files(parent_files: list[dict]) -> list[dict]:
+        parent_paths = {f["path"] for f in parent_files}
+        if parent_paths != base_paths:
+            # A concurrent commit landed after our snapshot read.
+            gone = [
+                f["path"]
+                for f in base["files"]
+                if _is_affected(f) and f["path"] not in parent_paths
+            ]
+            if gone:
+                raise ConcurrentMergeConflictError(
+                    f"files this merge rewrites were rewritten concurrently: {gone[:3]}"
+                )
+            added = [
+                f
+                for f in parent_files
+                if f["path"] not in base_paths and f["path"] not in staged_paths
+            ]
+            if added:
+                schema = StructType.fromJson(json.loads(load_manifest(path)["schema"]))
+                reader = spark.read.schema(schema)
+                if any(f["partition"] for f in added):
+                    reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
+                added_df = reader.parquet(
+                    *[os.path.join(path, f["path"]) for f in added]
+                )
+                if not added_df.join(keys, key_cols, "leftsemi").isEmpty():
+                    raise ConcurrentMergeConflictError(
+                        "a concurrent commit added rows for keys this merge touches"
+                    )
+        return [f for f in parent_files if not _is_affected(f)] + staged
+
+    if _between_stage_and_commit is not None:
+        _between_stage_and_commit()
+    try:
+        return _commit(path, merge_files, "merge", updates.schema.json(), evolve=True)
+    except ConcurrentMergeConflictError:
+        if conflict_retries <= 0:
+            raise
+        return merge_upsert(
+            spark,
+            path,
+            updates,
+            key_cols,
+            partition_cols,
+            conflict_retries=conflict_retries - 1,
+        )
 
 
 def snapshot_diff(

@@ -614,3 +614,85 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path, snap_format):
         r["x"] for r in df.where("y2 BETWEEN 0 AND 200").collect()
     )
     assert got == want
+
+
+def test_merge_conflict_detected_and_retried(spark, tmp_path, snap_format):
+    """Serializable MERGE validation: writer B commits a merge on the
+    SAME key between writer A's snapshot read and commit. A's commit
+    must detect the conflict (B's new file contains A's key), abandon
+    its stale staged data, and re-run from the fresh snapshot — final
+    state is A's update exactly once, no duplicates, no lost rows."""
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT"), path
+    )
+
+    def concurrent_b():
+        snapshots.merge_upsert(
+            spark, path, spark.createDataFrame([(1, 111)], "id INT, v INT"), ["id"]
+        )
+
+    m = snapshots.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, 999)], "id INT, v INT"),
+        ["id"],
+        _between_stage_and_commit=concurrent_b,
+    )
+    assert m["operation"] == "merge"
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 999), (2, 20)]  # A re-ran on top of B; exactly once
+
+
+def test_merge_conflict_raises_without_retries(spark, tmp_path, snap_format):
+    """conflict_retries=0 surfaces the conflict to the caller instead
+    of silently committing stale kept-remainder rows."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT"), path
+    )
+
+    def concurrent_b():
+        snapshots.merge_upsert(
+            spark, path, spark.createDataFrame([(1, 111)], "id INT, v INT"), ["id"]
+        )
+
+    with _pytest.raises(snapshots.ConcurrentMergeConflictError):
+        snapshots.merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(1, 999)], "id INT, v INT"),
+            ["id"],
+            conflict_retries=0,
+            _between_stage_and_commit=concurrent_b,
+        )
+    # B's merge is intact; A's staged debris is unreferenced (orphans)
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 111), (2, 20)]
+
+
+def test_disjoint_concurrent_merges_commit_without_conflict(spark, tmp_path, snap_format):
+    """Two merges on DIFFERENT keys living in DIFFERENT files must
+    both land with no conflict error — the validation is file- and
+    key-granular, not a global table lock."""
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
+    writers.append_table(spark.createDataFrame([(100, 1000)], "id INT, v INT"), path)
+
+    def concurrent_b():
+        snapshots.merge_upsert(
+            spark, path, spark.createDataFrame([(100, 1001)], "id INT, v INT"), ["id"]
+        )
+
+    snapshots.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, 11)], "id INT, v INT"),
+        ["id"],
+        conflict_retries=0,  # would raise if wrongly flagged
+        _between_stage_and_commit=concurrent_b,
+    )
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 11), (100, 1001)]
