@@ -83,3 +83,14 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
         "plan contains a cartesian/nested-loop join:\n" + plan
     )
+
+
+def has_runtime_bloom_filter(df: DataFrame) -> bool:
+    """True when Catalyst injected a runtime bloom-filter (a
+    ``bloom_filter_agg`` built on the selective join side, applied as
+    ``might_contain`` on the big side's scan) — the Spark 3.3+ runtime
+    row-level filter that cuts shuffle traffic on selective non-
+    broadcast joins. At 100 TB this fires by default (the application
+    side must exceed ``...bloomFilter.applicationSideScanSizeThreshold``,
+    10 GB); tests lower the threshold to pin the capability at test SF."""
+    return "bloom_filter_agg" in simple_plan(df)

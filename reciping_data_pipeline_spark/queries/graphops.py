@@ -97,3 +97,99 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("l_partkey").asc())
         .limit(20)
     )
+
+
+# One synchronous LPA round as a DuckDB CTE pair: every node adopts
+# the MODE of its neighbours' labels, ties broken by the SMALLEST
+# label — fully deterministic, so the oracle replays it exactly.
+_LPA_ITER = """
+c{i} AS (
+    SELECT ed.dst AS node, {prev}.lbl, count(*) AS cnt
+    FROM ed JOIN {prev} ON ed.src = {prev}.node
+    GROUP BY ed.dst, {prev}.lbl
+),
+l{i} AS (
+    SELECT node, lbl
+    FROM (SELECT node, lbl,
+                 row_number() OVER (PARTITION BY node
+                      ORDER BY cnt DESC, lbl ASC) AS rn
+          FROM c{i})
+    WHERE rn = 1
+)"""
+
+
+@query(
+    "copurchase_label_propagation",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+    {_LPA_ITER.format(i=1, prev="l0")},
+    {_LPA_ITER.format(i=2, prev="l1")}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2
+    GROUP BY lbl
+    HAVING count(*) >= 2
+    ORDER BY n_members DESC, community ASC
+    LIMIT 30
+    """,
+    doc="Community detection by synchronous label propagation on the "
+    "co-purchase graph: 2 rounds where every node adopts its "
+    "neighbourhood's MODE label (ties -> smallest label, so the "
+    "computation is fully deterministic — async LPA is not). Each "
+    "round is one equi-join + one (node,label)-keyed count + a "
+    "node-partitioned top-1 window; O(E) shuffles, O(V) state, same "
+    "Pregel lowering as PageRank but with an argmax combiner instead "
+    "of a sum. Output: communities of size >= 2. Exact integer "
+    "arithmetic end to end; the oracle unrolls both rounds.",
+    tags=("graph", "iterative", "community", "bench"),
+)
+def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    ed = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    lbl = ed.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(2):
+        lbl = (
+            ed.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(30)
+    )

@@ -975,3 +975,98 @@ def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("survival"),
     )
+
+
+@query(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS v
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ranked AS (
+        SELECT event_type, day, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type,
+               avg(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                        THEN v END) AS med_v
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.v, m.med_v,
+               abs(d.v - m.med_v) AS adev
+        FROM daily d JOIN med m USING (event_type)
+    ),
+    rdev AS (
+        SELECT event_type, day, v, med_v, adev,
+               row_number() OVER (PARTITION BY event_type
+                    ORDER BY adev, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               avg(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                        THEN adev END) AS mad_v
+        FROM rdev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+           d.v AS daily_value, d.med_v AS median_value,
+           mad.mad_v AS mad_value
+    FROM dev d JOIN mad USING (event_type)
+    WHERE d.adev > 3 * mad.mad_v
+    """,
+    doc="Robust (median/MAD) outlier days per event type — the "
+    "anomaly detector that survives the anomalies themselves, unlike "
+    "the mean/std z-score (one 100x day drags the mean and masks "
+    "itself). The median is computed WITHOUT interpolation builtins "
+    "(engines interpolate with different expression shapes): explicit "
+    "middle-rank averaging over a per-type ordered window — a "
+    "row_number + count window, exact and bit-identical across "
+    "engines. Daily sums are floor-coarsened at 4dp first so every "
+    "downstream comparison (|v - med| > 3*MAD, a strict inequality "
+    "that decides SET membership) runs on identical doubles. Windows "
+    "are type-partitioned (bounded by days-per-type, parallel).",
+    tags=("stats", "robust", "window", "anomaly"),
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg((F.floor(F.sum("value") * 10000.0 + 0.5) / 10000.0).alias("v"))
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        w_rn = Window.partitionBy("event_type").orderBy(col, "day")
+        w_all = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+            "n", F.count("*").over(w_all)
+        )
+        mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
+            F.col("rn") == F.expr("(n + 2) div 2")
+        )
+        return ranked.groupBy("event_type").agg(
+            F.avg(F.when(mid, F.col(col))).alias(out)
+        )
+
+    med = _median_of(daily, "v", "med_v")
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med_v"))
+    )
+    mad = _median_of(dev, "adev", "mad_v")
+    return (
+        dev.join(mad, "event_type")
+        .where(F.col("adev") > 3 * F.col("mad_v"))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("v").alias("daily_value"),
+            F.col("med_v").alias("median_value"),
+            F.col("mad_v").alias("mad_value"),
+        )
+    )

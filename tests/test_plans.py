@@ -317,3 +317,45 @@ def test_bm25_topk_is_take_ordered(spark):
     the token explode, not post-aggregation)."""
     df = _q(spark, "doc_bm25_topk")
     assert "TakeOrderedAndProject" in inspect.simple_plan(df), inspect.simple_plan(df)
+
+
+def test_runtime_bloom_filter_on_selective_shuffle_join(spark):
+    """When a big-table join's other side carries a selective filter
+    and is NOT broadcastable, Catalyst must inject a runtime bloom
+    filter (bloom_filter_agg / might_contain) so the big side's rows
+    are pre-filtered BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the full fact table and shuffling
+    the ~matching fraction. Thresholds are lowered to make the 10 GB
+    application-side gate reachable at test scale; the capability,
+    not the threshold, is what's pinned."""
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.tables import load_table
+
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert inspect.has_runtime_bloom_filter(j), inspect.simple_plan(j)[:2000]
+        # sanity: it still executes correctly with the filter injected
+        assert j.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
