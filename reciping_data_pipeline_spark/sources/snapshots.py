@@ -492,6 +492,143 @@ def merge_upsert(
         )
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_cols: list[str] | None = None,
+    conflict_retries: int = 2,
+) -> dict | None:
+    """Row-level DELETE with file-granular copy-on-write — the
+    right-to-be-forgotten primitive a training-data warehouse cannot
+    ship without. ONLY files containing a matching row are rewritten
+    (without the matching rows); every other file carries over, so
+    cost is proportional to the touched files, not the table. Returns
+    the committed manifest, or ``None`` when nothing matched (no new
+    version is created for a no-op delete).
+
+    Concurrency mirrors :func:`merge_upsert`'s serializable check: a
+    concurrent rewrite of a to-be-deleted file, or a concurrent commit
+    ADDING rows that match the predicate (they would silently survive
+    the delete), raises :class:`ConcurrentMergeConflictError` and the
+    delete re-runs from the fresh snapshot (bounded retries)."""
+    base = load_manifest(path)
+    base_paths = {f["path"] for f in base["files"]}
+    cur = read_version(spark, path, base["version"]).withColumn(
+        "_sg_file", F.input_file_name()
+    )
+    affected = {
+        r["_sg_file"]
+        for r in cur.where(predicate).select("_sg_file").distinct().collect()
+    }
+    if not affected:
+        return None
+
+    def _abs(rel: str) -> str:
+        return "file://" + os.path.abspath(os.path.join(path, rel))
+
+    def _is_affected(entry: dict) -> bool:
+        a = _abs(entry["path"])
+        return a in affected or a.removeprefix("file://") in affected
+
+    kept = cur.where(F.col("_sg_file").isin(*affected)).where(~predicate).drop("_sg_file")
+    staged = _stage_files(kept, path, partition_cols)
+    staged_paths = {f["path"] for f in staged}
+
+    def merge_files(parent_files: list[dict]) -> list[dict]:
+        parent_paths = {f["path"] for f in parent_files}
+        if parent_paths != base_paths:
+            gone = [
+                f["path"]
+                for f in base["files"]
+                if _is_affected(f) and f["path"] not in parent_paths
+            ]
+            if gone:
+                raise ConcurrentMergeConflictError(
+                    f"files this delete rewrites were rewritten concurrently: {gone[:3]}"
+                )
+            added = [
+                f
+                for f in parent_files
+                if f["path"] not in base_paths and f["path"] not in staged_paths
+            ]
+            if added:
+                schema = StructType.fromJson(json.loads(load_manifest(path)["schema"]))
+                reader = spark.read.schema(schema)
+                if any(f["partition"] for f in added):
+                    reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
+                added_df = reader.parquet(
+                    *[os.path.join(path, f["path"]) for f in added]
+                )
+                if not added_df.where(predicate).isEmpty():
+                    raise ConcurrentMergeConflictError(
+                        "a concurrent commit added rows matching this delete's predicate"
+                    )
+        return [f for f in parent_files if not _is_affected(f)] + staged
+
+    try:
+        return _commit(path, merge_files, "delete", None)
+    except ConcurrentMergeConflictError:
+        if conflict_retries <= 0:
+            raise
+        return delete_where(
+            spark, path, predicate, partition_cols, conflict_retries=conflict_retries - 1
+        )
+
+
+class AuditFailedError(RuntimeError):
+    """The write-audit-publish audit rejected the staged batch; the
+    table is unchanged and the staged files are unreferenced debris
+    for ``remove_orphans``."""
+
+
+def wap_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    audit,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Write-Audit-Publish (Iceberg's WAP pattern): stage the batch's
+    files (invisible — no manifest references them), run ``audit``
+    against the WOULD-BE table state (current files ∪ staged files,
+    exactly what readers would see post-publish), and only then commit.
+    A failing audit raises :class:`AuditFailedError` with the table
+    untouched — bad data never becomes readable, which is the entire
+    point: quality gates run BETWEEN write and visibility, not after.
+
+    ``audit(candidate_df) -> bool | None`` — return False (or raise)
+    to reject. The publish itself follows the format's optimistic
+    commit, so concurrent appends still serialize normally."""
+    staged = _stage_files(df, path, partition_cols)
+    try:
+        current_files = load_manifest(path)["files"]
+    except AnalysisException:
+        current_files = []
+    cand_entries = current_files + staged
+    schema = _evolved_schema_json(
+        load_manifest(path)["schema"] if current_files else None, df.schema
+    )
+    schema_t = StructType.fromJson(json.loads(schema))
+    if cand_entries:
+        reader = spark.read.schema(schema_t)
+        if any(f["partition"] for f in cand_entries):
+            reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
+        candidate = reader.parquet(
+            *[os.path.join(path, f["path"]) for f in cand_entries]
+        )
+    else:
+        candidate = spark.createDataFrame([], schema_t)
+    ok = audit(candidate)
+    if ok is False:
+        raise AuditFailedError(
+            f"audit rejected staged batch of {len(staged)} file(s) for {path}"
+        )
+    return _commit(
+        path, lambda parent: parent + staged, "wap-append", df.schema.json(), evolve=True
+    )
+
+
 def snapshot_diff(
     spark: SparkSession, path: str, version_from: int, version_to: int
 ) -> DataFrame:

@@ -696,3 +696,95 @@ def test_disjoint_concurrent_merges_commit_without_conflict(spark, tmp_path, sna
     )
     rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
     assert rows == [(1, 11), (100, 1001)]
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path, snap_format):
+    """Row-level COW delete: only files holding matching rows are
+    rewritten; others carry over untouched; pre-delete versions stay
+    time-travel readable (the audit trail GDPR workflows pair with
+    actual expiry)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT").coalesce(1), path
+    )
+    writers.append_table(
+        spark.createDataFrame([(3, 30), (4, 40)], "id INT, v INT").coalesce(1), path
+    )
+    before = {f["path"] for f in snapshots.load_manifest(path)["files"]}
+    assert len(before) == 2
+    m = snapshots.delete_where(spark, path, F.col("id") == 3)
+    assert m["operation"] == "delete"
+    after = {f["path"] for f in snapshots.load_manifest(path)["files"]}
+    # the untouched first file carried over byte-identically
+    assert len(before & after) == 1
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 10), (2, 20), (4, 40)]
+    # pre-delete version intact
+    assert snapshots.read_version(spark, path, 2).count() == 4
+    # no-op delete creates NO new version
+    v_before = snapshots.versions(path)[-1]
+    assert snapshots.delete_where(spark, path, F.col("id") == 999) is None
+    assert snapshots.versions(path)[-1] == v_before
+
+
+def test_delete_conflicts_with_concurrent_matching_insert(spark, tmp_path, snap_format):
+    """A concurrent append of rows MATCHING the delete predicate must
+    not silently survive: with retries the delete re-runs and removes
+    them too."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT"), path)
+
+    orig_commit = snapshots._commit
+    fired = {"done": False}
+
+    def commit_with_interleave(p, merge, op, *a, **kw):
+        if op == "delete" and not fired["done"]:
+            fired["done"] = True
+            writers.append_table(
+                spark.createDataFrame([(1, 11)], "id INT, v INT"), path
+            )
+        return orig_commit(p, merge, op, *a, **kw)
+
+    snapshots._commit = commit_with_interleave
+    try:
+        snapshots.delete_where(spark, path, F.col("id") == 1)
+    finally:
+        snapshots._commit = orig_commit
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(2, 20)]  # both the original AND the racing id=1 row gone
+
+
+def test_wap_append_publishes_only_after_audit(spark, tmp_path, snap_format):
+    """Write-Audit-Publish: a failing audit leaves the table byte-for-
+    byte unchanged (staged files stay unreferenced debris); a passing
+    audit commits. The audit sees the WOULD-BE table state."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
+    seen = {}
+
+    def audit_reject(candidate):
+        seen["n"] = candidate.count()
+        return False
+
+    with _pytest.raises(snapshots.AuditFailedError):
+        snapshots.wap_append(
+            spark, spark.createDataFrame([(2, -1)], "id INT, v INT"), path, audit_reject
+        )
+    assert seen["n"] == 2  # audit saw current ∪ staged
+    assert writers.read_table(spark, path).count() == 1  # unchanged
+    assert len(snapshots.versions(path)) == 1
+
+    def audit_accept(candidate):
+        return bool(candidate.where("v < 0").isEmpty())
+
+    snapshots.wap_append(
+        spark, spark.createDataFrame([(2, 22)], "id INT, v INT"), path, audit_accept
+    )
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 10), (2, 22)]
