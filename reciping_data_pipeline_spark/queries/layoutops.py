@@ -133,3 +133,74 @@ def doc_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe("doc_id", "doc_id", 0, b["id_hi"]).unionByName(
         _probe("n_chars", "n_chars", b["c_lo"], b["c_hi"])
     )
+
+
+def _ensure_token_index(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF snapshot table of documents (8 files) WITH a built
+    file-level inverted token index — sentinel + atomic-rename, same
+    discipline as the Z-order fixture."""
+    from reciping_data_pipeline_spark.sources import textindex
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"token_index_fixture_{tag}_v1")
+    table = os.path.join(root, "documents_tok")
+    if os.path.isfile(os.path.join(root, _SENTINEL)):
+        return table
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    tmp = f"{root}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    t = os.path.join(tmp, "documents_tok")
+    snapshots.SnapshotFormat().overwrite_table(
+        docs.repartitionByRange(_N_FILES, "doc_id"), t
+    )
+    textindex.build_token_index(spark, t)
+    with open(os.path.join(tmp, _SENTINEL), "w", encoding="utf-8"):
+        pass
+    if os.path.isdir(root) and not os.path.isfile(os.path.join(root, _SENTINEL)):
+        shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(root, _SENTINEL)):
+            raise
+    return table
+
+
+@query(
+    "doc_token_index_needle",
+    oracle=r"""
+    WITH needle AS (
+        SELECT (regexp_split_to_array(trim(text), '\s+'))[-1] AS tok
+        FROM documents WHERE doc_id = 0
+    )
+    SELECT doc_id, lang, source
+    FROM documents, needle
+    WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), needle.tok)
+    """,
+    doc="Needle-in-haystack text search THROUGH the file-level "
+    "inverted token index (sources/textindex.py): the needle (the "
+    "last token of doc 0) resolves to posted files via a pushed-down "
+    "postings lookup, only those files are opened, and the exact "
+    "whitespace-token containment predicate runs as the residual. "
+    "The oracle recomputes the answer with a FULL scan — a false "
+    "negative anywhere in the index chain breaks the hash. At 100 TB "
+    "this is the difference between a corpus scan and a bounded read "
+    "for every 'find documents mentioning X' curation query.",
+    tags=("layout", "index", "text", "bench"),
+)
+def doc_token_index_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.sources import textindex
+
+    table = _ensure_token_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    needle = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.element_at(F.split(F.trim("text"), r"\s+"), -1).alias("tok"))
+        .collect()[0]["tok"]
+    )
+    return textindex.read_with_token(spark, table, needle).select(
+        "doc_id", "lang", "source"
+    )
