@@ -633,3 +633,65 @@ def session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 2).alias("avg_events"),
         F.round(F.percentile("duration_sec", F.lit(0.5)), 2).alias("median_duration_sec"),
     )
+
+
+@query(
+    "purchase_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    touches AS (
+        SELECT p.event_id, p.value, t.event_type
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.ts < p.ts
+         AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    per AS (
+        SELECT event_id, value, event_type,
+               count(*) OVER (PARTITION BY event_id) AS n
+        FROM touches
+    )
+    SELECT event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           floor(sum(value / n) * 10000.0 + 0.5) / 10000.0 AS attributed_value
+    FROM per
+    GROUP BY event_type
+    """,
+    doc="Multi-touch (linear) revenue attribution: every purchase's "
+    "value splits equally across the user's view/click touches in the "
+    "trailing 7 days — the complement of the as-of join's last-touch "
+    "model (purchase_asof_last_view). The touch expansion is a "
+    "user-keyed equi-join with a residual time-range predicate "
+    "(per-user cardinality bounded, never a time cross-join); the "
+    "per-purchase touch count is a purchase-partitioned window over "
+    "the already-matched pairs. Fractional credits floor-rounded at "
+    "4dp after the final aggregation.",
+    tags=("clickstream", "attribution", "join", "window", "bench"),
+)
+def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("touch_type")
+    )
+    touches = p.join(t, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("event_id")
+    per = touches.withColumn("n", F.count("*").over(w))
+    return per.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        (
+            F.floor(F.sum(F.col("value") / F.col("n")) * 10000.0 + 0.5) / 10000.0
+        ).alias("attributed_value"),
+    )

@@ -11,7 +11,7 @@ rows-only driver checks plus planted-duplicate unit tests in
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from reciping_data_pipeline_spark.functions import text as T
 from reciping_data_pipeline_spark.operators import dedup
@@ -640,4 +640,40 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round(F.col("n_docs") * 1.0 / F.col("n_label"), 4).alias("label_share"),
         )
+    )
+
+
+@query(
+    "doc_dedup_keep_best",
+    oracle=f"""
+    SELECT doc_id, n_dups
+    FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY fp
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups
+        FROM (SELECT doc_id, n_chars, md5({_NORM_SQL}) AS fp FROM documents)
+    )
+    WHERE rn = 1
+    """,
+    doc="Canonical-copy selection: exact dedup that keeps the BEST "
+    "duplicate (longest text, then lowest id) instead of an arbitrary "
+    "one — what production curation actually wants, since near-"
+    "identical copies differ in truncation/mojibake and min(doc_id) "
+    "throws the best copy away. One fingerprint-partitioned window "
+    "(bounded dup groups), deterministic argmax ordering; reports the "
+    "group size beaten so downstream weighting can de-bias duplicated "
+    "content.",
+    tags=("text", "dedup", "window", "bench"),
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", "n_chars", T.fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_dups")
     )
