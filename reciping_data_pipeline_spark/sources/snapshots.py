@@ -230,6 +230,24 @@ def _commit(
             "files": merge(parent["files"] if parent else []),
             **(extra or {}),
         }
+        # Partition-spec consistency: a version whose files mix
+        # partition layouts (e.g. unpartitioned base + partitioned
+        # append) reads WRONG — Spark's basePath partition recovery
+        # silently drops rows for the minority layout. Reject at
+        # commit time; changing the spec requires overwrite_table
+        # (which replaces the file set wholesale).
+        specs = {
+            tuple(kv.split("=", 1)[0] for kv in f["partition"].split("/"))
+            if f["partition"]
+            else ()
+            for f in manifest["files"]
+        }
+        if len(specs) > 1:
+            raise ValueError(
+                f"partition spec conflict in commit to {path}: {sorted(specs)} — "
+                "append/merge must match the table's existing partitioning; "
+                "use overwrite_table to change the spec"
+            )
         os.makedirs(_snap_dir(path), exist_ok=True)
         # Publish atomically: write the FULL manifest to a scratch name,
         # then hard-link it to the version path. link(2) fails with

@@ -788,3 +788,35 @@ def test_wap_append_publishes_only_after_audit(spark, tmp_path, snap_format):
     )
     rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
     assert rows == [(1, 10), (2, 22)]
+
+
+def test_partition_spec_conflict_rejected_at_commit(spark, tmp_path, snap_format):
+    """Appending with a DIFFERENT partition spec than the table must
+    fail loudly at commit: a mixed-layout version silently LOSES the
+    minority layout's rows under basePath partition recovery (observed:
+    1 of 2 rows readable). Changing the spec requires overwrite_table."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame([(1, "a", 10)], "id INT, p STRING, v INT"), path
+    )
+    with _pytest.raises(ValueError, match="partition spec conflict"):
+        writers.append_table(
+            spark.createDataFrame([(2, "b", 20)], "id INT, p STRING, v INT"),
+            path,
+            ["p"],
+        )
+    # table unchanged and fully readable
+    assert writers.read_table(spark, path).count() == 1
+    # overwrite_table MAY change the spec — wholesale replacement
+    writers.overwrite_table(
+        spark.createDataFrame([(2, "b", 20)], "id INT, p STRING, v INT"), path, ["p"]
+    )
+    got = writers.read_table(spark, path)
+    assert got.count() == 1 and set(got.columns) == {"id", "p", "v"}
+    # and same-spec appends still work after the change
+    writers.append_table(
+        spark.createDataFrame([(3, "c", 30)], "id INT, p STRING, v INT"), path, ["p"]
+    )
+    assert writers.read_table(spark, path).count() == 2
