@@ -268,6 +268,18 @@ def _commit(
         return manifest
 
 
+def _manifest_partition_cols(manifest: dict) -> list[str]:
+    """The table's current partition-key spec, recovered from any file
+    entry's partition path ("year=2025/month=09" -> [year, month]).
+    Empty for unpartitioned / empty tables. Used as the default spec
+    for maintenance writes (compact/delete/merge) so they can never
+    stage a conflicting layout."""
+    for f in manifest["files"]:
+        if f["partition"]:
+            return [kv.split("=", 1)[0] for kv in f["partition"].split("/")]
+    return []
+
+
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read a table version (default latest) — the time-travel entry
     point. The file list comes from the manifest; ``basePath`` makes
@@ -348,6 +360,8 @@ def compact(
     current = load_manifest(path)
     if not current["files"]:
         return current
+    if partition_cols is None:
+        partition_cols = _manifest_partition_cols(current) or None
     total_bytes = sum(
         os.path.getsize(os.path.join(path, f["path"])) for f in current["files"]
     )
@@ -432,6 +446,8 @@ def merge_upsert(
     seam (runs after staging, before the commit attempt).
     """
     base = load_manifest(path)  # raise early when the table is missing
+    if partition_cols is None:
+        partition_cols = _manifest_partition_cols(base) or None
     base_paths = {f["path"] for f in base["files"]}
     cur = read_version(spark, path, base["version"]).withColumn(
         "_sg_file", F.input_file_name()
@@ -531,6 +547,8 @@ def delete_where(
     the delete), raises :class:`ConcurrentMergeConflictError` and the
     delete re-runs from the fresh snapshot (bounded retries)."""
     base = load_manifest(path)
+    if partition_cols is None:
+        partition_cols = _manifest_partition_cols(base) or None
     base_paths = {f["path"] for f in base["files"]}
     cur = read_version(spark, path, base["version"]).withColumn(
         "_sg_file", F.input_file_name()

@@ -820,3 +820,30 @@ def test_partition_spec_conflict_rejected_at_commit(spark, tmp_path, snap_format
         spark.createDataFrame([(3, "c", 30)], "id INT, p STRING, v INT"), path, ["p"]
     )
     assert writers.read_table(spark, path).count() == 2
+
+
+def test_maintenance_writes_infer_partition_spec(spark, tmp_path, snap_format):
+    """compact / merge_upsert / delete_where called WITHOUT
+    partition_cols on a partitioned table must infer the table's spec
+    from the manifest instead of staging a conflicting unpartitioned
+    layout (which the commit guard would reject)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 30)], "id INT, p STRING, v INT"
+        ),
+        path,
+        ["p"],
+    )
+    snapshots.merge_upsert(
+        spark, path, spark.createDataFrame([(2, "b", 99)], "id INT, p STRING, v INT"), ["id"]
+    )
+    snapshots.delete_where(spark, path, F.col("id") == 3)
+    snapshots.compact(spark, path)
+    got = {(r["id"], r["p"], r["v"]) for r in writers.read_table(spark, path).collect()}
+    assert got == {(1, "a", 10), (2, "b", 99)}
+    # every surviving file still lives under a p=... partition dir
+    for f in snapshots.load_manifest(path)["files"]:
+        assert f["partition"].startswith("p="), f
