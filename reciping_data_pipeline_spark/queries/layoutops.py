@@ -42,9 +42,25 @@ _SENTINEL = "_FIXTURE_COMPLETE"
 _N_FILES = 8
 
 
-def _fixture_dir(sf_dir: str) -> str:
+def _sf_tag(sf_dir: str) -> str:
+    """Cache tag tied to the SOURCE data's identity (mtime+size of
+    documents.parquet), not just the SF name: testdata regenerated
+    between rounds must invalidate cached fixtures, or a stale layout
+    silently diverges from the oracle's fresh reads."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"zorder_skip_fixture_{tag}_v1")
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    return f"{tag}_{stamp}"
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"zorder_skip_fixture_{_sf_tag(sf_dir)}_v1"
+    )
 
 
 def _ensure_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -141,8 +157,9 @@ def _ensure_token_index(spark: SparkSession, sf_dir: str) -> str:
     discipline as the Z-order fixture."""
     from reciping_data_pipeline_spark.sources import textindex
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), f"token_index_fixture_{tag}_v1")
+    root = os.path.join(
+        tempfile.gettempdir(), f"token_index_fixture_{_sf_tag(sf_dir)}_v1"
+    )
     table = os.path.join(root, "documents_tok")
     if os.path.isfile(os.path.join(root, _SENTINEL)):
         return table
