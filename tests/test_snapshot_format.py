@@ -847,3 +847,70 @@ def test_maintenance_writes_infer_partition_spec(spark, tmp_path, snap_format):
     # every surviving file still lives under a p=... partition dir
     for f in snapshots.load_manifest(path)["files"]:
         assert f["partition"].startswith("p="), f
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_snapshot_format_model_based_op_sequences(spark, tmp_path, snap_format, seed):
+    """Stateful model-based check: a seeded random sequence of
+    append / overwrite / merge / delete / compact / rollback ops runs
+    against BOTH the snapshot table and an in-memory dict model (with
+    per-version history for rollback). After every op the table must
+    read back exactly the model — the invariant every individual
+    feature test is a special case of."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path / "t")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id INT, v INT").coalesce(1)
+
+    state: dict[int, int] = {1: 10, 2: 20, 3: 30}
+    writers.overwrite_table(mk(sorted(state.items())), path)
+    history = {snapshots.versions(path)[-1]: dict(state)}
+    next_id = 100
+
+    def check():
+        got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
+        assert got == set(state.items()), f"seed={seed}: {sorted(got)} vs model"
+
+    for _ in range(8):
+        op = rng.choice(["append", "overwrite", "merge", "delete", "compact", "rollback"])
+        if op == "append":
+            rows = [(next_id + i, (next_id + i) * 10) for i in range(int(rng.integers(1, 4)))]
+            next_id += len(rows)
+            writers.append_table(mk(rows), path)
+            state.update(dict(rows))
+        elif op == "overwrite":
+            rows = [(next_id + i, (next_id + i) * 10) for i in range(int(rng.integers(1, 4)))]
+            next_id += len(rows)
+            writers.overwrite_table(mk(rows), path)
+            state = dict(rows)
+        elif op == "merge":
+            keys = list(state) or [next_id]
+            pick = [int(k) for k in rng.choice(keys, size=min(2, len(keys)), replace=False)]
+            pick.append(next_id)  # one insert
+            next_id += 1
+            rows = [(k, k * 10 + 7) for k in pick]
+            snapshots.merge_upsert(spark, path, mk(rows), ["id"])
+            state.update(dict(rows))
+        elif op == "delete":
+            if state:
+                victim = int(rng.choice(list(state)))
+                res = snapshots.delete_where(spark, path, F.col("id") == victim)
+                assert res is not None
+                del state[victim]
+            else:
+                assert snapshots.delete_where(spark, path, F.col("id") == -1) is None
+        elif op == "compact":
+            snapshots.compact(spark, path)
+        elif op == "rollback":
+            vs = snapshots.versions(path)
+            target = int(rng.choice(vs))
+            if target in history:
+                snapshots.rollback(path, target)
+                state = dict(history[target])
+        v = snapshots.versions(path)[-1]
+        history[v] = dict(state)
+        check()
