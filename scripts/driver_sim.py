@@ -29,12 +29,14 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--first", type=int, default=0, help="check only the first N registry entries (0 = all)")
     ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument("--partitions", type=int, default=32,
+                    help="spark.sql.shuffle.partitions (partition-invariance sweeps)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
     from oracle_utils import compare_to_oracle  # noqa: E402
 
-    spark = get_spark(app_name="driver_sim", shuffle_partitions=32)
+    spark = get_spark(app_name="driver_sim", shuffle_partitions=args.partitions)
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(args.sf, f"{name}.parquet")
