@@ -695,3 +695,87 @@ def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             F.floor(F.sum(F.col("value") / F.col("n")) * 10000.0 + 0.5) / 10000.0
         ).alias("attributed_value"),
     )
+
+
+@query(
+    "funnel_within_hour",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts AS vts FROM events WHERE event_type = 'view'
+    ),
+    c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+    s2 AS (
+        SELECT v.event_id, v.user_id, v.vts, min(c.cts) AS first_click
+        FROM v JOIN c
+          ON v.user_id = c.user_id
+         AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
+        GROUP BY v.event_id, v.user_id, v.vts
+    ),
+    s3 AS (
+        SELECT s2.event_id
+        FROM s2 JOIN p
+          ON s2.user_id = p.user_id
+         AND p.pts > s2.first_click
+         AND p.pts <= s2.first_click + INTERVAL 1 HOUR
+        GROUP BY s2.event_id
+    )
+    SELECT CAST(CAST(v.vts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(count(s2.event_id) AS BIGINT) AS n_clicked_1h,
+           CAST(count(s3.event_id) AS BIGINT) AS n_purchased_1h
+    FROM v
+    LEFT JOIN s2 ON v.event_id = s2.event_id
+    LEFT JOIN s3 ON v.event_id = s3.event_id
+    GROUP BY CAST(v.vts AS DATE)
+    """,
+    doc="Time-constrained ordered funnel: view -> first click within "
+    "1 hour -> purchase within 1 hour of THAT click, reported per "
+    "view-day. The day-granular strict funnel can't express this — "
+    "each hop is an as-of-style earliest-match (user-keyed equi-join "
+    "with a residual time-range predicate + min aggregation), chained "
+    "twice, so the time clock restarts at the matched step the way "
+    "product analytics define conversion windows. Per-user bounded "
+    "join fan-out; exact integer/timestamp arithmetic end to end.",
+    tags=("clickstream", "funnel", "asof", "join", "bench"),
+)
+def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    s2 = (
+        v.join(c, "user_id")
+        .where(
+            (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_id", "user_id", "vts")
+        .agg(F.min("cts").alias("first_click"))
+    )
+    s3 = (
+        s2.join(p, "user_id")
+        .where(
+            (F.col("pts") > F.col("first_click"))
+            & (F.col("pts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("_n"))
+        .select("event_id")
+    )
+    return (
+        v.join(s2.select("event_id", F.lit(1).alias("hit2")), "event_id", "left")
+        .join(s3.select("event_id", F.lit(1).alias("hit3")), "event_id", "left")
+        .groupBy(F.col("vts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_views"),
+            F.count("hit2").cast("long").alias("n_clicked_1h"),
+            F.count("hit3").cast("long").alias("n_purchased_1h"),
+        )
+    )
