@@ -348,3 +348,52 @@ def test_python_stream_source_end_to_end_micro_batches(spark, tmp_path):
     got = [(r["event_id"], r["user_id"], r["event_type"], r["value"]) for r in rows]
     want = [(e[0], e[2], e[3], e[4]) for e in expected]
     assert got == want
+
+
+def test_python_stream_source_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """Full-engine restart proof of the offset-clamp fix: run a few
+    micro-batches to a parquet sink, STOP the query (reader instance
+    dies), start a new query on the SAME checkpoint, run more batches.
+    The written global event_ids must be duplicate-free and contiguous
+    from 0 — a regressed offset would re-deliver old indices, a
+    skipped range would leave gaps."""
+    import time as _time
+
+    from reciping_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_batches(min_rows: int) -> None:
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 128)
+            .option("num_partitions", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 90
+            while _time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= min_rows:
+                        break
+                except Exception:  # noqa: BLE001 - sink dir not created yet
+                    pass
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_batches(128 * 2)
+    n1 = spark.read.parquet(out).count()
+    assert n1 >= 128 * 2
+    run_batches(n1 + 128 * 2)  # RESTART on the same checkpoint
+    ids = [r["event_id"] for r in spark.read.parquet(out).select("event_id").collect()]
+    assert len(ids) > n1
+    assert len(ids) == len(set(ids)), "restart re-delivered global indices"
+    assert sorted(ids) == list(range(len(ids))), "offset regression or gap"
