@@ -704,6 +704,76 @@ def snapshot_diff(
     )
 
 
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    partition_cols: list[str] | None = None,
+) -> dict | None:
+    """Apply a :func:`snapshot_diff` change feed to ANOTHER snapshot
+    table in ONE commit — the consumer half of the CDC story (mirror /
+    downstream-replica maintenance): ``delete`` rows are removed with
+    multiset semantics (``exceptAll``, matching how the diff was
+    computed), ``insert`` rows are appended, and only files actually
+    holding deleted rows are rewritten. Returns ``None`` for an empty
+    feed. The round-trip law — applying ``snapshot_diff(A, v1, v2)``
+    to a replica of ``A@v1`` yields exactly ``A@v2`` — is test-pinned.
+
+    Follows the format's optimistic commit with the rewritten-file
+    disappearance check; concurrent writers racing inserts against the
+    feed are NOT key-validated (a replication target is single-writer
+    by contract — use :func:`merge_upsert` for multi-writer upserts)."""
+    base = load_manifest(path)
+    if partition_cols is None:
+        partition_cols = _manifest_partition_cols(base) or None
+    data_cols = [c for c in changes.columns if c != "_change_type"]
+    dels = changes.where(F.col("_change_type") == "delete").select(*data_cols)
+    ins = changes.where(F.col("_change_type") == "insert").select(*data_cols)
+    if changes.isEmpty():
+        return None
+    base_paths = {f["path"] for f in base["files"]}
+    cur = read_version(spark, path, base["version"]).withColumn(
+        "_sg_file", F.input_file_name()
+    )
+    affected = {
+        r["_sg_file"]
+        for r in cur.join(dels, data_cols, "leftsemi").select("_sg_file").distinct().collect()
+    }
+
+    def _abs(rel: str) -> str:
+        return "file://" + os.path.abspath(os.path.join(path, rel))
+
+    def _is_affected(entry: dict) -> bool:
+        a = _abs(entry["path"])
+        return a in affected or a.removeprefix("file://") in affected
+
+    if affected:
+        kept = (
+            cur.where(F.col("_sg_file").isin(*affected))
+            .drop("_sg_file")
+            .exceptAll(dels)
+        )
+        merged = kept.unionByName(ins, allowMissingColumns=True)
+    else:
+        merged = ins
+    staged = _stage_files(merged, path, partition_cols)
+
+    def merge_files(parent_files: list[dict]) -> list[dict]:
+        parent_paths = {f["path"] for f in parent_files}
+        gone = [
+            f["path"]
+            for f in base["files"]
+            if _is_affected(f) and f["path"] not in parent_paths
+        ]
+        if gone:
+            raise ConcurrentMergeConflictError(
+                f"files this change-apply rewrites were rewritten concurrently: {gone[:3]}"
+            )
+        return [f for f in parent_files if not _is_affected(f)] + staged
+
+    return _commit(path, merge_files, "apply_changes", changes.drop("_change_type").schema.json(), evolve=True)
+
+
 def append_stream_batch(
     df: DataFrame,
     path: str,

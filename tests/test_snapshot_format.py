@@ -914,3 +914,37 @@ def test_snapshot_format_model_based_op_sequences(spark, tmp_path, snap_format, 
         v = snapshots.versions(path)[-1]
         history[v] = dict(state)
         check()
+
+
+def test_cdc_diff_apply_round_trip(spark, tmp_path, snap_format):
+    """The CDC round-trip law: applying snapshot_diff(A, v1, v2) to a
+    replica seeded from A@v1 reproduces A@v2 EXACTLY (multiset
+    equality) — across an upsert, a delete, and an insert."""
+    import pyspark.sql.functions as F
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    writers.overwrite_table(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "id INT, v INT"
+        ).coalesce(2),
+        a,
+    )
+    # seed the replica from A@v1's DATA (independent files)
+    writers.overwrite_table(snapshots.read_version(spark, a, 1), b)
+    # mutate A: upsert id=2, delete id=3, insert id=5
+    snapshots.merge_upsert(
+        spark, a, spark.createDataFrame([(2, 99), (5, 50)], "id INT, v INT"), ["id"]
+    )
+    snapshots.delete_where(spark, a, F.col("id") == 3)
+    v2 = snapshots.versions(a)[-1]
+    feed = snapshots.snapshot_diff(spark, a, 1, v2)
+    m = snapshots.apply_changes(spark, b, feed)
+    assert m is not None and m["operation"] == "apply_changes"
+    got = snapshots.read_version(spark, b)
+    want = snapshots.read_version(spark, a, v2)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # empty feed is a no-op (no new version)
+    v_before = snapshots.versions(b)[-1]
+    assert snapshots.apply_changes(spark, b, snapshots.snapshot_diff(spark, a, v2, v2)) is None
+    assert snapshots.versions(b)[-1] == v_before
