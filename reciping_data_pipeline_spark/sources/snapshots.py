@@ -349,15 +349,23 @@ def compact(
     path: str,
     partition_cols: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    conflict_retries: int = 2,
 ) -> dict:
     """Snapshot-preserving binpack compaction (the reference's Iceberg
     maintenance job, README.md:222-237): rewrite the CURRENT version's
     rows into ~``target_file_bytes`` files and commit them as a new
     version. Unlike the parquet-format ``compact_partitions`` this
     never rewrites in place — prior versions stay readable until
-    expired, and a concurrent reader is never broken."""
-    df = read_version(spark, path)
+    expired, and a concurrent reader is never broken.
+
+    Concurrency: the commit replaces exactly the file set this
+    compaction READ (not the whole list), so an append landing
+    mid-compaction carries through instead of being discarded; a
+    concurrent rewrite of a compacted file (another compaction / a
+    merge) raises through the conflict path and the compaction re-runs
+    against the fresh snapshot."""
     current = load_manifest(path)
+    df = read_version(spark, path, current["version"])
     if not current["files"]:
         return current
     if partition_cols is None:
@@ -371,13 +379,39 @@ def compact(
     # compactor, but committed as a snapshot instead of in place).
     n_files = max(1, -(-total_bytes // target_file_bytes))
     staged = _stage_files(df.repartition(n_files), path, partition_cols)
-    return _commit(path, lambda parent: staged, "compact", df.schema.json())
+    compacted = {f["path"] for f in current["files"]}
+
+    def merge_files(parent_files: list[dict]) -> list[dict]:
+        parent_paths = {f["path"] for f in parent_files}
+        gone = [p for p in compacted if p not in parent_paths]
+        if gone:
+            raise ConcurrentMergeConflictError(
+                f"files this compaction rewrote were rewritten concurrently: {gone[:3]}"
+            )
+        return [f for f in parent_files if f["path"] not in compacted] + staged
+
+    try:
+        return _commit(path, merge_files, "compact", df.schema.json())
+    except ConcurrentMergeConflictError:
+        if conflict_retries <= 0:
+            raise
+        return compact(
+            spark, path, partition_cols, target_file_bytes,
+            conflict_retries=conflict_retries - 1,
+        )
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     """Garbage-collect history: drop all but the newest ``keep_last``
     manifests and delete data files no surviving manifest references
-    (Iceberg's ``expire_snapshots``). Returns the expired versions."""
+    (Iceberg's ``expire_snapshots``). Returns the expired versions.
+
+    Concurrency guard: deletion candidates are collected first, then
+    the CURRENT manifest set is re-read and anything referenced by a
+    commit that landed mid-expiry (a rollback re-referencing old
+    files, an append) is dropped from the candidate list — the same
+    re-check discipline as ``remove_orphans``. Manifests for expired
+    versions are removed only after their data-file sweep."""
     vs = versions(path)
     if len(vs) <= keep_last:
         return []
@@ -385,13 +419,24 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     referenced = {
         f["path"] for v in kept for f in load_manifest(path, v)["files"]
     }
+    candidates: set[str] = set()
     for v in expired:
-        dropped = load_manifest(path, v)
-        for f in dropped["files"]:
+        for f in load_manifest(path, v)["files"]:
             if f["path"] not in referenced:
-                full = os.path.join(path, f["path"])
-                if os.path.isfile(full):
-                    os.remove(full)
+                candidates.add(f["path"])
+    # Re-read EVERYTHING still committed (new commits included) before
+    # deleting: a rollback that landed mid-expiry may reference these.
+    referenced_now = {
+        f["path"]
+        for v in versions(path)
+        if v not in expired
+        for f in load_manifest(path, v)["files"]
+    }
+    for rel in candidates - referenced_now:
+        full = os.path.join(path, rel)
+        if os.path.isfile(full):
+            os.remove(full)
+    for v in expired:
         os.remove(_manifest_path(path, v))
     return expired
 

@@ -948,3 +948,36 @@ def test_cdc_diff_apply_round_trip(spark, tmp_path, snap_format):
     v_before = snapshots.versions(b)[-1]
     assert snapshots.apply_changes(spark, b, snapshots.snapshot_diff(spark, a, v2, v2)) is None
     assert snapshots.versions(b)[-1] == v_before
+
+
+def test_compact_carries_concurrent_append_through(spark, tmp_path, snap_format):
+    """An append landing between compact's snapshot read and its
+    commit must SURVIVE: the compaction commit replaces exactly the
+    file set it read, not the whole list. (Regression: the old
+    whole-list replacement silently dropped the racing append.)"""
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.range(20).selectExpr("id", "id * 10 AS v").repartition(4), path)
+
+    orig_commit = snapshots._commit
+    fired = {"done": False}
+
+    def commit_with_interleave(p, merge, op, *a, **kw):
+        if op == "compact" and not fired["done"]:
+            fired["done"] = True
+            writers.append_table(
+                spark.createDataFrame([(999, 9990)], "id BIGINT, v BIGINT").coalesce(1),
+                path,
+            )
+        return orig_commit(p, merge, op, *a, **kw)
+
+    snapshots._commit = commit_with_interleave
+    try:
+        snapshots.compact(spark, path)
+    finally:
+        snapshots._commit = orig_commit
+    got = {(r["id"], r["v"]) for r in writers.read_table(spark, path).collect()}
+    assert (999, 9990) in got, "compaction dropped the concurrent append"
+    assert len(got) == 21
+    # compaction still reduced the original files
+    n_files = len(snapshots.load_manifest(path)["files"])
+    assert n_files <= 2 + 1  # compacted originals + the appended file
