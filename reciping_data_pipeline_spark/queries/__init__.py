@@ -10,9 +10,17 @@ Each query is registered with:
 Conventions that make the cross-engine value-hash comparison stable:
 - every computed column is explicitly aliased, identically on both
   sides (the driver sorts columns by name before hashing);
-- every floating-point aggregate is ``round(x, N)`` with the same N on
-  both sides (double summation order differs between engines; rounding
-  absorbs the last-ulp noise);
+- every floating-point aggregate is rounded identically on both
+  sides (double summation order differs between engines; rounding
+  absorbs the last-ulp noise). Display rounding of aggregates may use
+  ``round(x, N)``; VALUE-AFFECTING rounding (anything feeding a
+  comparison, ranking, or further arithmetic) must use the floor form
+  ``floor(x * 10^N + 0.5) / 10^N`` — pure IEEE mul/add/floor that is
+  bit-identical across engines, unlike engine ``round()`` tie
+  behavior (Spark: BigDecimal-of-shortest-repr HALF_UP; DuckDB:
+  binary-value rounding). Medians avoid interpolation builtins
+  (explicit middle-rank averaging). Property-gated in
+  ``tests/test_properties.py``;
 - integer sums are cast to BIGINT on the DuckDB side (DuckDB promotes
   SUM(int) to HUGEINT, Spark keeps BIGINT);
 - ties in top-k / ranking are always broken by a unique key column.
