@@ -824,6 +824,7 @@ def append_stream_batch(
     path: str,
     batch_id: int,
     partition_cols: list[str] | None = None,
+    audit=None,
 ) -> dict | None:
     """Transactional micro-batch append for ``foreachBatch`` sinks:
     the committing manifest records ``batch_id``, and a replayed batch
@@ -832,6 +833,13 @@ def append_stream_batch(
     no-op — exactly-once table growth WITHOUT relying on the payload
     being dedupable (the generic version of the corpus stream's
     fingerprint anti-join).
+
+    ``audit(batch_df) -> bool | None`` turns the sink into a streaming
+    quality circuit breaker (the WAP discipline per micro-batch): a
+    False return raises :class:`AuditFailedError` BEFORE any file is
+    staged, the foreachBatch call fails, the engine does not advance
+    the checkpoint, and the batch is re-offered after the fix — a
+    poisoned batch can never become readable.
 
     The replay check scans committed manifests (O(versions), bounded
     by ``expire_snapshots``); a catalog-backed deployment would keep
@@ -846,6 +854,11 @@ def append_stream_batch(
         committed = False
     if committed:
         return None
+    if audit is not None and audit(df) is False:
+        raise AuditFailedError(
+            f"audit rejected stream batch {batch_id} for {path}; "
+            "checkpoint not advanced, batch will be re-offered"
+        )
     new = _stage_files(df, path, partition_cols)
     return _commit(
         path,

@@ -981,3 +981,63 @@ def test_compact_carries_concurrent_append_through(spark, tmp_path, snap_format)
     # compaction still reduced the original files
     n_files = len(snapshots.load_manifest(path)["files"])
     assert n_files <= 2 + 1  # compacted originals + the appended file
+
+
+def test_stream_audit_circuit_breaker_blocks_poisoned_batch(spark, tmp_path, snap_format):
+    """Streaming WAP: a micro-batch failing the audit NEVER becomes
+    readable — the foreachBatch raises, the checkpoint does not
+    advance, and after the operator intervenes (here: a quarantine
+    policy filtering the bad rows) the SAME batch is re-offered and
+    commits exactly once."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src_dir, table, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "t"),
+        str(tmp_path / "ck"),
+    )
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "good.jsonl"), "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps({"id": i, "v": i * 10}) + "\n")
+
+    def audit(df):
+        return bool(df.where(F.col("v") < 0).isEmpty())
+
+    def run(batch_fn):
+        stream = spark.readStream.schema("id LONG, v LONG").format("json").load(src_dir)
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(lambda df, bid: snapshots.append_stream_batch(df, table, bid, audit=audit))
+    assert writers.read_table(spark, table).count() == 4
+
+    # poison arrives
+    with open(os.path.join(src_dir, "poison.jsonl"), "w") as fh:
+        fh.write(_json.dumps({"id": 100, "v": -1}) + "\n")
+        fh.write(_json.dumps({"id": 101, "v": 50}) + "\n")
+    with pytest.raises(StreamingQueryException):
+        run(lambda df, bid: snapshots.append_stream_batch(df, table, bid, audit=audit))
+    # nothing from the poisoned batch is visible
+    assert writers.read_table(spark, table).count() == 4
+    assert writers.read_table(spark, table).where(F.col("v") < 0).isEmpty()
+
+    # operator decision: quarantine bad rows, re-run on the SAME
+    # checkpoint — the engine re-offers the failed batch
+    def quarantining(df, bid):
+        return snapshots.append_stream_batch(
+            df.where(F.col("v") >= 0), table, bid, audit=audit
+        )
+
+    run(quarantining)
+    rows = {(r["id"], r["v"]) for r in writers.read_table(spark, table).collect()}
+    assert (101, 50) in rows and (100, -1) not in rows
+    assert len(rows) == 5  # exactly once, no replay duplication
