@@ -4,7 +4,8 @@ Complements the pointer-doubling connected-components operator
 (``operators/dedup.py``) with the other canonical iterative graph
 computation. Power iteration in pure DataFrame ops:
 
-    r_{t+1}(v) = (1-d)/N + d * sum_{u -> v} r_t(u) / out_deg(u)
+    r_{t+1}(v) = (1-d)/N + d * (sum_{u -> v} r_t(u) / out_deg(u)
+                                + dangling_mass_t / N)
 
 Each iteration is ONE equi-join (ranks onto edge sources, shuffle
 keyed on the join column) plus ONE aggregation (shuffle keyed on the
@@ -15,13 +16,18 @@ the Python ``for`` drives plan construction only, and per-iteration
 re-execute earlier rounds (Spark has no DataFrame-level
 common-subexpression reuse across iterations).
 
+General directed graphs are handled fully: the node set is
+src ∪ dst, nodes without in-edges keep receiving the teleport term
+(left join + coalesce, never silently dropped), and dangling nodes
+(out-degree 0) redistribute their rank mass uniformly each round — a
+1-row broadcast aggregate, exactly Brin/Page's correction. For
+symmetric edge sets (undirected graphs fed as both directions) there
+are no dangling nodes and the correction short-circuits to zero.
+
 Scale: state is O(V) rows and each round's shuffles are O(E) — the
 same asymptotics as GraphX/Pregel. Skewed in-degree (celebrity
 nodes) is absorbed by map-side partial aggregation on the dst key;
-AQE handles residual reducer skew. Dangling nodes (out-degree 0)
-contribute their mass uniformly when ``handle_dangling`` — for
-symmetric edge sets (undirected graphs fed as both directions) there
-are none and the correction is skipped.
+AQE handles residual reducer skew.
 """
 
 from __future__ import annotations
@@ -38,34 +44,59 @@ def pagerank(
     dst: str = "dst",
 ) -> DataFrame:
     """Ranks after ``iterations`` rounds of power iteration from the
-    uniform vector, over the DIRECTED edge list ``edges`` (feed both
-    directions for an undirected graph; every node must then have
-    out-degree >= 1, so no dangling-mass correction is needed).
-    Returns ``(node, rank)``. Deterministic up to FP summation order."""
+    uniform vector over the DIRECTED edge list ``edges`` (feed both
+    directions for an undirected graph). Nodes = src ∪ dst; dangling
+    mass is redistributed uniformly. Returns ``(node, rank)``.
+    Deterministic up to FP summation order."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     n_total = F.broadcast(nodes.agg(F.count("*").alias("n")))
     ranks = nodes.crossJoin(n_total).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     ).localCheckpoint()
     contrib_edges = e.join(deg, "src").localCheckpoint()  # (src, dst, deg), reused per round
+    dangling = nodes.join(
+        deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).localCheckpoint()
+    has_dangling = not dangling.isEmpty()
     for _ in range(iterations):
-        ranks = (
+        contribs = (
             contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
-            .crossJoin(n_total)
-            .select(
-                "node",
-                # (1 - d) computed IN DOUBLES (not folded to a decimal
-                # constant) so an oracle doing CAST(1 AS DOUBLE) -
-                # CAST(0.85 AS DOUBLE) lands on the identical bits.
-                (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
-                    + F.lit(damping) * F.col("mass")
-                ).alias("rank"),
-            )
-            .localCheckpoint()
         )
+        if has_dangling:
+            dmass = F.broadcast(
+                dangling.join(ranks, "node").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+                )
+            )
+        else:
+            # No dangling nodes: the correction is EXACTLY zero and
+            # `mass + 0.0` is bit-identical to `mass` (mass > 0), so
+            # symmetric-graph results match the correction-free
+            # arithmetic an unrolled SQL oracle computes.
+            dmass = None
+        ranks = nodes.join(contribs, "node", "left").crossJoin(n_total)
+        if dmass is not None:
+            ranks = ranks.crossJoin(dmass)
+        mass = F.coalesce(F.col("mass"), F.lit(0.0)) + (
+            F.col("dmass") / F.col("n") if dmass is not None else F.lit(0.0)
+        )
+        ranks = ranks.select(
+            "node",
+            # (1 - d) computed IN DOUBLES (not folded to a decimal
+            # constant) so an oracle doing CAST(1 AS DOUBLE) -
+            # CAST(0.85 AS DOUBLE) lands on the identical bits.
+            (
+                (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                + F.lit(damping) * mass
+            ).alias("rank"),
+        ).localCheckpoint()
     return ranks
