@@ -120,14 +120,19 @@ def _resolve_files(spark: SparkSession, path: str, token: str) -> list[str]:
     iv = _latest_index_version(path)
     if iv is None:
         return sorted(current)  # no index: read everything (correct, slow)
-    idx = spark.read.parquet(_index_root(path, iv))
-    posted = {
-        r["file"] for r in idx.where(F.col("token") == token).select("file").collect()
-    }
     with open(
         os.path.join(_index_root(path, iv), "_INDEX_META.json"), encoding="utf-8"
     ) as fh:
         meta = json.load(fh)
+    if len(token) < meta["min_token_len"]:
+        # The index never recorded tokens this short — an empty
+        # postings hit means NOTHING here; pruning on it would be a
+        # false negative. Full scan (still exact via the residual).
+        return sorted(current)
+    idx = spark.read.parquet(_index_root(path, iv))
+    posted = {
+        r["file"] for r in idx.where(F.col("token") == token).select("file").collect()
+    }
     indexed_version = meta["version"]
     indexed_files = {
         f["path"] for f in snapshots.load_manifest(path, indexed_version)["files"]

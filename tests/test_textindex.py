@@ -85,3 +85,19 @@ def test_missing_or_incomplete_index_falls_back_to_full_scan(spark, tmp_path):
     # a crashed build (no completion marker) must be ignored
     os.makedirs(os.path.join(path, "_index", "tokens-v00000099"), exist_ok=True)
     assert textindex._latest_index_version(path) is None
+
+
+def test_short_needle_below_index_min_len_falls_back_to_full_scan(spark, tmp_path):
+    """A needle SHORTER than the index's min_token_len was never
+    posted — an empty postings hit means nothing, and pruning on it
+    would silently return zero rows. The resolver must fall back to a
+    full scan (still exact via the residual predicate)."""
+    path = str(tmp_path / "t")
+    fmt = SnapshotFormat()
+    rows = [(i, f"xx filler word{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING").repartitionByRange(4, "doc_id")
+    fmt.overwrite_table(df, path)
+    textindex.build_token_index(spark, path, min_token_len=3)
+    kept, total = textindex.token_file_stats(spark, path, "xx")
+    assert kept == total == 4  # short needle: no pruning claimed
+    assert textindex.read_with_token(spark, path, "xx").count() == 40
