@@ -1070,3 +1070,144 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_v").alias("mad_value"),
         )
     )
+
+
+@query(
+    "qty_weighted_median_price_by_flag",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(l_quantity AS DOUBLE) AS wt, l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, price, wt,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                    ORDER BY price, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(tw) AS DOUBLE) AS total_qty,
+           min(CASE WHEN cw * 2.0 >= tw THEN price END) AS weighted_median_price
+    FROM c
+    GROUP BY l_returnflag
+    """,
+    doc="Exact WEIGHTED median (the quantity-weighted median line "
+    "price per return flag — 'the median dollar', not the median "
+    "row): order by value within each group, take the running "
+    "cumulative weight, and the weighted median is the first value "
+    "whose cumulative weight reaches half the total. Quantities are "
+    "integer-valued doubles, so every cumulative sum is EXACT in IEEE "
+    "arithmetic regardless of summation order — the threshold "
+    "comparison cannot flip between engines. Group-partitioned "
+    "windows only; the construction generalizes to any importance-"
+    "weighted quantile a weighted corpus needs.",
+    tags=("stats", "weighted", "window", "bench"),
+)
+def qty_weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("double").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(w_run).alias("cw"),
+        F.sum("wt").over(w_all).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("tw").cast("double").alias("total_qty"),
+        F.min(F.when(F.col("cw") * 2.0 >= F.col("tw"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+    )
+
+
+@query(
+    "item_cf_similarity_topk",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pop AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY p),
+    co AS (
+        SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS co_users
+        FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING count(*) >= 2
+    )
+    SELECT i, j, co_users,
+           floor(co_users / sqrt(CAST(pi.n AS DOUBLE) * CAST(pj.n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+    FROM co JOIN pop pi ON co.i = pi.p JOIN pop pj ON co.j = pj.p
+    ORDER BY cosine_sim DESC, i ASC, j ASC
+    LIMIT 20
+    """,
+    doc="Item-based collaborative-filtering similarity (the classic "
+    "recommender primitive): parts co-purchased by the same CUSTOMERS "
+    "(cross-order affinity, unlike the per-basket lift query), scored "
+    "by co-occurrence cosine co/sqrt(pop_i*pop_j). Candidate pairs "
+    "come from a customer-keyed equi-join (bounded per-customer "
+    "fan-out, never all-pairs over items), popularity joins after "
+    "aggregation touch only surviving pairs, sqrt is IEEE correctly-"
+    "rounded (bit-identical across engines), and scores are floor-"
+    "rounded before the rank order so the top-k set is deterministic. "
+    "Co-occurrence is inherently quadratic in per-customer basket "
+    "size; at production scale you bound it with a minimum-popularity "
+    "threshold or per-customer cap before expansion (not applied here "
+    "so the oracle replays exactly).",
+    tags=("stats", "recommender", "join"),
+)
+def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    pop = cp.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    a = cp.select("c", F.col("p").alias("i"))
+    b = cp.select("c", F.col("p").alias("j"))
+    co = (
+        a.join(b, "c")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("co_users"))
+        .where(F.col("co_users") >= 2)
+    )
+    pi = pop.select(F.col("p").alias("i"), F.col("n").alias("ni"))
+    pj = pop.select(F.col("p").alias("j"), F.col("n").alias("nj"))
+    return (
+        co.join(pi, "i")
+        .join(pj, "j")
+        .select(
+            "i",
+            "j",
+            "co_users",
+            (
+                F.floor(
+                    F.col("co_users")
+                    / F.sqrt(F.col("ni").cast("double") * F.col("nj").cast("double"))
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("i").asc(), F.col("j").asc())
+        .limit(20)
+    )
