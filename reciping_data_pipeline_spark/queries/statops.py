@@ -1211,3 +1211,88 @@ def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("i").asc(), F.col("j").asc())
         .limit(20)
     )
+
+
+@query(
+    "user_loyalty_balance",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN -value
+                    WHEN event_type IN ('view', 'click') THEN value
+                    ELSE CAST(0.0 AS DOUBLE) END AS delta
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, ts, event_id,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        FROM d
+    ),
+    b AS (
+        SELECT user_id, ts, event_id, pfx,
+               min(pfx) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM p
+    ),
+    bal AS (
+        SELECT user_id, rn_last,
+               pfx - CASE WHEN runmin < 0 THEN runmin ELSE 0 END AS balance
+        FROM b
+    )
+    SELECT user_id,
+           floor(max(CASE WHEN rn_last = 1 THEN balance END) * 10000.0 + 0.5)
+               / 10000.0 AS final_balance,
+           floor(max(balance) * 10000.0 + 0.5) / 10000.0 AS peak_balance
+    FROM bal
+    GROUP BY user_id
+    """,
+    doc="Zero-clamped running balance (loyalty points: earn on "
+    "view/click, burn on purchase, never below zero) — the recurrence "
+    "b_t = max(0, b_{t-1} + d_t) LOOKS like it needs a per-key "
+    "imperative scan, but the Lindley/reflection identity "
+    "b_t = prefix_t - min(0, min_{s<=t} prefix_s) turns it into TWO "
+    "ordered windows (running sum, running min) — fully distributed, "
+    "user-partitioned, no UDF, no state store. Ordered-frame window "
+    "sums accumulate in frame order in both engines, so even the raw "
+    "doubles agree bit-for-bit before the display rounding.",
+    tags=("stats", "window", "recurrence", "bench"),
+)
+def user_loyalty_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .when(F.col("event_type").isin("view", "click"), F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    p = ev.select("user_id", "ts", "event_id", delta.alias("delta")).withColumn(
+        "pfx", F.sum("delta").over(w_run)
+    )
+    b = (
+        p.withColumn("runmin", F.min("pfx").over(w_run))
+        .withColumn("rn_last", F.row_number().over(w_last))
+        .withColumn(
+            "balance",
+            F.col("pfx")
+            - F.when(F.col("runmin") < 0, F.col("runmin")).otherwise(F.lit(0.0)),
+        )
+    )
+    return b.groupBy("user_id").agg(
+        (
+            F.floor(
+                F.max(F.when(F.col("rn_last") == 1, F.col("balance"))) * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("final_balance"),
+        (F.floor(F.max("balance") * 10000.0 + 0.5) / 10000.0).alias("peak_balance"),
+    )

@@ -305,3 +305,28 @@ def test_km_survival_chain_bit_identical_across_engines(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    deltas=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), max_size=40
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_lindley_reflection_identity(deltas):
+    """The identity user_loyalty_balance rests on: the zero-clamped
+    recurrence b_t = max(0, b_{t-1} + d_t) equals
+    prefix_t - min(0, running_min(prefix)_t) for every input sequence
+    (reflected random walk / Lindley recursion)."""
+    import itertools
+    import math
+
+    b, direct = 0.0, []
+    for d in deltas:
+        b = max(0.0, b + d)
+        direct.append(b)
+    pfx = list(itertools.accumulate(deltas))
+    runmin = list(itertools.accumulate(pfx, min))
+    via_identity = [p - min(0.0, m) for p, m in zip(pfx, runmin)]
+    for a, c in zip(direct, via_identity):
+        assert math.isclose(a, c, rel_tol=1e-9, abs_tol=1e-9)
