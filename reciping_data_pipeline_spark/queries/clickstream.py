@@ -779,3 +779,58 @@ def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit3").cast("long").alias("n_purchased_1h"),
         )
     )
+
+
+@query(
+    "user_longest_streak",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INT) AS grp
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS streak,
+               CAST(min(day) AS VARCHAR) AS streak_start
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, streak, streak_start
+    FROM (
+        SELECT user_id, streak, streak_start,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY streak DESC, streak_start ASC) AS rn
+        FROM s
+    )
+    WHERE rn = 1
+    """,
+    doc="Longest consecutive-active-day streak per user via the "
+    "date-minus-rank trick: within a user, consecutive days share "
+    "day - row_number() (a constant per unbroken run), so streaks "
+    "fall out of one GROUP BY with no self-join and no gap scan — "
+    "user-partitioned windows only, exact date/integer arithmetic. "
+    "Ties between equal-length streaks resolve to the earliest.",
+    tags=("clickstream", "streak", "window", "bench"),
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w).cast("int"))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("streak"),
+        F.min("day").cast("string").alias("streak_start"),
+    )
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.col("streak").desc(), F.col("streak_start").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak", "streak_start")
+    )
