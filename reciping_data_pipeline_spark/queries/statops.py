@@ -873,32 +873,39 @@ def event_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS n_at_risk
         FROM per_t
+    ),
+    fac AS (
+        SELECT t, d, leaving, n_at_risk,
+               -- factor coarsened to 6 decimals via floor(x*1e6+0.5)/1e6 —
+               -- pure IEEE mul/add/floor, bit-identical across engines
+               -- (unlike each engine's round(), which disagrees on doubles).
+               floor((1.0 - d * 1.0 / n_at_risk) * 1000000.0 + 0.5)
+                   / 1000000.0 AS factor
+        FROM risk
     )
     SELECT CAST(t AS INT) AS duration_days,
            n_at_risk, d AS n_converted,
            (leaving - d) AS n_censored,
-           -- factor coarsened to 6 decimals via floor(x*1e6+0.5)/1e6 —
-           -- pure IEEE mul/add/floor, bit-identical across engines
-           -- (unlike each engine's round(), which disagrees on doubles);
-           -- final 4-dp step uses the same construction so no libm
-           -- last-ulp can land on a rounding boundary.
-           floor(exp(sum(ln(greatest(
-                     floor((1.0 - d * 1.0 / n_at_risk) * 1000000.0 + 0.5)
-                         / 1000000.0,
-                     1e-12)))
-                 OVER (ORDER BY t
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           -- order-pinned running PRODUCT over the O(days) risk table:
+           -- left-to-right IEEE multiplication of identical 6-dp factors
+           -- is bit-identical on any platform — no ln/exp (libm permits
+           -- 1-ulp error there, which flipped the 4-dp floor in r04/r05).
+           floor(list_aggregate(
+                     list(factor) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     'product')
                  * 10000.0 + 0.5) / 10000.0
                AS survival
-    FROM risk
+    FROM fac
     """,
     doc="Kaplan-Meier product-limit estimator for signup-to-first-purchase "
     "conversion: users who never convert are right-censored at the "
     "observation horizon, the per-day risk table collapses the user set "
-    "to O(days) rows, and the survival product runs as exp(cumsum(ln)) "
-    "over that TINY ordered table (the only unpartitioned window is over "
-    "the per-day aggregate, never the users). The classic time-to-event "
-    "analytic no count/avg suite can express.",
+    "to O(days) rows, and the survival product runs as an order-pinned "
+    "left fold (collect_list + aggregate HOF — no ln/exp, so no libm "
+    "variance) over that TINY ordered table (the only unpartitioned "
+    "window is over the per-day aggregate, never the users). The classic "
+    "time-to-event analytic no count/avg suite can express.",
     tags=("stats", "survival", "window"),
 )
 def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,37 +944,34 @@ def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         F.col("n_total") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
     )
-    return risk.select(
+    # The per-day factor is coarsened to 6 decimals via floor(x*1e6+0.5)/1e6
+    # — plain IEEE mul/add/floor that is bit-identical in Spark and DuckDB
+    # (engine round() on doubles is not: Spark goes through BigDecimal
+    # shortest-repr, DuckDB rounds the binary value).
+    fac = risk.withColumn(
+        "factor",
+        F.floor(
+            (1.0 - F.col("d") * 1.0 / F.col("n_at_risk")) * 1000000.0 + 0.5
+        )
+        / 1000000.0,
+    )
+    # Survival is an order-pinned running PRODUCT folded left-to-right over
+    # the O(days) risk table (collect_list preserves the ROWS-frame order;
+    # t is unique). exp(sum(ln(x))) was abandoned after two rounds of
+    # last-ulp libm divergence between JVM Math.log/exp and DuckDB's libm:
+    # IEEE multiplication of identical 6-dp factors is bit-identical on any
+    # engine, so the final 4-dp floor can never straddle a half boundary.
+    return fac.select(
         F.col("t").cast("int").alias("duration_days"),
         "n_at_risk",
         F.col("d").alias("n_converted"),
         (F.col("leaving") - F.col("d")).alias("n_censored"),
-        # greatest(..., 1e-12): the terminal risk group (everyone
-        # converts) has factor 0 — DuckDB's ln(0) ERRORS (no -inf), so
-        # both engines take ln of a floored factor; exp(<=-27.6) rounds
-        # to the exact 0.0 the estimator calls for.
-        # The per-day factor is coarsened to 6 decimals BEFORE ln via
-        # floor(x*1e6+0.5)/1e6 — plain IEEE mul/add/floor that is
-        # bit-identical in Spark and DuckDB (engine round() on doubles
-        # is not: Spark goes through BigDecimal shortest-repr, DuckDB
-        # rounds the binary value). The final 4-dp step uses the same
-        # construction so no libm last-ulp sits on a half boundary.
         (
             F.floor(
-                F.exp(
-                    F.sum(
-                        F.log(
-                            F.greatest(
-                                F.floor(
-                                    (1.0 - F.col("d") * 1.0 / F.col("n_at_risk"))
-                                    * 1000000.0
-                                    + 0.5
-                                )
-                                / 1000000.0,
-                                F.lit(1e-12),
-                            )
-                        )
-                    ).over(w_cum)
+                F.aggregate(
+                    F.collect_list("factor").over(w_cum),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
                 )
                 * 10000.0
                 + 0.5

@@ -612,7 +612,17 @@ def delete_where(
         a = _abs(entry["path"])
         return a in affected or a.removeprefix("file://") in affected
 
-    kept = cur.where(F.col("_sg_file").isin(*affected)).where(~predicate).drop("_sg_file")
+    # SQL DELETE removes only rows where the predicate is TRUE. A bare
+    # ~predicate evaluates NULL for rows where the predicate is NULL
+    # (e.g. a NULL in the filtered column) and where() drops them — the
+    # row is neither matched nor kept: silent data loss in the
+    # right-to-be-forgotten primitive. Coalesce pins NULL to "not
+    # deleted, so kept".
+    kept = (
+        cur.where(F.col("_sg_file").isin(*affected))
+        .where(~F.coalesce(predicate, F.lit(False)))
+        .drop("_sg_file")
+    )
     staged = _stage_files(kept, path, partition_cols)
     staged_paths = {f["path"] for f in staged}
 
@@ -641,7 +651,8 @@ def delete_where(
                 added_df = reader.parquet(
                     *[os.path.join(path, f["path"]) for f in added]
                 )
-                if not added_df.where(predicate).isEmpty():
+                # mirror the TRUE-only match semantics of the delete
+                if not added_df.where(F.coalesce(predicate, F.lit(False))).isEmpty():
                     raise ConcurrentMergeConflictError(
                         "a concurrent commit added rows matching this delete's predicate"
                     )
@@ -705,9 +716,31 @@ def wap_append(
         raise AuditFailedError(
             f"audit rejected staged batch of {len(staged)} file(s) for {path}"
         )
-    return _commit(
-        path, lambda parent: parent + staged, "wap-append", df.schema.json(), evolve=True
-    )
+    audited_paths = {f["path"] for f in current_files}
+
+    def merge_files(parent_files: list[dict]) -> list[dict]:
+        # A concurrent commit landing between audit and publish would be
+        # merged in UN-audited (the audit ran against a stale candidate)
+        # — the published whole-table state might never have passed the
+        # audit. Detect the parent change inside the optimistic retry
+        # loop and re-run the audit against the fresh candidate before
+        # publishing; a now-failing audit aborts the publish.
+        parent_paths = {f["path"] for f in parent_files}
+        if parent_paths != audited_paths:
+            cand = parent_files + staged
+            reader = spark.read.schema(schema_t)
+            if any(f["partition"] for f in cand):
+                reader = reader.option("basePath", os.path.join(path, _DATA_DIR))
+            fresh = reader.parquet(*[os.path.join(path, f["path"]) for f in cand])
+            if audit(fresh) is False:
+                raise AuditFailedError(
+                    f"audit rejected post-concurrent-commit candidate for {path}"
+                )
+            audited_paths.clear()
+            audited_paths.update(parent_paths)
+        return parent_files + staged
+
+    return _commit(path, merge_files, "wap-append", df.schema.json(), evolve=True)
 
 
 def snapshot_diff(

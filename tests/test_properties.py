@@ -253,11 +253,15 @@ def test_engine_round_agreement_off_ties(spark, duck):
 
 def test_km_survival_chain_bit_identical_across_engines(spark, duck):
     """The full statops Kaplan-Meier arithmetic chain — coarsen the
-    per-step factor to 6 decimals with the floor form, ln, cumulative
-    sum over an ordered window, exp, final 4-dp floor-round — agrees
-    bit-for-bit across engines on adversarial risk tables, including
-    n = 10^6 rows where d/n lands EXACTLY on the 6-decimal coarsening
-    grid (the tie case engine round() gets wrong)."""
+    per-step factor to 6 decimals with the floor form, fold an
+    order-pinned running PRODUCT over the ordered window (collect_list +
+    aggregate HOF vs DuckDB list_aggregate 'product'), final 4-dp
+    floor-round — agrees bit-for-bit across engines on adversarial risk
+    tables, including n = 10^6 rows where d/n lands EXACTLY on the
+    6-decimal coarsening grid (the tie case engine round() gets wrong).
+    No ln/exp anywhere: libm transcendentals are only 1-ulp-accurate and
+    differ between JVM Math.log/exp and platform libm, which flipped the
+    4-dp floor in driver rounds 4-5."""
     import pandas as pd
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -277,34 +281,61 @@ def test_km_survival_chain_bit_identical_across_engines(spark, duck):
     duck.register("km_risk", pdf)
 
     w = Window.partitionBy("g").orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    factor = F.greatest(
-        F.floor((1.0 - F.col("d") * 1.0 / F.col("n")) * 1000000.0 + 0.5) / 1000000.0,
-        F.lit(1e-12),
-    )
+    factor = F.floor((1.0 - F.col("d") * 1.0 / F.col("n")) * 1000000.0 + 0.5) / 1000000.0
     got = {
         (r["g"], r["t"]): r["s"]
-        for r in sdf.select(
+        for r in sdf.withColumn("factor", factor)
+        .select(
             "g",
             "t",
-            (F.floor(F.exp(F.sum(F.log(factor)).over(w)) * 10000.0 + 0.5) / 10000.0).alias("s"),
-        ).collect()
+            (
+                F.floor(
+                    F.aggregate(
+                        F.collect_list("factor").over(w),
+                        F.lit(1.0),
+                        lambda acc, x: acc * x,
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("s"),
+        )
+        .collect()
     }
     want = {
         (r[0], r[1]): r[2]
         for r in duck.execute(
             """
             SELECT g, t,
-                   floor(exp(sum(ln(greatest(
-                       floor((1.0 - d * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0,
-                       1e-12)))
-                   OVER (PARTITION BY g ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   floor(list_aggregate(
+                       list(floor((1.0 - d * 1.0 / n) * 1000000.0 + 0.5)
+                            / 1000000.0)
+                       OVER (PARTITION BY g ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       'product')
                    * 10000.0 + 0.5) / 10000.0
             FROM km_risk
             """
         ).fetchall()
     }
     assert got == want
+
+
+def test_km_survival_plans_free_of_transcendentals(spark):
+    """Gate: neither the Spark optimized plan nor the DuckDB oracle SQL
+    of signup_conversion_survival contains ln/exp — the fix for the
+    two-round driver red must not regress back to exp(sum(ln))."""
+    import re
+
+    from reciping_data_pipeline_spark.queries import all_queries
+
+    q = all_queries()["signup_conversion_survival"]
+    df = q.fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"\b(LOG|EXP|ln)\(", plan, re.IGNORECASE), plan
+    sql_no_comments = re.sub(r"--[^\n]*", "", q.oracle)
+    assert not re.search(r"\b(ln|exp|log)\s*\(", sql_no_comments, re.IGNORECASE)
 
 
 @given(

@@ -790,6 +790,98 @@ def test_wap_append_publishes_only_after_audit(spark, tmp_path, snap_format):
     assert rows == [(1, 10), (2, 22)]
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path, snap_format):
+    """SQL DELETE removes only rows where the predicate is TRUE. A row
+    where the predicate evaluates NULL (NULL in the filtered column),
+    co-located in the same file as a matching row, must SURVIVE the
+    rewrite — a bare .where(~predicate) drops it (NULL is not TRUE),
+    silently losing data in the right-to-be-forgotten primitive."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(
+        spark.createDataFrame([(1, 3), (2, None)], "id INT, v INT").coalesce(1), path
+    )
+    snapshots.delete_where(spark, path, F.col("v") == 3)
+    rows = sorted(
+        (r["id"], r["v"]) for r in writers.read_table(spark, path).collect()
+    )
+    assert rows == [(2, None)]  # the NULL row is kept, only v=3 deleted
+
+
+def test_wap_append_reaudits_after_concurrent_commit(spark, tmp_path, snap_format):
+    """A concurrent commit landing between audit and publish must not be
+    merged in un-audited: the publish re-runs the audit on the fresh
+    candidate (parent ∪ staged) inside the optimistic loop. A racing
+    append that makes the candidate fail the audit aborts the publish;
+    a benign racer is re-audited and both commits land."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    writers.overwrite_table(spark.createDataFrame([(1, 10)], "id INT, v INT"), path)
+
+    audits = {"n": 0}
+
+    def audit_no_negatives(candidate):
+        audits["n"] += 1
+        return bool(candidate.where("v < 0").isEmpty())
+
+    orig_commit = snapshots._commit
+    fired = {"done": False}
+
+    def commit_with_racing_bad_append(p, merge, op, *a, **kw):
+        if op == "wap-append" and not fired["done"]:
+            fired["done"] = True
+            writers.append_table(
+                spark.createDataFrame([(9, -9)], "id INT, v INT"), path
+            )
+        return orig_commit(p, merge, op, *a, **kw)
+
+    snapshots._commit = commit_with_racing_bad_append
+    try:
+        with _pytest.raises(snapshots.AuditFailedError):
+            snapshots.wap_append(
+                spark,
+                spark.createDataFrame([(2, 22)], "id INT, v INT"),
+                path,
+                audit_no_negatives,
+            )
+    finally:
+        snapshots._commit = orig_commit
+    assert audits["n"] == 2  # pre-publish audit + the re-audit that caught the racer
+    # the staged batch was NOT published; the racing append did land
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 10), (9, -9)]
+
+    # benign racer: re-audit passes and BOTH commits land
+    audits["n"] = 0
+    fired["done"] = False
+    snapshots.delete_where(spark, path, F.col("v") < 0)
+
+    def commit_with_racing_good_append(p, merge, op, *a, **kw):
+        if op == "wap-append" and not fired["done"]:
+            fired["done"] = True
+            writers.append_table(
+                spark.createDataFrame([(3, 33)], "id INT, v INT"), path
+            )
+        return orig_commit(p, merge, op, *a, **kw)
+
+    snapshots._commit = commit_with_racing_good_append
+    try:
+        snapshots.wap_append(
+            spark,
+            spark.createDataFrame([(2, 22)], "id INT, v INT"),
+            path,
+            audit_no_negatives,
+        )
+    finally:
+        snapshots._commit = orig_commit
+    assert audits["n"] == 2
+    rows = sorted((r["id"], r["v"]) for r in writers.read_table(spark, path).collect())
+    assert rows == [(1, 10), (2, 22), (3, 33)]
+
+
 def test_partition_spec_conflict_rejected_at_commit(spark, tmp_path, snap_format):
     """Appending with a DIFFERENT partition spec than the table must
     fail loudly at commit: a mixed-layout version silently LOSES the
