@@ -42,12 +42,23 @@ def pagerank(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    grid: float | None = 1e12,
 ) -> DataFrame:
     """Ranks after ``iterations`` rounds of power iteration from the
     uniform vector over the DIRECTED edge list ``edges`` (feed both
     directions for an undirected graph). Nodes = src ∪ dst; dangling
     mass is redistributed uniformly. Returns ``(node, rank)``.
-    Deterministic up to FP summation order."""
+
+    With the default ``grid``, each round's per-edge contribution
+    ``r/deg`` is quantized to integer units of ``1/grid`` (floor form
+    — identical IEEE ops everywhere) and summed as BIGINT: integer
+    addition is exact and ORDER-INVARIANT, so the result is
+    bit-identical regardless of partition count, engine, or shuffle
+    order — double summation order varies between Spark partitions and
+    a SQL oracle and can flip the last ulp near a rounding boundary.
+    The quantization error (≤ in_deg/2 units ≈ 1e-10 at the default)
+    sits far below any reported precision. ``grid=None`` restores pure
+    double accumulation (deterministic only up to summation order)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
@@ -66,17 +77,31 @@ def pagerank(
     ).localCheckpoint()
     has_dangling = not dangling.isEmpty()
     for _ in range(iterations):
+        term = F.col("rank") / F.col("deg")
+        if grid is not None:
+            mass_sum = (
+                F.sum(F.floor(term * F.lit(float(grid)) + 0.5)).cast("double")
+                / F.lit(float(grid))
+            ).alias("mass")
+        else:
+            mass_sum = F.sum(term).alias("mass")
         contribs = (
             contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+            .agg(mass_sum)
         )
         if has_dangling:
-            dmass = F.broadcast(
-                dangling.join(ranks, "node").agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
-                )
-            )
+            if grid is not None:
+                dsum = (
+                    F.coalesce(
+                        F.sum(F.floor(F.col("rank") * F.lit(float(grid)) + 0.5)),
+                        F.lit(0).cast("long"),
+                    ).cast("double")
+                    / F.lit(float(grid))
+                ).alias("dmass")
+            else:
+                dsum = F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+            dmass = F.broadcast(dangling.join(ranks, "node").agg(dsum))
         else:
             # No dangling nodes: the correction is EXACTLY zero and
             # `mass + 0.0` is bit-identical to `mass` (mass > 0), so

@@ -39,6 +39,20 @@ def _uniform(id_col: Column, seed: int) -> Column:
     return (folded.cast("double") + 0.5) / _M
 
 
+def _exp_key(u: Column, w: Column, key_grid: float | None) -> Column:
+    """The A-ES exponential key, optionally floor-coarsened to a fixed
+    grid. ln() is NOT IEEE correctly-rounded (JVM Math.log permits
+    1-ulp error; DuckDB uses platform libm), so raw keys can differ by
+    an ulp across platforms and flip the winner at the k-th boundary.
+    Coarsening to integer grid units (floor form — identical IEEE
+    mul/add/floor everywhere) absorbs the ulp; sub-grid ties fall to
+    the deterministic id tie-break."""
+    key = -F.log(u) / w
+    if key_grid is not None:
+        key = F.floor(key * F.lit(float(key_grid)) + 0.5)
+    return F.when(w > 0, key)
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
@@ -46,16 +60,19 @@ def weighted_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     uniform: Column | None = None,
+    key_grid: float | None = None,
 ) -> DataFrame:
     """k rows drawn without replacement with probability ∝
     ``weight_col`` (must be > 0; non-positive weights never win).
     Deterministic in (data, seed); independent across seeds.
     ``uniform`` overrides the per-row u in (0,1) — e.g. an
     engine-portable hash when the draw must be replayable outside
-    Spark; the default xxhash64 derivation is the production path."""
+    Spark; the default xxhash64 derivation is the production path.
+    ``key_grid`` floor-coarsens the key (see :func:`_exp_key`) —
+    set it whenever the draw must replay EXACTLY on another engine."""
     w = F.col(weight_col).cast("double")
     u = _uniform(F.col(id_col), seed) if uniform is None else uniform
-    key = F.when(w > 0, -F.log(u) / w)
+    key = _exp_key(u, w, key_grid)
     return (
         df.withColumn("_sample_key", key)
         .where(F.col("_sample_key").isNotNull())
@@ -73,6 +90,7 @@ def stratified_weighted_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     uniform: Column | None = None,
+    key_grid: float | None = None,
 ) -> DataFrame:
     """Per-stratum weighted sampling without replacement: the same
     exponential keys, ranked within each stratum — k winners per
@@ -84,7 +102,7 @@ def stratified_weighted_sample(
 
     w = F.col(weight_col).cast("double")
     u = _uniform(F.col(id_col), seed) if uniform is None else uniform
-    key = F.when(w > 0, -F.log(u) / w)
+    key = _exp_key(u, w, key_grid)
     win = Window.partitionBy(stratum_col).orderBy(
         F.col("_sample_key").asc(), F.col(id_col).asc()
     )

@@ -660,7 +660,13 @@ def session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type AS touch_type,
            CAST(count(*) AS BIGINT) AS n_touches,
-           floor(sum(value / n) * 10000.0 + 0.5) / 10000.0 AS attributed_value
+           -- per-touch credits quantized to 1e-8 integer units and
+           -- summed as integers (exact, order-invariant): a raw double
+           -- sum accumulates in different orders on Spark partitions vs
+           -- this scan and can flip the 4-dp floor by one ulp.
+           floor(CAST(sum(CAST(floor(value / n * 100000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / 10000.0 + 0.5) / 10000.0 AS attributed_value
     FROM per
     GROUP BY event_type
     """,
@@ -689,10 +695,20 @@ def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
     w = Window.partitionBy("event_id")
     per = touches.withColumn("n", F.count("*").over(w))
+    # credits quantized to 1e-8 units, summed as BIGINT — exact and
+    # order-invariant, so the 4-dp floor is bit-identical regardless of
+    # partition/shuffle order (doubles sum in nondeterministic order).
     return per.groupBy("touch_type").agg(
         F.count("*").cast("long").alias("n_touches"),
         (
-            F.floor(F.sum(F.col("value") / F.col("n")) * 10000.0 + 0.5) / 10000.0
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") / F.col("n") * 100000000.0 + 0.5)
+                ).cast("double")
+                / 10000.0
+                + 0.5
+            )
+            / 10000.0
         ).alias("attributed_value"),
     )
 

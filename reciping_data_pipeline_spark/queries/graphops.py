@@ -19,14 +19,22 @@ from reciping_data_pipeline_spark.queries import query
 from reciping_data_pipeline_spark.tables import load_table
 
 # One PageRank iteration as a DuckDB CTE body: rank flows from {prev}
-# over the symmetric edge list, all floating-point steps in DOUBLE
-# (decimal literals are cast; (1 - d) is computed in doubles so the
-# constant folds to the bit-identical value Spark folds to).
+# over the symmetric edge list. Per-edge contributions are quantized
+# to integer units of 1e-12 (floor form — identical IEEE ops on both
+# engines) and summed as integers: integer addition is exact and
+# order-invariant, so the round's mass is bit-identical regardless of
+# summation order — a raw double sum(pr/deg) accumulates in partition
+# order on Spark but scan order in DuckDB and can differ by an ulp,
+# flipping the final 6-dp floor when a value sits on a half boundary.
+# (1 - d) is computed in doubles so the constant folds identically.
 _ITER = """
 {name} AS (
     SELECT ed.dst AS node,
            (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
-             + CAST(0.85 AS DOUBLE) * sum({prev}.pr / deg.deg) AS pr
+             + CAST(0.85 AS DOUBLE)
+               * (CAST(sum(CAST(floor({prev}.pr / deg.deg * 1000000000000.0
+                                      + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1000000000000.0) AS pr
     FROM ed
     JOIN deg ON ed.src = deg.src
     JOIN {prev} ON ed.src = {prev}.node
@@ -67,8 +75,11 @@ _ITER = """
     "one rank->edge equi-join plus one dst-keyed aggregation "
     "(map-side partials absorb celebrity-node in-degree skew); the "
     "rank vector is localCheckpoint-pinned so iteration t never "
-    "re-executes t-1 (no DataFrame CSE in Spark). Scores floor-"
-    "rounded at 6dp; the oracle unrolls the identical arithmetic.",
+    "re-executes t-1 (no DataFrame CSE in Spark). Per-round mass sums "
+    "are quantized to 1e-12 integer units and summed as BIGINT — "
+    "exact, order-invariant, bit-identical across engines and "
+    "partitionings. Scores floor-rounded at 6dp; the oracle unrolls "
+    "the identical arithmetic.",
     tags=("graph", "iterative", "join", "bench"),
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,12 @@ def _portable_uniform(id_col: Column) -> Column:
     SELECT doc_id, source, n_chars
     FROM (
         SELECT doc_id, source, n_chars,
-               -ln({_UNIFORM_SQL}) / CAST(n_chars AS DOUBLE) AS k
+               -- key floor-coarsened to 1e-9 grid units: ln() is not
+               -- correctly-rounded (JVM vs libm can differ by 1 ulp),
+               -- so raw keys are a latent cross-platform flake at the
+               -- k-th winner boundary; sub-grid ties fall to doc_id
+               floor(-ln({_UNIFORM_SQL}) / CAST(n_chars AS DOUBLE)
+                     * 1000000000.0 + 0.5) AS k
         FROM documents
         WHERE n_chars > 0
     )
@@ -80,6 +85,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         id_col="doc_id",
         uniform=_portable_uniform(F.col("doc_id")),
+        key_grid=1e9,
     )
 
 
@@ -91,7 +97,9 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, n_chars,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY -ln({_UNIFORM_SQL}) / CAST(n_chars AS DOUBLE) ASC,
+                   ORDER BY floor(-ln({_UNIFORM_SQL})
+                                  / CAST(n_chars AS DOUBLE)
+                                  * 1000000000.0 + 0.5) ASC,
                             doc_id ASC
                ) AS rk
         FROM documents
@@ -116,4 +124,5 @@ def doc_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         stratum_col="source",
         id_col="doc_id",
         uniform=_portable_uniform(F.col("doc_id")),
+        key_grid=1e9,
     )

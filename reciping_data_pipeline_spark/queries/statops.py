@@ -1221,10 +1221,16 @@ def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_loyalty_balance",
     oracle="""
     WITH d AS (
+        -- deltas quantized to 1e-6 integer units: integer addition is
+        -- exact and ASSOCIATIVE, so the running sums are identical even
+        -- if one engine evaluates the cumulative frame with a segment
+        -- tree (different association order than left-to-right doubles)
         SELECT user_id, ts, event_id,
-               CASE WHEN event_type = 'purchase' THEN -value
-                    WHEN event_type IN ('view', 'click') THEN value
-                    ELSE CAST(0.0 AS DOUBLE) END AS delta
+               CAST(CASE WHEN event_type = 'purchase'
+                         THEN -floor(value * 1000000.0 + 0.5)
+                         WHEN event_type IN ('view', 'click')
+                         THEN floor(value * 1000000.0 + 0.5)
+                    ELSE 0 END AS BIGINT) AS delta
         FROM events
     ),
     p AS (
@@ -1247,9 +1253,10 @@ def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     )
     SELECT user_id,
-           floor(max(CASE WHEN rn_last = 1 THEN balance END) * 10000.0 + 0.5)
-               / 10000.0 AS final_balance,
-           floor(max(balance) * 10000.0 + 0.5) / 10000.0 AS peak_balance
+           floor(CAST(max(CASE WHEN rn_last = 1 THEN balance END) AS DOUBLE)
+                 / 100.0 + 0.5) / 10000.0 AS final_balance,
+           floor(CAST(max(balance) AS DOUBLE) / 100.0 + 0.5) / 10000.0
+               AS peak_balance
     FROM bal
     GROUP BY user_id
     """,
@@ -1259,17 +1266,22 @@ def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "imperative scan, but the Lindley/reflection identity "
     "b_t = prefix_t - min(0, min_{s<=t} prefix_s) turns it into TWO "
     "ordered windows (running sum, running min) — fully distributed, "
-    "user-partitioned, no UDF, no state store. Ordered-frame window "
-    "sums accumulate in frame order in both engines, so even the raw "
-    "doubles agree bit-for-bit before the display rounding.",
+    "user-partitioned, no UDF, no state store. Deltas are quantized to "
+    "1e-6 integer units so the whole chain is exact associative BIGINT "
+    "arithmetic — bit-identical however each engine associates the "
+    "cumulative frame (segment tree or stream).",
     tags=("stats", "window", "recurrence", "bench"),
 )
 def user_loyalty_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # deltas in 1e-6 integer units: the whole prefix-sum/min chain runs
+    # in exact associative BIGINT arithmetic, immune to how either
+    # engine associates the cumulative window (segment tree vs stream).
     delta = (
-        F.when(F.col("event_type") == "purchase", -F.col("value"))
-        .when(F.col("event_type").isin("view", "click"), F.col("value"))
-        .otherwise(F.lit(0.0))
+        F.when(F.col("event_type") == "purchase", -F.floor(F.col("value") * 1000000.0 + 0.5))
+        .when(F.col("event_type").isin("view", "click"), F.floor(F.col("value") * 1000000.0 + 0.5))
+        .otherwise(F.lit(0))
+        .cast("long")
     )
     w_run = (
         Window.partitionBy("user_id")
@@ -1288,15 +1300,19 @@ def user_loyalty_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "balance",
             F.col("pfx")
-            - F.when(F.col("runmin") < 0, F.col("runmin")).otherwise(F.lit(0.0)),
+            - F.when(F.col("runmin") < 0, F.col("runmin")).otherwise(F.lit(0)),
         )
     )
     return b.groupBy("user_id").agg(
         (
             F.floor(
-                F.max(F.when(F.col("rn_last") == 1, F.col("balance"))) * 10000.0 + 0.5
+                F.max(F.when(F.col("rn_last") == 1, F.col("balance"))).cast("double")
+                / 100.0
+                + 0.5
             )
             / 10000.0
         ).alias("final_balance"),
-        (F.floor(F.max("balance") * 10000.0 + 0.5) / 10000.0).alias("peak_balance"),
+        (
+            F.floor(F.max("balance").cast("double") / 100.0 + 0.5) / 10000.0
+        ).alias("peak_balance"),
     )
