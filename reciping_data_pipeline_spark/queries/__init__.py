@@ -140,6 +140,21 @@ _DRIVER_VERIFIED = frozenset(
         "source_vocab_drift",
         # r04 rows-only (no-oracle by design; recorded in CORRECTNESS_r04)
         "doc_vocab_heavy_hitters_approx",
+        # r05 hash-green (CORRECTNESS_r05.json); deliberately ABSENT so
+        # they rotate to the front of the r06 driver window: the r05 red
+        # (signup_conversion_survival, fixed) and the five queries whose
+        # arithmetic was re-pinned to integer-unit sums this round
+        # (purchase_multitouch_attribution, copurchase_pagerank,
+        # user_loyalty_balance, doc_weighted_sample,
+        # doc_stratified_weighted_sample).
+        "funnel_within_hour",
+        "user_longest_streak", "doc_dedup_keep_best",
+        "copurchase_label_propagation", "supplier_concurrent_shipments",
+        "user_state_intervals", "doc_zorder_skipping",
+        "doc_token_index_needle", "dq_expectations", "join_key_skew_profile",
+        "part_name_near_duplicates", "event_value_mad_outliers",
+        "qty_weighted_median_price_by_flag", "item_cf_similarity_topk",
+        "embed_label_centroids",
     }
 )
 
