@@ -28,6 +28,32 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative JVM GC time (ms) across all collectors."""
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+
+def _cached_rdd_blocks(spark) -> int:
+    """Number of RDDs holding storage (cache/localCheckpoint blocks) —
+    the session-pollution signal: checkpoint blocks from earlier
+    queries pin executor memory and inflate later timings."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _drain(spark) -> None:
+    """Release dead session state between timing units: a Python GC
+    drops unreferenced DataFrame handles, a JVM GC lets Spark's
+    ContextCleaner unpersist their localCheckpoint RDD blocks. Without
+    this, blocks from every prior query accumulate for the whole suite
+    (observed r04->r05: every shared query slowed 1.4x median after
+    checkpoint-heavy iterative queries joined the suite)."""
+    import gc as _gc
+
+    _gc.collect()
+    spark._jvm.System.gc()
+
+
 BENCH_FIXTURE_ROOT = "/tmp/spark_graft_bench_fixtures"
 
 
@@ -145,14 +171,24 @@ def main() -> None:
     # Median of 3 timed passes per query: single-pass numbers on shared
     # hardware fluctuate up to ~2x, which falsely trips cross-round
     # regression thresholds; the median is robust to one noisy pass.
+    # Per query we also record the JVM GC time its passes incurred and
+    # the cached-RDD-block count at its start (session-pollution
+    # telemetry), and drain dead checkpoint blocks between queries.
+    _drain(spark)
     timings: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
+    rdd_blocks: dict[str, int] = {}
     for name, q in bench_queries.items():
+        rdd_blocks[name] = _cached_rdd_blocks(spark)
+        gc0 = _jvm_gc_ms(spark)
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             run_noop(q.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[1], 3)
+        gc_ms[name] = _jvm_gc_ms(spark) - gc0
+        _drain(spark)
 
     total = round(sum(timings.values()), 3)
     # Median of 3 medallion runs as well: the bulk build fluctuated
@@ -177,6 +213,36 @@ def main() -> None:
     medallion_snapshot["bulk_events_per_sec"] = round(
         medallion_snapshot["bulk_events"] / medallion_snapshot["bulk_sec"], 1
     )
+    # Fresh-session control for the queries that drifted worst between
+    # BENCH_r04 and BENCH_r05: re-time them in a brand-new SparkSession
+    # AFTER the whole suite. In-suite time >> fresh time ⇒ the drift is
+    # session pollution (accumulated state, GC, code cache), not a plan
+    # regression.
+    sentinels = [
+        "doc_minhash_lsh_pairs",
+        "user_timeseries_similarity",
+        "doc_exact_dedup",
+        "embed_ivf_ann",
+    ]
+    spark.stop()
+    spark = get_spark(app_name="bench_fresh")
+    spark.sparkContext.setLogLevel("ERROR")
+    fresh: dict[str, float] = {}
+    for name in sentinels:
+        if name not in bench_queries:
+            continue
+        q = bench_queries[name]
+        run_noop(q.fn(spark, sf_dir))  # warm-up (JIT/codegen/footers)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_noop(q.fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        fresh[name] = round(sorted(samples)[1], 3)
+
+    rc, regressions = _regression_gate(
+        timings, sf=float(sf) if sf.replace(".", "").isdigit() else sf
+    )
     print(
         json.dumps(
             {
@@ -184,6 +250,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "gc_ms": gc_ms,
+                "rdd_blocks": rdd_blocks,
+                "fresh_session": fresh,
+                "regressions": regressions,
                 "cold_total_sec": cold_total,
                 "medallion": medallion,
                 "medallion_snapshot": medallion_snapshot,
@@ -191,6 +261,57 @@ def main() -> None:
             }
         )
     )
+    sys.exit(rc)
+
+
+def _regression_gate(
+    timings: dict[str, float], sf=None, threshold: float = 1.5
+) -> tuple[int, dict]:
+    """Compare this run's per-query medians to the latest committed
+    BENCH_r*.json. A shared query slower than ``threshold``x its prior
+    value fails the bench (non-zero rc) unless BENCH_NOTES.md names it
+    (a committed root-cause note waives the gate for that query).
+    Absolute guard: sub-second queries are exempt — at that size the
+    ratio is measurement noise, not a plan change."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not prior_files:
+        return 0, {}
+    with open(prior_files[-1]) as f:
+        raw = json.load(f)
+    parsed = raw.get("parsed") or raw
+    if sf is not None and parsed.get("sf") != sf:
+        return 0, {}  # different scale factor: ratios are meaningless
+    prior = parsed.get("queries", {})
+    notes = ""
+    notes_path = os.path.join(here, "BENCH_NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = f.read()
+    regressions: dict[str, dict] = {}
+    rc = 0
+    for name, sec in timings.items():
+        prev = prior.get(name)
+        if not prev or prev <= 0:
+            continue
+        ratio = sec / prev
+        if ratio > threshold and sec >= 1.0:
+            waived = name in notes
+            regressions[name] = {
+                "prior_sec": prev,
+                "sec": sec,
+                "ratio": round(ratio, 2),
+                "waived_by_note": waived,
+            }
+            if not waived:
+                rc = 1
+    return rc, regressions
 
 
 if __name__ == "__main__":
