@@ -219,7 +219,14 @@ def minhash_lsh_pairs(
     return (
         pairs.withColumn("jaccard", _pair_jaccard(F.col("shingles_a"), F.col("shingles_b")))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        # floor form, not round(): engine round() ties differ (Spark
+        # HALF_UP on shortest-decimal vs DuckDB binary rounding) and
+        # J = c/u CAN land exactly on the 4-dp half grid (e.g. 324/640)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("jaccard") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
+        )
     )
 
 
@@ -337,7 +344,14 @@ def ngram_jaccard_pairs(
         )
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        # floor form, not round(): engine round() ties differ (Spark
+        # HALF_UP on shortest-decimal vs DuckDB binary rounding) and
+        # J = c/u CAN land exactly on the 4-dp half grid (e.g. 324/640)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("jaccard") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
+        )
     )
 
 

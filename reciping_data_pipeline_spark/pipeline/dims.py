@@ -132,6 +132,30 @@ def build_dim_time(spark: SparkSession, start: str = "2025-01-01 00:00:00", end:
     )
 
 
+# Surrogate-key audit spec per dim: (key column, natural key columns).
+# xxhash64 keys are collision-free at reference scale but a 64-bit
+# birthday bound reaches ~50% at ~5e9 keys — a collision silently
+# merges two natural keys into one dim row AND misroutes every fact
+# join on the key, so the build must fail loudly instead (SURVEY
+# §7.4#1 scale caveat; VERDICT r05 #5).
+_SK_AUDITS = {
+    "dim_user": ("user_sk", ("user_id", "anonymous_id")),
+    "dim_event": ("event_sk", ("event_name",)),
+    "dim_page": ("page_sk", ("page_name", "page_url")),
+    "dim_recipe": ("recipe_sk", ("recipe_id",)),
+}
+
+
+def audit_surrogate_keys(dim_df: DataFrame, dim_name: str) -> None:
+    """Raise if the dim's surrogate key is not injective over its
+    natural key tuple. One tiny single-pass agg over the (small) dim —
+    runs at build time, before the dim becomes joinable state."""
+    from reciping_data_pipeline_spark.pipeline import quality
+
+    key_col, natural = _SK_AUDITS[dim_name]
+    quality.check(dim_df, quality.key_injective(key_col, *natural)).raise_on_failure()
+
+
 def build_all(
     spark: SparkSession,
     silver_df: DataFrame,
@@ -141,15 +165,30 @@ def build_all(
     time_end: str = "2026-12-31 23:00:00",
 ) -> None:
     """Full dim rebuild (bulk path, create_dims.py main). Silver is
-    cached across the three event-derived dims then released."""
+    cached across the three event-derived dims then released. Every
+    surrogate-keyed dim passes the key-collision audit before its
+    write is allowed to land."""
     silver_df.cache()
     try:
-        writers.overwrite_table(build_dim_user(silver_df), dim_path(warehouse, "dim_user"))
-        writers.overwrite_table(build_dim_event(silver_df), dim_path(warehouse, "dim_event"))
-        writers.overwrite_table(build_dim_page(silver_df), dim_path(warehouse, "dim_page"))
+        for name, build in (
+            ("dim_user", build_dim_user(silver_df)),
+            ("dim_event", build_dim_event(silver_df)),
+            ("dim_page", build_dim_page(silver_df)),
+        ):
+            build = build.cache()
+            try:
+                audit_surrogate_keys(build, name)
+                writers.overwrite_table(build, dim_path(warehouse, name))
+            finally:
+                build.unpersist()
     finally:
         silver_df.unpersist()
-    writers.overwrite_table(build_dim_recipe(spark, recipe_master_path), dim_path(warehouse, "dim_recipe"))
+    recipe = build_dim_recipe(spark, recipe_master_path).cache()
+    try:
+        audit_surrogate_keys(recipe, "dim_recipe")
+        writers.overwrite_table(recipe, dim_path(warehouse, "dim_recipe"))
+    finally:
+        recipe.unpersist()
     writers.overwrite_table(build_dim_time(spark, time_start, time_end), dim_path(warehouse, "dim_time"))
 
 

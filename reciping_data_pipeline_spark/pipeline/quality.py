@@ -89,6 +89,22 @@ def row_count_min(n: int) -> Expectation:
     return Expectation(name=f"row_count_min({n})", min_rows=n)
 
 
+def key_injective(key_col: str, *natural_cols: str) -> Expectation:
+    """Pass iff ``key_col`` is injective over the natural key tuple —
+    the surrogate-key collision audit. xxhash64 SKs are collision-free
+    in practice at reference scale (2k users), but a 64-bit birthday
+    bound reaches ~50% at ~5e9 keys, which a 100 TB corpus can hit;
+    this turns that silent row-merging hazard into a loud contract
+    failure at dim-build time (violations = distinct natural keys that
+    lost their own surrogate). Costs one count_distinct in the same
+    single-pass agg as the other expectations."""
+    nat = F.count_distinct(F.struct(*[F.col(c) for c in natural_cols]))
+    return Expectation(
+        name=f"key_injective({key_col}<-{','.join(natural_cols)})",
+        violations=nat - F.count_distinct(F.col(key_col)),
+    )
+
+
 @dataclass
 class QualityReport:
     total_rows: int

@@ -503,27 +503,57 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "wau_sketch_rollup",
-    oracle=None,  # sketch estimator — accuracy-gated in test_approx.py
+    oracle="""
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS VARCHAR) AS week_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS est_within_5pct
+    FROM events
+    GROUP BY date_trunc('week', CAST(ts AS DATE))
+    """,
     doc="Mergeable-sketch rollup: daily HLL user sketches "
     "(hll_sketch_agg, Apache DataSketches) unioned into weekly "
     "uniques (hll_union_agg) — the production incremental pattern for "
     "distinct counts at 100 TB: materialize one small sketch per "
     "day/partition ONCE, answer any date-range unique-user question "
     "by merging sketches without rescanning raw events (exact "
-    "COUNT(DISTINCT) can't pre-aggregate: uniques don't sum).",
+    "COUNT(DISTINCT) can't pre-aggregate: uniques don't sum). "
+    "Driver-checkable contract (upgrades the r01-r05 rows-only "
+    "check): the output carries the EXACT weekly uniques plus a flag "
+    "that the merged-sketch estimate lands within 5% of it (default "
+    "lgK=12 standard error is 1.6%, so the flag is deterministically "
+    "true unless the sketch pipeline breaks); the oracle recomputes "
+    "the exact side and expects every flag true — a hash row that "
+    "fails if the daily->weekly sketch merge ever drifts.",
     tags=("approx", "sketch", "agg"),
 )
 def wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date").cast("string")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
         F.count("*").alias("n_events"),
     )
-    return daily.groupBy(
+    rolled = daily.groupBy(
         F.date_trunc("week", "day").cast("date").cast("string").alias("week_start")
     ).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"),
         F.sum("n_events").alias("n_events"),
+    )
+    # the exact control: an ordinary distinct aggregate straight off the
+    # fact (what the sketch replaces in the incremental pattern) — the
+    # comparison is the estimator's accuracy contract, driver-hashed.
+    exact = ev.groupBy(week.alias("week_start")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau_exact")
+    )
+    return rolled.join(exact, "week_start").select(
+        "week_start",
+        "wau_exact",
+        "n_events",
+        (
+            F.abs(F.col("wau_approx") - F.col("wau_exact"))
+            <= 0.05 * F.col("wau_exact")
+        ).alias("est_within_5pct"),
     )
 
 

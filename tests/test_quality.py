@@ -116,3 +116,57 @@ def test_bulk_backfill_validate_attaches_contract(spark, tmp_path):
         assert all(ok for ok, _ in report.quality.values()), report.quality
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_key_injective_passes_and_detects_collisions(spark):
+    """The surrogate-key collision audit: clean hash keys pass; two
+    natural keys sharing one surrogate fail with the collision count."""
+    from reciping_data_pipeline_spark.pipeline import quality as Q
+
+    clean = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "sk INT, k1 STRING, k2 STRING"
+    )
+    assert Q.check(clean, Q.key_injective("sk", "k1", "k2")).passed
+
+    collided = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (3, "c", "y")], "sk INT, k1 STRING, k2 STRING"
+    )
+    report = Q.check(collided, Q.key_injective("sk", "k1", "k2"))
+    assert not report.passed
+    (ok, violations), = [v for n, v in report.results.items() if "key_injective" in n]
+    assert not ok and violations == 1
+
+
+def test_dim_build_runs_surrogate_key_audit(spark, tmp_path):
+    """dims.build_all audits every surrogate-keyed dim at build time;
+    a forced collision (monkeypatched constant key) aborts the build."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from reciping_data_pipeline_spark.pipeline import datagen, dims, silver, bronze
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        fix = datagen.generate_fixture(str(tmp_path / "fix"), seed=37, n_users=12, n_days=1,
+                                       start=datetime(2025, 9, 1))
+        wh = str(tmp_path / "wh")
+        bronze.ingest_bulk(spark, fix["staging_dir"], wh, datetime(2025, 9, 1))
+        silver.run_batch(spark, wh, batch_ts=datetime(2025, 9, 1))
+        sdf = silver.read_silver(spark, wh)
+        # clean build passes the audit end to end
+        dims.build_all(spark, sdf, wh, fix["recipe_master"],
+                       "2025-09-01 00:00:00", "2025-09-02 23:00:00")
+        # forced collision: every key hashes to the same constant
+        orig = dims.surrogate_key
+        dims.surrogate_key = lambda *cols: F.lit(42)
+        try:
+            with pytest.raises(AssertionError, match="key_injective"):
+                dims.build_all(spark, sdf, str(tmp_path / "wh2"), fix["recipe_master"],
+                               "2025-09-01 00:00:00", "2025-09-02 23:00:00")
+        finally:
+            dims.surrogate_key = orig
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
