@@ -74,13 +74,17 @@ _DRIVER_VERIFIED = frozenset(
         "conversion_funnel", "ab_test_ctr", "ab_test_lift", "engagement_by_day",
         "daily_type_pivot", "sessionization", "props_json_extract",
         "user_first_seen_cohort", "event_value_stats", "top20_users_by_value",
-        "props_variant_stats", "wau_sketch_rollup", "props_map_explode",
+        "props_variant_stats", "props_map_explode",
         "doc_vocab_topk", "doc_bigram_topk", "doc_repetition_stats",
         "doc_length_histogram", "doc_sequence_packing", "event_props_pii_scrub",
         "doc_chunking", "doc_tfidf_topk", "doc_shuffle_shards",
+        # doc_ngram_jaccard_pairs / doc_minhash_lsh_pairs /
+        # doc_simhash_pairs / wau_sketch_rollup deliberately ABSENT in
+        # r06: their output arithmetic or oracle changed this round
+        # (floor-form jaccard; sketch rows-only checks upgraded to hash
+        # oracles), so the driver window re-checks them.
         "doc_stats_by_lang", "doc_exact_dedup", "doc_fingerprint", "doc_quality",
-        "doc_langid", "doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs",
-        "doc_simhash_pairs", "doc_token_counts", "doc_dedup_groups",
+        "doc_langid", "doc_token_counts", "doc_dedup_groups",
         "doc_train_val_split", "doc_stratified_sample",
         "doc_pretrain_filter_funnel", "doc_source_mixture", "doc_corpus_manifest",
         "doc_media_meta", "doc_image_decode_fake",
@@ -167,6 +171,7 @@ def all_queries() -> dict[str, Query]:
         clickstream,
         corpusops,
         graphops,
+        groupingsets,
         intervalops,
         layoutops,
         medallionops,

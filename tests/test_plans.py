@@ -359,3 +359,28 @@ def test_runtime_bloom_filter_on_selective_shuffle_join(spark):
             prev_scan,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("wau_grouping_sets", 1),
+        ("events_per_time_grouping_sets", 1),
+        ("daily_engagement_grouping_sets", 1),
+        ("pages_views_grouping_sets", 1),
+        ("dish_interactions_grouping_sets", 3),
+    ],
+)
+def test_grouping_sets_one_scan_no_union(spark, name, tables):
+    """The GROUPING SETS siblings of the reference's UNION ALL stacks
+    must plan as ONE scan per input table feeding a single Expand —
+    never a Union of per-block rescans (at 100 TB each extra block is
+    a full fact scan). Exchange count stays bounded by the two-phase
+    distinct aggregation (<= 3), independent of the number of segment
+    blocks."""
+    df = _q(spark, name)
+    plan = inspect.simple_plan(df)
+    assert "Union" not in plan, plan
+    assert plan.count("Scan parquet") == tables, plan
+    assert "Expand" in plan, plan
+    assert inspect.count_exchanges(df) <= 3, inspect.simple_plan(df)
