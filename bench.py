@@ -150,6 +150,58 @@ def bench_medallion_snapshot(spark) -> dict:
         writers.set_table_format(prev)
 
 
+def bench_snapshot_concurrency(spark, n_writers: int = 8, appends_each: int = 4) -> dict:
+    """Commit throughput of the snapshot format's optimistic O_EXCL
+    loop under contention: N threads append concurrently, every commit
+    retries until it serializes. Reports commits/s and the retry count
+    (work wasted to races) — the number that decides whether the loop
+    needs backoff before anyone scales writer counts (VERDICT r05 #8).
+    The race tests prove correctness; this measures the cost."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from reciping_data_pipeline_spark.sources import snapshots, writers
+    from reciping_data_pipeline_spark.sources.snapshots import SnapshotFormat
+
+    root = tempfile.mkdtemp(prefix="bench_snap_conc_")
+    path = os.path.join(root, "t")
+    prev = writers.set_table_format(SnapshotFormat())
+    retries0 = snapshots.COMMIT_RETRIES["count"]
+    try:
+        writers.overwrite_table(
+            spark.range(0, 1000).selectExpr("id", "id * 2 AS v"), path
+        )
+
+        def appender(i: int) -> None:
+            for j in range(appends_each):
+                writers.append_table(
+                    spark.range(i * 10_000 + j * 100, i * 10_000 + j * 100 + 100)
+                    .selectExpr("id", "id * 2 AS v"),
+                    path,
+                )
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n_writers) as ex:
+            list(ex.map(appender, range(n_writers)))
+        wall = time.perf_counter() - t0
+        n_commits = n_writers * appends_each
+        final_version = snapshots.load_manifest(path)["version"]
+        assert final_version == n_commits + 1, (final_version, n_commits)
+        expected = 1000 + n_commits * 100
+        assert writers.read_table(spark, path).count() == expected
+        return {
+            "writers": n_writers,
+            "commits": n_commits,
+            "wall_sec": round(wall, 3),
+            "commits_per_sec": round(n_commits / wall, 1),
+            "race_retries": snapshots.COMMIT_RETRIES["count"] - retries0,
+        }
+    finally:
+        writers.set_table_format(prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -213,6 +265,7 @@ def main() -> None:
     medallion_snapshot["bulk_events_per_sec"] = round(
         medallion_snapshot["bulk_events"] / medallion_snapshot["bulk_sec"], 1
     )
+    snapshot_concurrency = bench_snapshot_concurrency(spark)
     # Fresh-session control for the queries that drifted worst between
     # BENCH_r04 and BENCH_r05: re-time them in a brand-new SparkSession
     # AFTER the whole suite. In-suite time >> fresh time ⇒ the drift is
@@ -257,6 +310,7 @@ def main() -> None:
                 "cold_total_sec": cold_total,
                 "medallion": medallion,
                 "medallion_snapshot": medallion_snapshot,
+                "snapshot_concurrency": snapshot_concurrency,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

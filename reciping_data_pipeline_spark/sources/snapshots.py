@@ -263,9 +263,16 @@ def _commit(
             os.link(tmp, _manifest_path(path, version))
         except FileExistsError:
             os.remove(tmp)
+            COMMIT_RETRIES["count"] += 1
             continue
         os.remove(tmp)
         return manifest
+
+
+# Observability: commit-race retries since process start (bench reads
+# this to report optimistic-concurrency contention; a plain dict slot
+# is atomic enough under the GIL for a monotonically growing counter).
+COMMIT_RETRIES = {"count": 0}
 
 
 def _manifest_partition_cols(manifest: dict) -> list[str]:
