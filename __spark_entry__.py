@@ -4,9 +4,11 @@
 exposes the full named catalog (one entry per implemented operator
 family from SURVEY.md §2 plus the scale-out extension operators);
 ``oracle_sql`` returns the DuckDB-equivalent SQL for every
-SQL-expressible query (sketch-based operators — MinHash-LSH, SimHash,
-hyperplane-LSH ANN — are intentionally omitted and covered by
-planted-fixture tests in ``tests/``).
+SQL-expressible query. Since r06 the MinHash-LSH / SimHash / HLL
+rollup rows carry REAL hash oracles (exact-Jaccard pair set, planted
+exact-copy recall set, exact-uniques accuracy contract); the few
+remaining no-oracle rows (approx percentiles/top-k, ANN variants) are
+estimator-contract-gated in ``tests/``.
 """
 
 from __future__ import annotations

