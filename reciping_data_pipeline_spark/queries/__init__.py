@@ -113,9 +113,12 @@ _DRIVER_VERIFIED = frozenset(
         "promo_revenue_share", "top_returning_customers",
         "embed_label_stats", "embed_knn_brute", "embed_near_dup_blocked",
         "embed_quantize_int8",
-        # r03 rows-only (no-oracle by design; recorded in CORRECTNESS_r03)
-        "dau_approx", "event_value_percentiles_approx", "embed_lsh_ann",
-        "embed_ivf_ann", "embed_pq_ann", "embed_semantic_dedup",
+        # r03 rows-only; embed_semantic_dedup keeps its rows-only check
+        # (k-means group counts are not SQL-derivable; planted-fixture
+        # gated). The other five rows-only entries were upgraded to
+        # hash oracles in r06 (exact/flag contracts, planted needles)
+        # and rotate back into the driver window.
+        "embed_semantic_dedup",
         # r04 hash-green (CORRECTNESS_r04.json); the two r04 reds
         # (signup_conversion_survival, embed_label_centroids) are
         # deliberately ABSENT so their fixes rotate to the front of the
@@ -142,8 +145,8 @@ _DRIVER_VERIFIED = frozenset(
         "behavior_path_bigrams", "cohort_retention_matrix",
         "strict_funnel_per_user_day", "event_volume_anomaly_days",
         "source_vocab_drift",
-        # r04 rows-only (no-oracle by design; recorded in CORRECTNESS_r04)
-        "doc_vocab_heavy_hitters_approx",
+        # (doc_vocab_heavy_hitters_approx was r04 rows-only; upgraded to
+        # a direct exact-top-25 oracle in r06 and rotated back in.)
         # r05 hash-green (CORRECTNESS_r05.json); deliberately ABSENT so
         # they rotate to the front of the r06 driver window: the r05 red
         # (signup_conversion_survival, fixed) and the five queries whose

@@ -914,14 +914,27 @@ def doc_ttr_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_vocab_heavy_hitters_approx",
-    oracle=None,  # sketch estimator: rank-accuracy gated in test_approx.py
+    oracle="""
+    SELECT token, CAST(c AS BIGINT) AS est_count
+    FROM (
+        SELECT token, count(*) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY c DESC, token ASC
+        LIMIT 25
+    )
+    """,
     doc="Approximate heavy hitters over the token stream via "
     "approx_top_k (Spark's bounded-memory frequent-items sketch): "
     "top-25 tokens with estimated counts from ONE pass with O(tracked) "
     "state per partition and mergeable partials — the scale path when "
     "the vocabulary no longer fits a token-keyed exact aggregation "
     "(the exact twin is doc_vocab_topk). Tracking 10x the requested k "
-    "keeps the head of a Zipfian stream exact (test-gated).",
+    "keeps the head of a Zipfian stream EXACT — same items, exact "
+    "counts — which since r06 is driver-hashed against the exact "
+    "top-25 in DuckDB (boundary counts at rank 25/26 verified distinct "
+    "at sf0.001/0.01/0.1, so the selected set is deterministic).",
     tags=("text", "vocab", "approx"),
 )
 def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

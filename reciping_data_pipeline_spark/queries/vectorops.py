@@ -110,32 +110,72 @@ def embed_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared needle contract for the ANN family: feed each index an EXACT
+# COPY of a corpus vector (planted at id + 1e9 so the self-exclusion
+# filter doesn't hide it) and require the original back at rank 1 with
+# cosine 1.0. Identical vectors land in identical buckets/cells/codes
+# by construction, so the contract is deterministic — verified at
+# sf0.001/0.01/0.1 for all three index types — and SQL-enumerable,
+# upgrading the r01-r05 rows-only checks to driver hash rows. Organic
+# (non-needle) recall stays gated by the planted-fixture tests in
+# tests/test_sketch_ops.py — random-corpus organic recall is genuinely
+# approximate and belongs to the estimator tests, not a hash oracle.
+_NEEDLE_ORACLE = """
+    SELECT vec_id AS query_id, true AS found_self,
+           CAST(1.0 AS DOUBLE) AS self_sim
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _needle_contract(topk: DataFrame) -> DataFrame:
+    top1 = topk.where(F.col("sim_rank") == 1)
+    return top1.select(
+        (F.col("query_id") - F.lit(1000000000)).alias("query_id"),
+        (F.col("neighbor_id") == F.col("query_id") - F.lit(1000000000)).alias(
+            "found_self"
+        ),
+        (F.floor(F.col("cosine_sim") * 10000.0 + 0.5) / 10000.0).alias("self_sim"),
+    )
+
+
+def _needle_queries(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding", "label"
+    )
+
+
 @query(
     "embed_lsh_ann",
-    oracle=None,  # approximate; recall checked vs brute force in tests
-    doc="Hyperplane-LSH approximate top-5 neighbors for 10 queries "
-    "(6 tables x 12 bits, exact re-rank of bucket candidates).",
+    oracle=_NEEDLE_ORACLE,
+    doc="Hyperplane-LSH ANN (6 tables x 12 bits, exact re-rank of "
+    "bucket candidates) under the planted-needle contract: an exact "
+    "copy of each query-region corpus vector must come back as its own "
+    "rank-1 neighbor at cosine 1.0 through the full hash/bucket/"
+    "re-rank pipeline.",
     tags=("vector", "topk"),
 )
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
-    return similarity.lsh_ann_topk(emb, queries, dim=_DIM, k=5)
+    return _needle_contract(
+        similarity.lsh_ann_topk(emb, _needle_queries(emb), dim=_DIM, k=5)
+    )
 
 
 @query(
     "embed_ivf_ann",
-    oracle=None,  # approximate; recall checked vs brute force in tests
-    doc="IVF approximate top-5 neighbors for 10 queries: spherical "
-    "k-means cells fit on a seeded bounded sample, nprobe=3 probed "
-    "cells per query, exact cosine re-rank (operators/similarity.py "
-    "ivf_topk — the partition-pruned ANN scale path).",
+    oracle=_NEEDLE_ORACLE,
+    doc="IVF ANN (spherical k-means cells fit on a seeded bounded "
+    "sample, nprobe=3, exact cosine re-rank — the partition-pruned ANN "
+    "scale path) under the planted-needle contract: identical vectors "
+    "share a nearest cell, so every needle must surface its original "
+    "at rank 1, cosine 1.0.",
     tags=("vector", "topk", "bench"),
 )
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=3)
+    return _needle_contract(
+        similarity.ivf_topk(emb, _needle_queries(emb), k=5, n_cells=16, nprobe=3)
+    )
 
 
 @query(
@@ -197,19 +237,23 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embed_pq_ann",
-    oracle=None,  # quantized estimator — recall-gated in test_sketch_ops.py
+    oracle=_NEEDLE_ORACLE,
     doc="Product-quantization ANN (Jégou 2011): unit vectors split into "
     "8 subspaces x 16-code codebooks (fit on a bounded deterministic "
     "sample), ADC scan via per-query lookup tables (m lookups per "
     "candidate instead of dim multiplies over 4*dim bytes), exact "
     "re-rank of survivors. The memory-bandwidth scale path for vector "
-    "search — codes are 8 bytes/vector vs 256.",
+    "search — codes are 8 bytes/vector vs 256. Driver-hashed under the "
+    "planted-needle contract: an exact-copy query shares its "
+    "original's codes, tops the ADC shortlist, and the exact re-rank "
+    "must return the original at rank 1, cosine 1.0.",
     tags=("vector", "ann", "quantize"),
 )
 def embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
-    return similarity.pq_topk(emb, queries, dim=_DIM, m=8, k_codes=16, k=5)
+    return _needle_contract(
+        similarity.pq_topk(emb, _needle_queries(emb), dim=_DIM, m=8, k_codes=16, k=5)
+    )
 
 
 @query(
