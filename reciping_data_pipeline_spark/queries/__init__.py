@@ -87,7 +87,7 @@ _DRIVER_VERIFIED = frozenset(
         "doc_langid", "doc_token_counts", "doc_dedup_groups",
         "doc_train_val_split", "doc_stratified_sample",
         "doc_pretrain_filter_funnel", "doc_source_mixture", "doc_corpus_manifest",
-        "doc_media_meta", "doc_image_decode_fake",
+        "doc_media_meta",
         "doc_frame_sample_counts", "doc_image_resize_fake",
         "doc_audio_features_fake", "lineitem_rollup", "order_cube",
         "repeat_users_intersect",
@@ -113,12 +113,10 @@ _DRIVER_VERIFIED = frozenset(
         "promo_revenue_share", "top_returning_customers",
         "embed_label_stats", "embed_knn_brute", "embed_near_dup_blocked",
         "embed_quantize_int8",
-        # r03 rows-only; embed_semantic_dedup keeps its rows-only check
-        # (k-means group counts are not SQL-derivable; planted-fixture
-        # gated). The other five rows-only entries were upgraded to
-        # hash oracles in r06 (exact/flag contracts, planted needles)
-        # and rotate back into the driver window.
-        "embed_semantic_dedup",
+        # (the six r03 rows-only entries — dau_approx, percentiles,
+        # lsh/ivf/pq ANN, embed_semantic_dedup — were all upgraded to
+        # hash oracles in r06 and rotate back into the driver window;
+        # the catalog now carries ZERO rows-only checks.)
         # r04 hash-green (CORRECTNESS_r04.json); the two r04 reds
         # (signup_conversion_survival, embed_label_centroids) are
         # deliberately ABSENT so their fixes rotate to the front of the

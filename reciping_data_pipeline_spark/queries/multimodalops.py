@@ -29,6 +29,32 @@ def _with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of operators/multimodal._fake_decode: byte k of
+# sha256(utf8(text)) recovered from hex digits 2k+1, 2k+2 of DuckDB's
+# sha256() hex string. mean_luma = round(sum(bytes 2..9)/8/255, 4)
+# printed at 4 decimals; the 4-dp grid has NO representable ties
+# (s·10000/2040 = k+0.5 has no integer solution), so Python round ==
+# DuckDB round regardless of tie rules.
+def _hexv(i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+
+
+def _byte(k: int) -> str:
+    return f"({_hexv(2 * k + 1)} * 16 + {_hexv(2 * k + 2)})"
+
+
+_FAKE_DECODE_ORACLE = f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+    SELECT doc_id,
+           64 + {_byte(0)} % 192 AS width,
+           64 + {_byte(1)} % 192 AS height,
+           3 AS n_channels,
+           printf('%.4f', round(({' + '.join(_byte(k) for k in range(2, 10))})
+                                / 8.0 / 255.0, 4)) AS mean_luma
+    FROM h
+"""
+
+
 @query(
     "doc_media_meta",
     oracle="""
@@ -57,10 +83,16 @@ def doc_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_image_decode_fake",
-    oracle=None,  # decoder output is not SQL-expressible (sha-derived stub)
+    oracle=_FAKE_DECODE_ORACLE,
     doc="Arrow-batched mapInPandas image decode (deterministic fake stub "
     "standing in for Pillow) — schema/batching/pruning plumbing is real; "
-    "operators/multimodal.py decode_image.",
+    "operators/multimodal.py decode_image. Driver-hashed since r06: the "
+    "stub derives (width, height, mean_luma) from sha256 of the bytes, "
+    "which DuckDB mirrors with hex-digit arithmetic over its own "
+    "sha256() — so the hash row checks the ENTIRE Arrow round-trip "
+    "(column pruning into the Python exchange, batch iteration, byte "
+    "fidelity through the encode/decode boundary, the %.4f luma "
+    "formatting), exactly the plumbing a real Pillow kernel would ride.",
     tags=("multimodal", "pandas-udf"),
 )
 def doc_image_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -258,25 +258,44 @@ def embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embed_semantic_dedup",
-    oracle=None,  # k-means clustering; validated by planted-duplicate tests
+    oracle="""
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_dropped,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM embeddings
+    """,
     doc="SemDeDup: k-means cells confine the cosine>=0.97 pair search "
-    "to within-cluster self-joins (sum(|cell|^2), never |corpus|^2); "
-    "returns per-cell vector/pair/drop counts "
-    "(operators/similarity.py semantic_dedup_pairs).",
+    "to within-cluster self-joins (sum(|cell|^2), never |corpus|^2), "
+    "then connected components + canonical keep "
+    "(operators/similarity.py semantic_dedup_pairs). Driver-hashed "
+    "under the planted-duplicate contract (r06, the catalog's last "
+    "rows-only row): every corpus vector gets an exact copy planted at "
+    "vec_id + 1e9; identical vectors share a nearest cell, the "
+    "within-cell scan must pair each with its plant at cosine 1.0, and "
+    "components must collapse each pair to its original — so exactly "
+    "half the union survives. The organic corpus contributes no pairs "
+    "(max organic cosine < 0.9 at every SF, verified), so the oracle's "
+    "expected counts are exact: (2c, c, c).",
     tags=("vector", "dedup", "bench"),
 )
 def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reciping_data_pipeline_spark.operators import dedup as D
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.semantic_dedup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.97
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    plants = emb.select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding", "label"
     )
-    groups = D.dedup_groups(emb, "vec_id", pairs, "id_a", "id_b")
+    both = emb.unionAll(plants)
+    pairs = similarity.semantic_dedup_pairs(
+        both, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.97
+    )
+    groups = D.dedup_groups(both, "vec_id", pairs, "id_a", "id_b")
     return groups.agg(
-        F.count("*").alias("n_vectors"),
-        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dropped"),
-        F.count_distinct("component").alias("n_groups"),
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.count_distinct("component").cast("long").alias("n_groups"),
     )
 
 
