@@ -539,3 +539,135 @@ def incremental_exact_dedup(
     in_batch = batch.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
     idx = existing_fingerprints.select(F.col(fp_col)).distinct()
     return in_batch.join(idx, on=fp_col, how="left_anti").select(id_col, fp_col)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable NEAR-dup index: one ``(id, band_idx, band_hash)``
+    posting row per LSH band per document — O(docs × bands) rows, ~20
+    bytes wide. The incremental complement of the fingerprint index
+    ``incremental_exact_dedup`` probes: build once over the corpus,
+    append each ingested batch's postings, and every future delta
+    dedups against the WHOLE corpus without re-reading its text. At
+    100 TB persist it bucketed on (band_idx, band_hash)
+    (sources/bucketing.py) so delta probes shuffle only the delta."""
+    rows_per_band = num_perm // num_bands
+    docs = with_shingles(spread(df), text_col, shingle_k).select(
+        F.col(id_col), "shingle_hashes"
+    )
+    minhash = sketches.minhash_signature_udf(num_perm, seed)
+    sig = minhash(F.col("shingle_hashes"))
+    return (
+        docs.withColumn("bands", hashing.lsh_bands(sig, num_bands, rows_per_band))
+        .select(F.col(id_col).alias("id"), F.explode("bands").alias("band"))
+        .select(
+            "id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_hash").alias("band_hash"),
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate check of a delta batch against a persisted
+    corpus band index (``build_minhash_index``) — the daily-crawl
+    operation fuzzy dedup needs at scale: the corpus TEXT is touched
+    only for the (tiny) candidate set, never rescanned.
+
+    Delta docs are sketched with the index's parameters, candidates
+    come from an equi-join on (band_idx, band_hash), and every
+    candidate is verified with EXACT Jaccard over shingles recomputed
+    for just the candidate ids on both sides — so the output has no
+    false positives regardless of band collisions. Returns one row per
+    delta doc: ``(id, is_dup, matched_id, jaccard)`` with the best
+    match chosen by (jaccard desc, matched id asc) on the floor-4dp
+    grid; non-duplicates carry (-1, 0.0) so no nullable columns leak
+    into cross-engine comparisons.
+
+    Scale: sketching is map-side over the delta; the probe join
+    shuffles O(delta × bands) postings against the (bucketed) index;
+    verification is bounded by the candidate count.
+    """
+    delta_bands = build_minhash_index(
+        new_docs,
+        id_col,
+        text_col,
+        shingle_k=shingle_k,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        seed=seed,
+    )
+    cand = (
+        delta_bands.alias("d")
+        .join(index.alias("i"), ["band_idx", "band_hash"])
+        .select(F.col("d.id").alias("new_id"), F.col("i.id").alias("corpus_id"))
+        .distinct()
+    ).persist()
+    new_sets = with_shingles(
+        new_docs.join(
+            cand.select(F.col("new_id").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_semi",
+        ),
+        text_col,
+        shingle_k,
+    ).select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_new"))
+    corp_sets = with_shingles(
+        corpus.join(
+            cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_semi",
+        ),
+        text_col,
+        shingle_k,
+    ).select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_corp"))
+    verified = (
+        cand.join(new_sets, "new_id")
+        .join(corp_sets, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.floor(_pair_jaccard(F.col("sh_new"), F.col("sh_corp")) * 10000.0 + 0.5)
+            / 10000.0,
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w_best = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("matched_id"), "jaccard")
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(best.withColumnRenamed("new_id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("matched_id").isNotNull().alias("is_dup"),
+            F.coalesce("matched_id", F.lit(-1)).alias("matched_id"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
+    )

@@ -735,6 +735,78 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_incremental_minhash_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len({_TOKENS_SQL}) - 4),
+                   i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+                        || ' ' || {_TOKENS_SQL}[i+3] || ' ' || {_TOKENS_SQL}[i+4])) AS sh
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+    inter AS (
+        SELECT s.doc_id AS src_id, p.doc_id AS corpus_id, count(*) AS c
+        FROM postings s JOIN postings p USING (shingle)
+        WHERE s.doc_id % 10 = 0
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT src_id, corpus_id,
+               floor(c * 1.0 / (sa.sz + sb.sz - c) * 10000.0 + 0.5) / 10000.0 AS j4
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = src_id
+        JOIN sizes sb ON sb.doc_id = corpus_id
+        WHERE floor(c * 1.0 / (sa.sz + sb.sz - c) * 10000.0 + 0.5) / 10000.0 >= 0.5
+    ),
+    best AS (
+        SELECT src_id,
+               first(corpus_id ORDER BY j4 DESC, corpus_id ASC) AS matched_id,
+               first(j4 ORDER BY j4 DESC, corpus_id ASC) AS j4
+        FROM j GROUP BY src_id
+    )
+    SELECT src_id + 1000000000 AS doc_id, true AS is_dup,
+           CAST(matched_id AS BIGINT) AS matched_id, CAST(j4 AS DOUBLE) AS jaccard
+    FROM best
+    UNION ALL
+    SELECT doc_id + 2000000000, false, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM documents WHERE doc_id % 10 = 5
+    """,
+    doc="Incremental near-dup dedup of a delta batch against a "
+    "PERSISTED corpus band index (operators/dedup.py "
+    "build_minhash_index + incremental_minhash_dedup) — the daily-"
+    "crawl operation: the corpus text is touched only for the "
+    "candidate set, never rescanned; probe cost is O(delta x bands) "
+    "against the (bucketable) index. Driver-hashed on a planted "
+    "delta: exact copies of every 10th doc (id+1e9, must match their "
+    "source — or its lowest-id exact twin — at jaccard 1.0, plus any "
+    "stronger organic near-dup by the (jaccard desc, id asc) argmax) "
+    "and token-REVERSED versions of others (id+2e9, must NOT match: "
+    "reversal destroys every 5-gram shingle, and the exact-Jaccard "
+    "verification kills band-collision false positives "
+    "deterministically). The oracle recomputes each copy's best "
+    "corpus match from the exact J >= 0.5 pair set.",
+    tags=("text", "dedup", "incremental", "bench"),
+)
+def doc_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = dedup.build_minhash_index(docs, "doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"), "text"
+    )
+    reversed_docs = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "text"
+        ),
+    )
+    delta = copies.unionAll(reversed_docs)
+    return dedup.incremental_minhash_dedup(delta, docs, index, "doc_id", "text")
+
+
+@query(
     "doc_fuzzy_dedup_e2e",
     oracle=f"""
     WITH RECURSIVE docs AS (

@@ -316,3 +316,35 @@ def test_incremental_dedup_empty_index(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_exact_dedup(batch, idx).collect())
     assert kept == [1, 2]
+
+
+def test_incremental_minhash_dedup_delta_vs_index(spark, planted_docs):
+    """The incremental near-dup path: a delta probed against the
+    persisted band index must flag exact copies and perturbed
+    near-dups of indexed docs as duplicates (matched to the right
+    corpus doc), and pass token-reversed / novel docs through as
+    non-duplicates with the (-1, 0.0) sentinel."""
+    import pyspark.sql.functions as F
+
+    corpus = planted_docs.where(F.col("doc_id") < 1000)
+    index = dedup.build_minhash_index(corpus, "doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    rng = random.Random(7)
+    delta_rows = [
+        (5000, base[3]),                       # exact copy of doc 3
+        (5001, _perturb(rng, base[7], edits=1)),  # near-dup of doc 7
+        (5002, " ".join(reversed(base[11].split()))),  # reversed: novel
+        (5003, _doc(rng)),                     # brand-new doc
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["is_dup"], r["matched_id"], r["jaccard"])
+        for r in dedup.incremental_minhash_dedup(
+            delta, corpus, index, "doc_id", "text"
+        ).collect()
+    }
+    assert got[5000] == (True, 3, 1.0)
+    is_dup, matched, j = got[5001]
+    assert is_dup and matched == 7 and 0.5 <= j < 1.0
+    assert got[5002] == (False, -1, 0.0)
+    assert got[5003] == (False, -1, 0.0)
