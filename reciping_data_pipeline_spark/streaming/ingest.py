@@ -146,3 +146,92 @@ def start_corpus_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_near_dup_corpus_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.5,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus ingest with cross-batch NEAR-dup dedup: each
+    micro-batch is exact-deduped in-batch (fingerprint keep-min), then
+    probed against the corpus's persisted MinHash band index
+    (``operators.dedup.incremental_minhash_dedup`` — candidates from an
+    equi-join on the index, exact-Jaccard verified, so band collisions
+    never drop a genuinely novel doc). Survivors append to the corpus
+    table AND their band postings append to the index table, so the
+    next batch probes the grown corpus without rescanning it.
+
+    Exactly-once corpus growth under redelivery: a re-offered doc is an
+    exact copy of its committed twin → Jaccard 1.0 ≥ threshold → dup →
+    dropped. State lives in the two tables (corpus + index), not the
+    state store — a restart resumes from checkpoint + tables alone.
+    Scale: probe shuffles O(batch × bands) vs the (bucketable) index;
+    verification reads corpus text only for candidate ids (bucket the
+    corpus on doc_id to make that read partition-pruned)."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from reciping_data_pipeline_spark.functions import text as text_fns
+    from reciping_data_pipeline_spark.operators import dedup as dedup_ops
+    from reciping_data_pipeline_spark.sources import writers
+
+    schema = "doc_id long, source string, text string"
+    raw = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("pathGlobFilter", "*.jsonl")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = raw.load(incoming_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        # in-batch exact dedup first (cheap): keep the min id per
+        # fingerprint so a batch carrying its own copies can't commit two
+        in_batch = (
+            batch_df.withColumn("_fp", text_fns.fingerprint(F.col("text")))
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_fp", "_rn")
+        )
+        try:
+            corpus = writers.read_table(sess, corpus_dir)
+            index = writers.read_table(sess, index_dir)
+        except AnalysisException:
+            corpus = sess.createDataFrame([], schema)
+            index = sess.createDataFrame([], "id long, band_idx int, band_hash long")
+        verdicts = dedup_ops.incremental_minhash_dedup(
+            in_batch, corpus, index, "doc_id", "text", threshold=threshold
+        )
+        survivors = in_batch.join(
+            verdicts.where(~F.col("is_dup")).select("doc_id"), on="doc_id", how="left_semi"
+        ).persist()
+        if not survivors.isEmpty():
+            writers.append_table(survivors.select("doc_id", "source", "text"), corpus_dir)
+            writers.append_table(
+                dedup_ops.build_minhash_index(survivors, "doc_id", "text"), index_dir
+            )
+        survivors.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

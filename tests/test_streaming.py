@@ -365,3 +365,67 @@ def test_corpus_stream_dedups_across_batches(spark, tmp_path):
         r["doc_id"] for r in D.exact_dedup(all_docs, "doc_id", "text").select("doc_id").collect()
     )
     assert kept == batch_kept
+
+
+def test_near_dup_corpus_stream_across_batches(spark, tmp_path):
+    """Streaming NEAR-dup corpus ingest: survivors append to both the
+    corpus and its band index, so later batches drop exact copies AND
+    near-duplicates of earlier batches' docs without rescanning the
+    corpus; novel docs pass through."""
+    import json
+    import random
+
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = random.Random(42)
+    words = [f"w{i}" for i in range(300)]
+    doc_a = " ".join(rng.choice(words) for _ in range(60))
+    doc_b = " ".join(rng.choice(words) for _ in range(60))
+    doc_c = " ".join(rng.choice(words) for _ in range(60))
+    near_a = doc_a.split()
+    near_a[10] = "zzz"  # one token edit: J >= 51/61 on 5-gram shingles
+    near_a = " ".join(near_a)
+
+    def write_wave(name, docs):
+        with open(incoming / name, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+
+    write_wave(
+        "wave1.jsonl",
+        [
+            {"doc_id": 1, "source": "web", "text": doc_a},
+            {"doc_id": 2, "source": "web", "text": doc_b},
+        ],
+    )
+    q = ingest.start_near_dup_corpus_stream(
+        spark, str(incoming), corpus_dir, index_dir, ckpt
+    )
+    q.awaitTermination(60)
+
+    write_wave(
+        "wave2.jsonl",
+        [
+            {"doc_id": 3, "source": "web", "text": near_a},  # near-dup of 1
+            {"doc_id": 4, "source": "books", "text": doc_b},  # exact copy of 2
+            {"doc_id": 5, "source": "books", "text": doc_c},  # novel
+            {"doc_id": 6, "source": "books", "text": doc_c},  # in-batch copy of 5
+        ],
+    )
+    q = ingest.start_near_dup_corpus_stream(
+        spark, str(incoming), corpus_dir, index_dir, ckpt
+    )
+    q.awaitTermination(60)
+
+    corpus = spark.read.parquet(corpus_dir)
+    kept = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert kept == [1, 2, 5]
+    # the index grew with exactly the survivors' postings
+    index = spark.read.parquet(index_dir)
+    assert sorted(r["id"] for r in index.select("id").distinct().collect()) == [1, 2, 5]
