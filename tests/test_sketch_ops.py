@@ -348,3 +348,41 @@ def test_incremental_minhash_dedup_delta_vs_index(spark, planted_docs):
     assert is_dup and matched == 7 and 0.5 <= j < 1.0
     assert got[5002] == (False, -1, 0.0)
     assert got[5003] == (False, -1, 0.0)
+
+
+def test_bucketed_band_index_probe_shuffles_only_delta(spark, planted_docs, tmp_path):
+    """The 100 TB posture of incremental near-dup dedup: with the band
+    index persisted BUCKETED on (band_idx, band_hash), the delta probe
+    join must not exchange the index side — only the (small) delta's
+    postings shuffle. The index-side scan reports its bucket
+    distribution and Catalyst elides that exchange."""
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.sources import bucketing
+
+    corpus = planted_docs.where(F.col("doc_id") < 1000)
+    idx = dedup.build_minhash_index(corpus, "doc_id", "text")
+    bucketing.write_bucketed(
+        idx, "band_index_bucketed", str(tmp_path / "band_index"),
+        ["band_idx", "band_hash"], n_buckets=8,
+    )
+    index = bucketing.read_bucketed(spark, "band_index_bucketed")
+    delta = planted_docs.where(F.col("doc_id") >= 1000)
+    delta_bands = dedup.build_minhash_index(delta, "doc_id", "text")
+    # at test scale the index would be broadcast (also exchange-free);
+    # disable broadcast to exercise the big-index regime the bucketed
+    # layout exists for
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = delta_bands.alias("d").join(index.alias("i"), ["band_idx", "band_hash"])
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the index side reads its buckets directly: exactly ONE exchange
+    # in the join (the delta side), and the index scan advertises its
+    # bucketed output partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan, plan
