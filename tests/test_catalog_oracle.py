@@ -23,6 +23,14 @@ def test_query_matches_oracle(spark, duck, name):
     compare_to_oracle(q.fn(spark, SF_SMOKE), duck, q.oracle, name)
 
 
+def test_catalog_has_no_rows_only_queries():
+    """Since r06 EVERY catalog query carries a DuckDB hash oracle
+    (approx/sketch/ANN queries via exact-control, planted-needle, or
+    rank-error contracts) — the rows-only check class is retired. A
+    new oracle-less registration must consciously revert this."""
+    assert NO_ORACLE == [], NO_ORACLE
+
+
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_no_oracle_query_runs(spark, name):
     q = REGISTRY[name]
