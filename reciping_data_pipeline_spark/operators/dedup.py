@@ -119,6 +119,36 @@ def _pair_jaccard(a: Column, b: Column) -> Column:
     return inter / F.nullif(union, F.lit(0.0))
 
 
+def bucket_overflow_stats(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """One-row diagnostic for the ``max_bucket`` cap ``_bucket_pairs``
+    applies: ``(bucket_count, overflow_buckets, overflow_member_mass)``.
+
+    The cap protects the pair-expansion stage from degenerate buckets
+    (B members -> B*(B-1)/2 pairs), but on a boilerplate-heavy corpus
+    dropping those buckets is a RECALL loss and must never be silent:
+    callers surface this count (``minhash_lsh_pairs(overflow_report=...)``
+    fills it eagerly and warns) so a production run knows when the cap
+    bit. The index-probe paths (``incremental_minhash_dedup``, the
+    streaming ingest) have no such cap — candidates come from an
+    equi-join, not in-bucket expansion — so this applies to the batch
+    pair-enumeration family only. One lightweight count-per-key
+    aggregation over the (id, key) rows — no member payloads are
+    collected.
+    """
+    sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("bucket_count"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_bucket, 1)), F.lit(0)
+        ).cast("bigint").alias("overflow_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_bucket, F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("overflow_member_mass"),
+    )
+
+
 def _bucket_pairs(
     keyed: DataFrame, key_cols: list[str], payload: Column, max_bucket: int
 ) -> DataFrame:
@@ -129,6 +159,11 @@ def _bucket_pairs(
     in-bucket with array lambdas -> explode -> distinct on id pair.
     Replaces the classic bucket self-join, which recomputes and
     re-shuffles the upstream sketch pipeline for both join sides.
+
+    Buckets larger than ``max_bucket`` are dropped (degenerate keys —
+    empty docs, boilerplate). That drop loses candidate recall, so it
+    must not be silent: callers that care pass the same ``keyed`` frame
+    to :func:`bucket_overflow_stats` and report the overflow count.
     """
     buckets = (
         keyed.groupBy(*key_cols)
@@ -171,6 +206,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    overflow_report: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold,
     candidates generated by banded MinHash-LSH.
@@ -181,6 +217,14 @@ def minhash_lsh_pairs(
     surviving pairs, so the output has no false positives. The band
     exchange carries only (id, band_idx, band_hash) — the shingle
     arrays never ride through the explode.
+
+    Buckets over ``max_bucket`` members are dropped before pair
+    expansion — a RECALL loss on boilerplate-heavy corpora. Pass a
+    dict as ``overflow_report`` to have it filled (eagerly — one O(1)
+    control-plane collect of a one-row aggregate) with
+    ``{bucket_count, overflow_buckets, overflow_member_mass}``; a
+    non-zero overflow also logs a warning. With ``overflow_report=None``
+    the plan is unchanged and fully lazy.
     """
     rows_per_band = num_perm // num_bands
     docs = with_shingles(spread(df), text_col, shingle_k).select(
@@ -196,6 +240,20 @@ def minhash_lsh_pairs(
         F.col("band.band_hash").alias("band_hash"),
         F.col(id_col).alias("id"),
     )
+    if overflow_report is not None:
+        stats = bucket_overflow_stats(keyed, ["band_idx", "band_hash"], max_bucket).first()
+        overflow_report.update(stats.asDict())
+        if overflow_report["overflow_buckets"]:
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_pairs: {overflow_report['overflow_buckets']} band "
+                f"bucket(s) over max_bucket={max_bucket} dropped "
+                f"({overflow_report['overflow_member_mass']} member postings) — "
+                "candidate recall is reduced; raise max_bucket or pre-filter "
+                "boilerplate",
+                stacklevel=2,
+            )
     cand = _bucket_pairs(
         keyed, ["band_idx", "band_hash"], F.struct(F.col("id")), max_bucket
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -617,12 +675,20 @@ def incremental_minhash_dedup(
         num_bands=num_bands,
         seed=seed,
     )
+    # localCheckpoint, NOT persist: the candidate subplan is referenced
+    # three times below and must not re-execute per branch, but persist()
+    # registers in the session CacheManager and is never released without
+    # an explicit unpersist — called once per micro-batch from
+    # start_near_dup_corpus_stream, that leaks cached blocks for the life
+    # of the stream (the same session-pollution effect BENCH_NOTES.md
+    # measured at 1.4x). Checkpoint blocks are instead reclaimed by the
+    # ContextCleaner as soon as the batch's DataFrame handles are GC'd.
     cand = (
         delta_bands.alias("d")
         .join(index.alias("i"), ["band_idx", "band_hash"])
         .select(F.col("d.id").alias("new_id"), F.col("i.id").alias("corpus_id"))
         .distinct()
-    ).persist()
+    ).localCheckpoint(eager=False)
     new_sets = with_shingles(
         new_docs.join(
             cand.select(F.col("new_id").alias(id_col)).distinct(),

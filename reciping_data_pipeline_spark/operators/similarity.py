@@ -159,6 +159,96 @@ def semantic_dedup_pairs(
     )
 
 
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """Persistable form of a fitted codebook: one ``(cell, centroid)``
+    row per centroid — O(cells × dim) rows, the semantic sibling of the
+    MinHash band index's manifest state."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+
+def centroids_from_df(df: DataFrame) -> np.ndarray:
+    """Load a persisted codebook back to the ndarray the assignment
+    kernels broadcast. O(cells × dim) driver collect — control plane,
+    bounded by the codebook size, never by the corpus."""
+    rows = sorted(df.collect(), key=lambda r: r["cell"])
+    return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Semantic near-dup check of a delta batch against a CELLED corpus
+    — the embedding sibling of ``dedup.incremental_minhash_dedup``: the
+    daily-ingest operation for a growing vector corpus, where the
+    corpus is probed through its persisted cell assignments and never
+    re-clustered or cross-joined.
+
+    ``corpus`` must carry a ``cell`` column assigned under the SAME
+    ``centroids`` codebook (``assign_cells``); delta vectors are
+    assigned map-side with the broadcast codebook, candidates come from
+    an equi-join on ``cell``, and exact cosine picks the best match
+    (cosine desc, corpus id asc on the ``round_dp`` grid). Returns one
+    row per delta id: ``(id, is_dup, matched_id, cosine)``;
+    non-duplicates carry (-1, 0.0). Exact copies always share their
+    original's cell (identical vector → identical nearest centroid), so
+    exact-dup recall is 1; near-dups straddling a cell boundary are
+    SemDeDup's documented trade-off.
+
+    Scale: assignment is a narrow Arrow pass over the delta; the probe
+    join shuffles only the delta when the corpus is stored bucketed on
+    ``cell``; within-cell work is |delta_cell| × |corpus_cell|, never
+    all-pairs.
+    """
+    delta = assign_cells(new_vecs, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("vec_new"),
+        vectors.norm(F.col(vec_col)).alias("norm_new"),
+        "cell",
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("vec_corp"),
+        vectors.norm(F.col(vec_col)).alias("norm_corp"),
+        "cell",
+    )
+    cos = vectors.dot(F.col("vec_new"), F.col("vec_corp")) / F.nullif(
+        F.col("norm_new") * F.col("norm_corp"), F.lit(0.0)
+    )
+    verified = (
+        delta.join(corp, on="cell")
+        .withColumn("cosine", F.round(cos, round_dp))
+        .where(F.col("cosine") >= threshold)
+    )
+    w_best = Window.partitionBy("new_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("matched_id"), "cosine")
+    )
+    return (
+        new_vecs.select(F.col(id_col))
+        .join(best.withColumnRenamed("new_id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("matched_id").isNotNull().alias("is_dup"),
+            F.coalesce("matched_id", F.lit(-1)).alias("matched_id"),
+            F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (

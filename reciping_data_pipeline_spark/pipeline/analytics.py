@@ -474,9 +474,13 @@ WITH extended_ads_funnel AS (
     GROUP BY f.user_dim_key
 ),
 funnel_counts AS (
-    SELECT SUM(step_1_visit) AS users_visit, SUM(step_2_search) AS users_search,
-           SUM(step_3_click_recipe) AS users_click_recipe,
-           SUM(step_6_view_ads) AS users_view_ads, SUM(step_7_click_ads) AS users_click_ads
+    -- CAST: DuckDB types SUM(int) as HUGEINT, Spark as BIGINT; the
+    -- typed oracle hash needs the same family on both engines
+    SELECT CAST(SUM(step_1_visit) AS BIGINT) AS users_visit,
+           CAST(SUM(step_2_search) AS BIGINT) AS users_search,
+           CAST(SUM(step_3_click_recipe) AS BIGINT) AS users_click_recipe,
+           CAST(SUM(step_6_view_ads) AS BIGINT) AS users_view_ads,
+           CAST(SUM(step_7_click_ads) AS BIGINT) AS users_click_ads
     FROM extended_ads_funnel
 )
 SELECT '1. Visit Site' AS funnel_step, users_visit AS users,
@@ -502,8 +506,9 @@ _register(
 WITH ads_performance AS (
     SELECT u.user_segment, u.ab_test_group,
            COUNT(DISTINCT f.user_dim_key) AS total_users,
-           SUM(CASE WHEN e.event_name = 'view_ads' THEN 1 ELSE 0 END) AS total_ad_views,
-           SUM(CASE WHEN e.event_name = 'click_ads' THEN 1 ELSE 0 END) AS total_ad_clicks,
+           -- CAST: DuckDB SUM(int) is HUGEINT, Spark BIGINT — align families
+           CAST(SUM(CASE WHEN e.event_name = 'view_ads' THEN 1 ELSE 0 END) AS BIGINT) AS total_ad_views,
+           CAST(SUM(CASE WHEN e.event_name = 'click_ads' THEN 1 ELSE 0 END) AS BIGINT) AS total_ad_clicks,
            COUNT(DISTINCT CASE WHEN e.event_name = 'view_ads' THEN f.user_dim_key END) AS users_viewed_ads,
            COUNT(DISTINCT CASE WHEN e.event_name = 'click_ads' THEN f.user_dim_key END) AS users_clicked_ads
     FROM fact_user_events f

@@ -78,11 +78,22 @@ _DRIVER_VERIFIED = frozenset(
         "doc_vocab_topk", "doc_bigram_topk", "doc_repetition_stats",
         "doc_length_histogram", "doc_sequence_packing", "event_props_pii_scrub",
         "doc_chunking", "doc_tfidf_topk", "doc_shuffle_shards",
-        # doc_ngram_jaccard_pairs / doc_minhash_lsh_pairs /
-        # doc_simhash_pairs / wau_sketch_rollup deliberately ABSENT in
-        # r06: their output arithmetic or oracle changed this round
-        # (floor-form jaccard; sketch rows-only checks upgraded to hash
-        # oracles), so the driver window re-checks them.
+        # r06 hash-green (CORRECTNESS_r06.json): the r05 rotations that
+        # came back green, plus the rows-only→hash-oracle upgrades.
+        # Deliberately ABSENT so they head the r07 driver window: the
+        # two r06 reds (signup_conversion_survival,
+        # dish_interactions_grouping_sets — oracle dtype fixed r07) and
+        # the other four grouping-sets siblings whose SQL changed r07
+        # (grouping() set-disambiguation; integer-unit engagement avg).
+        "wau_sketch_rollup", "purchase_multitouch_attribution",
+        "doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs",
+        "doc_simhash_pairs", "doc_incremental_minhash_dedup",
+        "doc_fuzzy_dedup_e2e", "doc_vocab_heavy_hitters_approx",
+        "copurchase_pagerank", "doc_image_decode_fake",
+        "doc_weighted_sample", "doc_stratified_weighted_sample",
+        "user_loyalty_balance", "dau_approx",
+        "event_value_percentiles_approx", "embed_lsh_ann", "embed_ivf_ann",
+        "embed_pq_ann", "embed_semantic_dedup",
         "doc_stats_by_lang", "doc_exact_dedup", "doc_fingerprint", "doc_quality",
         "doc_langid", "doc_token_counts", "doc_dedup_groups",
         "doc_train_val_split", "doc_stratified_sample",

@@ -69,10 +69,12 @@ def wau_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"""
         SELECT week_start,
-               CASE WHEN seg IS NOT NULL THEN 'AB_GROUP'
-                    WHEN event_type IS NOT NULL THEN 'EVENT_TYPE'
+               CASE WHEN grouping(seg) = 0 THEN 'AB_GROUP'
+                    WHEN grouping(event_type) = 0 THEN 'EVENT_TYPE'
                     ELSE 'TOTAL' END AS segment_type,
-               coalesce(seg, event_type, 'ALL') AS segment_value,
+               CASE WHEN grouping(seg) = 0 THEN seg
+                    WHEN grouping(event_type) = 0 THEN event_type
+                    ELSE 'ALL' END AS segment_value,
                count(DISTINCT user_id) AS wau
         FROM (SELECT {_WEEK} AS week_start, event_type, {_AB_SEG} AS seg, user_id
               FROM events)
@@ -109,8 +111,8 @@ def events_per_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
         sf_dir,
         f"""
         SELECT hour,
-               CASE WHEN seg IS NOT NULL THEN 'AB_GROUP' ELSE 'TOTAL' END AS segment_type,
-               coalesce(seg, 'ALL') AS segment_value,
+               CASE WHEN grouping(seg) = 0 THEN 'AB_GROUP' ELSE 'TOTAL' END AS segment_type,
+               CASE WHEN grouping(seg) = 0 THEN seg ELSE 'ALL' END AS segment_value,
                count(*) AS event_count,
                count(DISTINCT user_id) AS unique_users
         FROM (SELECT CAST(hour(ts) AS INT) AS hour, {_AB_SEG} AS seg, user_id
@@ -124,21 +126,32 @@ def events_per_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     "daily_engagement_grouping_sets",
     oracle=f"""
     WITH base AS (
-        SELECT CAST(isodow(ts) AS INT) AS day_of_week, {_AB_SEG} AS seg, value
+        SELECT CAST(isodow(ts) AS INT) AS day_of_week, {_AB_SEG} AS seg,
+               -- quantize to integer micro-units so the sum is a BIGINT
+               -- (order-invariant across partitions); double summation
+               -- order + engine round() tie rules otherwise make the
+               -- 2-dp hash flake with partition count.
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_u
         FROM events
     )
     SELECT day_of_week, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
-           round(avg(value), 2) AS avg_engagement,
+           floor(CAST(sum(value_u) AS DOUBLE) / (10000.0 * count(*)) + 0.5)
+               / 100.0 AS avg_engagement,
            CAST(count(*) AS BIGINT) AS total_events
     FROM base GROUP BY day_of_week
     UNION ALL
-    SELECT day_of_week, 'AB_GROUP', seg, round(avg(value), 2),
+    SELECT day_of_week, 'AB_GROUP', seg,
+           floor(CAST(sum(value_u) AS DOUBLE) / (10000.0 * count(*)) + 0.5)
+               / 100.0,
            CAST(count(*) AS BIGINT)
     FROM base GROUP BY day_of_week, seg
     """,
     doc="daily_engagement_score.sql's weekday TOTAL + segment AVG "
     "ladder as one GROUPING SETS pass (AVG metric instead of counts); "
-    "oracle is the UNION ALL form.",
+    "oracle is the UNION ALL form. The engagement average is computed "
+    "from an exact BIGINT micro-unit sum (order-invariant) then "
+    "coarsened to 2 dp via floor(x*100+0.5)/100 — identical IEEE ops "
+    "in both engines, unlike round() whose tie rules differ.",
     tags=("agg", "grouping-sets"),
 )
 def daily_engagement_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,11 +160,16 @@ def daily_engagement_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFram
         sf_dir,
         f"""
         SELECT day_of_week,
-               CASE WHEN seg IS NOT NULL THEN 'AB_GROUP' ELSE 'TOTAL' END AS segment_type,
-               coalesce(seg, 'ALL') AS segment_value,
-               round(avg(value), 2) AS avg_engagement,
+               CASE WHEN grouping(seg) = 0 THEN 'AB_GROUP' ELSE 'TOTAL' END AS segment_type,
+               CASE WHEN grouping(seg) = 0 THEN seg ELSE 'ALL' END AS segment_value,
+               -- CAST floor() to DOUBLE before /100.0: Spark types the
+               -- 100.0 literal as DECIMAL, and BIGINT/DECIMAL yields a
+               -- DECIMAL column ('45.920000') where DuckDB emits DOUBLE.
+               CAST(floor(CAST(sum(value_u) AS DOUBLE) / (10000.0 * count(*)) + 0.5)
+                    AS DOUBLE) / 100.0 AS avg_engagement,
                count(*) AS total_events
-        FROM (SELECT CAST(weekday(ts) + 1 AS INT) AS day_of_week, {_AB_SEG} AS seg, value
+        FROM (SELECT CAST(weekday(ts) + 1 AS INT) AS day_of_week, {_AB_SEG} AS seg,
+                     CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_u
               FROM events)
         GROUP BY GROUPING SETS ((day_of_week), (day_of_week, seg))
         """,
@@ -188,8 +206,8 @@ def pages_views_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"""
         SELECT page_name,
-               CASE WHEN seg IS NOT NULL THEN 'AB_GROUP' ELSE 'TOTAL' END AS segment_type,
-               coalesce(seg, 'ALL') AS segment_value,
+               CASE WHEN grouping(seg) = 0 THEN 'AB_GROUP' ELSE 'TOTAL' END AS segment_type,
+               CASE WHEN grouping(seg) = 0 THEN seg ELSE 'ALL' END AS segment_value,
                count(*) AS page_views,
                count(DISTINCT user_id) AS unique_visitors
         FROM (SELECT concat('page_', CAST(CAST(get_json_object(props, '$.k') AS INT) % 5 AS STRING)) AS page_name,
@@ -213,14 +231,18 @@ def pages_views_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dish_type, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
            CAST(count(*) AS BIGINT) AS interactions,
            count(DISTINCT o_custkey) AS unique_customers,
-           floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0 + 0.5) AS revenue_whole
+           -- outer CAST to BIGINT: DuckDB floor() returns DOUBLE while
+           -- Spark's floor() returns BIGINT; the driver's typed hash
+           -- treats 85 vs 85.0 as a mismatch even when values agree
+           -- (this was the r06 driver red — a type bug, not FP drift).
+           CAST(floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 0.5) AS BIGINT) AS revenue_whole
     FROM base GROUP BY dish_type
     UNION ALL
     SELECT dish_type, 'PRIORITY', seg, CAST(count(*) AS BIGINT),
            count(DISTINCT o_custkey),
-           floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0 + 0.5)
+           CAST(floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 0.5) AS BIGINT)
     FROM base GROUP BY dish_type, seg
     """,
     doc="interactions_per_dish_type.sql's dim-join + segment stack as "
@@ -238,8 +260,8 @@ def dish_interactions_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFra
         sf_dir,
         """
         SELECT dish_type,
-               CASE WHEN seg IS NOT NULL THEN 'PRIORITY' ELSE 'TOTAL' END AS segment_type,
-               coalesce(seg, 'ALL') AS segment_value,
+               CASE WHEN grouping(seg) = 0 THEN 'PRIORITY' ELSE 'TOTAL' END AS segment_type,
+               CASE WHEN grouping(seg) = 0 THEN seg ELSE 'ALL' END AS segment_value,
                count(*) AS interactions,
                count(DISTINCT o_custkey) AS unique_customers,
                floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))

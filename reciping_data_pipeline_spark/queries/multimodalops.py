@@ -189,3 +189,48 @@ def doc_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wav = multimodal.synthesize_wav(docs, "doc_id", "amp", "frames")
     return multimodal.decode_wav(wav, "doc_id", "wav_bytes")
+
+
+@query(
+    "doc_png_roundtrip",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 32 + 8 AS w, n_chars % 32 + 8 AS h
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           3 AS n_channels,
+           8 AS bit_depth,
+           -- exact integer sum of every RGB sample of the gradient
+           -- image pixel(x,y) = ((id+x)%256, (id+y)%256, (x+y)%256),
+           -- recomputed from first principles via lateral ranges (the
+           -- oracle never touches PNG bytes — only the decoder's
+           -- arithmetic contract). CAST: DuckDB sums to HUGEINT.
+           CAST(sum((d.doc_id + x.range) % 256
+                    + (d.doc_id + y.range) % 256
+                    + (x.range + y.range) % 256) AS BIGINT) AS pixel_sum
+    FROM d, range(0, 40) x, range(0, 40) y
+    WHERE x.range < d.w AND y.range < d.h
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+    doc="REAL image codec round-trip (stdlib zlib/struct, no Pillow): "
+    "synthesize spec-compliant 8-bit RGB PNGs per doc — chunk CRCs, "
+    "zlib IDAT, row filters cycling through ALL five PNG filter types "
+    "(None/Sub/Up/Average/Paeth) — then decode them back with a true "
+    "parser (CRC verification, inflate, filter reconstruction) and "
+    "hash-match every decoded feature including the exact integer sum "
+    "of all reconstructed samples against a closed-form oracle. The "
+    "image sibling of doc_wav_roundtrip: the multimodal mapInPandas "
+    "plumbing carries a genuine image decoder end-to-end.",
+    tags=("multimodal", "image", "codec"),
+)
+def doc_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(32)) + 8).alias("w"),
+        (F.pmod(F.col("n_chars"), F.lit(32)) + 8).alias("h"),
+    )
+    png = multimodal.synthesize_png(docs, "doc_id", "w", "h")
+    return multimodal.decode_png(png, "doc_id", "png_bytes")

@@ -868,10 +868,14 @@ def event_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
         SELECT t, d, leaving,
-               (SELECT count(*) FROM u) 
+               -- CAST to BIGINT: DuckDB types a windowed sum(BIGINT) as
+               -- HUGEINT, and the driver's typed hash distinguishes
+               -- HUGEINT from Spark's BIGINT even when values are equal
+               -- (the r04-r06 driver reds were exactly this, not FP drift).
+               CAST((SELECT count(*) FROM u)
                    - coalesce(sum(leaving) OVER (ORDER BY t
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS n_at_risk
+                   AS BIGINT) AS n_at_risk
         FROM per_t
     ),
     fac AS (

@@ -221,7 +221,12 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is < 1e-3 per pair and the seeded sketch is deterministic — "
     "verified stable at sf0.001/0.01/0.1) AND zero false positives "
     "(candidates are exact-verified). An upgrade from the rows-only "
-    "check this sketch query carried through r01-r05.",
+    "check this sketch query carried through r01-r05. Recall contract "
+    "caveat: band buckets over max_bucket (1000) are dropped before "
+    "pair expansion; since r07 that drop is REPORTED, not silent — "
+    "minhash_lsh_pairs(overflow_report=...) fills (bucket_count, "
+    "overflow_buckets, overflow_member_mass) and warns on overflow "
+    "(zero on this corpus, asserted by the planted telemetry test).",
     tags=("text", "dedup", "bench"),
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

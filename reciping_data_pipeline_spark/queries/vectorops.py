@@ -300,6 +300,47 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_incremental_semantic_dedup",
+    oracle="""
+    SELECT vec_id + 1000000000 AS vec_id, TRUE AS is_dup,
+           vec_id AS matched_id, CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id % 2 = 0
+    UNION ALL
+    SELECT vec_id, FALSE, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM embeddings WHERE vec_id % 2 = 1
+    """,
+    doc="Incremental SemDeDup: a delta batch probed against a CELLED "
+    "corpus through its persisted centroid codebook "
+    "(operators/similarity.py incremental_semantic_dedup) — the "
+    "embedding sibling of doc_incremental_minhash_dedup: the corpus is "
+    "never re-clustered or cross-joined, only the delta is assigned "
+    "and compared within its cell. Planted-contract oracle: corpus = "
+    "even-id vectors, delta = every odd-id vector (novel — max organic "
+    "cosine < 0.9 < the 0.95 threshold at every SF, verified) plus an "
+    "exact copy of every corpus vector at vec_id + 1e9 (same cell by "
+    "construction, must match its original at cosine 1.0), so every "
+    "output row is exactly predictable.",
+    tags=("vector", "dedup", "incremental"),
+)
+def embed_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus_raw = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1).unionAll(
+        corpus_raw.select(
+            (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding"
+        )
+    )
+    cent = similarity.fit_spherical_centroids(
+        corpus_raw, vec_col="embedding", id_col="vec_id", n_cells=16,
+        sample=2048, seed=17,
+    )
+    corpus = similarity.assign_cells(corpus_raw, cent, vec_col="embedding")
+    return similarity.incremental_semantic_dedup(
+        delta, corpus, cent, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+
+
+@query(
     "embed_dim_variance_topk",
     oracle="""
     SELECT i AS dim,

@@ -148,6 +148,119 @@ def start_corpus_stream(
     return writer.start()
 
 
+def start_semantic_dedup_corpus_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    corpus_dir: str,
+    centroids_dir: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming vector-corpus ingest with cross-batch SEMANTIC
+    (embedding-cosine) dedup — the SemDeDup sibling of
+    ``start_near_dup_corpus_stream``: each micro-batch of vectors is
+    exact-deduped in-batch, assigned to cells under the persisted
+    centroid codebook, compared within-cell against the celled corpus
+    (``operators.similarity.incremental_semantic_dedup``), and
+    survivors append to the corpus WITH their cell assignment — the
+    corpus table doubles as the cell index, so the next batch probes
+    the grown corpus without re-clustering or rescanning it.
+
+    Bootstrap: the first non-empty batch fits the codebook
+    (spherical k-means on its own vectors) and commits it to
+    ``centroids_dir``; every later batch loads it unchanged — cell ids
+    stay stable for the life of the corpus (re-fit = rebuild, exactly
+    like re-sharding the MinHash band index).
+
+    Redelivery safety: unlike the text stream there is only ONE
+    data-table commit per batch (corpus+cells together), so no
+    inter-append crash window exists; a re-offered vector whose batch
+    committed is dropped by an exact-fingerprint anti-join
+    (sha256 of the JSON-serialized vector, stored in the corpus —
+    catches even zero-norm vectors cosine can't flag) and, independently,
+    by cosine 1.0 ≥ threshold within its own cell. The centroids commit
+    can crash before the corpus commit on the bootstrap batch only —
+    replay then reuses the committed codebook (same fit, same batch)
+    and commits the corpus.
+
+    Scale: state lives in the corpus table + O(cells × dim) codebook;
+    assignment is a narrow Arrow pass over the delta; the probe join
+    shuffles only the delta against a cell-bucketed corpus."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from reciping_data_pipeline_spark.operators import similarity
+    from reciping_data_pipeline_spark.sources import writers
+
+    schema = "vec_id long, embedding array<double>"
+    raw = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("pathGlobFilter", "*.jsonl")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = raw.load(incoming_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        in_batch = (
+            batch_df.withColumn(
+                "fingerprint", F.sha2(F.to_json(F.col("embedding")), 256)
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("fingerprint").orderBy("vec_id")),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            cent = similarity.centroids_from_df(writers.read_table(sess, centroids_dir))
+        except AnalysisException:
+            cent = similarity.fit_spherical_centroids(
+                in_batch, vec_col="embedding", id_col="vec_id",
+                n_cells=n_cells, sample=4 * n_cells, seed=17,
+            )
+            writers.overwrite_table(similarity.centroids_to_df(sess, cent), centroids_dir)
+        try:
+            corpus = writers.read_table(sess, corpus_dir)
+        except AnalysisException:
+            corpus = sess.createDataFrame(
+                [], schema + ", cell int, fingerprint string"
+            )
+        fresh = in_batch.join(
+            corpus.select("fingerprint"), on="fingerprint", how="left_anti"
+        )
+        verdicts = similarity.incremental_semantic_dedup(
+            fresh, corpus, cent, id_col="vec_id", vec_col="embedding",
+            threshold=threshold,
+        )
+        survivors = fresh.join(
+            verdicts.where(~F.col("is_dup")).select("vec_id"), on="vec_id", how="left_semi"
+        )
+        celled = similarity.assign_cells(survivors, cent, vec_col="embedding")
+        out = celled.select("vec_id", "embedding", "cell", "fingerprint")
+        if not out.isEmpty():
+            writers.append_table(out, corpus_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_near_dup_corpus_stream(
     spark: SparkSession,
     incoming_dir: str,
@@ -168,11 +281,27 @@ def start_near_dup_corpus_stream(
     table AND their band postings append to the index table, so the
     next batch probes the grown corpus without rescanning it.
 
-    Exactly-once corpus growth under redelivery: a re-offered doc is an
-    exact copy of its committed twin → Jaccard 1.0 ≥ threshold → dup →
-    dropped. State lives in the two tables (corpus + index), not the
-    state store — a restart resumes from checkpoint + tables alone.
-    Scale: probe shuffles O(batch × bands) vs the (bucketable) index;
+    Redelivery safety (foreachBatch is at-least-once, and the two
+    appends are separate non-atomic commits):
+
+    - A re-offered doc whose batch fully committed is dropped by TWO
+      independent guards: an exact-fingerprint anti-join against the
+      corpus (the corpus table stores each doc's fingerprint; catches
+      even docs too short to shingle), and the MinHash path (exact
+      copy → Jaccard 1.0 ≥ threshold → dup).
+    - The index postings are committed BEFORE the corpus rows. A crash
+      between the two appends therefore leaves orphan index postings,
+      never orphan corpus docs: on replay the fingerprint guard passes
+      (doc not in corpus), the candidate's corpus-text semi-join drops
+      the orphan match, and the doc commits exactly one corpus row plus
+      duplicate postings — which are harmless (candidate generation is
+      DISTINCT on the id pair) and only cost index bytes. The reverse
+      order would commit duplicate corpus DOCS on replay, a correctness
+      loss for a dedup engine.
+
+    State lives in the two tables (corpus + index), not the state
+    store — a restart resumes from checkpoint + tables alone. Scale:
+    probe shuffles O(batch × bands) vs the (bucketable) index;
     verification reads corpus text only for candidate ids (bucket the
     corpus on doc_id to make that read partition-pruned)."""
     import pyspark.sql.functions as F
@@ -200,34 +329,49 @@ def start_near_dup_corpus_stream(
             return
         sess = batch_df.sparkSession
         # in-batch exact dedup first (cheap): keep the min id per
-        # fingerprint so a batch carrying its own copies can't commit two
+        # fingerprint so a batch carrying its own copies can't commit
+        # two. The fingerprint is kept — it is stored in the corpus and
+        # doubles as the redelivery guard below.
         in_batch = (
-            batch_df.withColumn("_fp", text_fns.fingerprint(F.col("text")))
+            batch_df.withColumn("fingerprint", text_fns.fingerprint(F.col("text")))
             .withColumn(
                 "_rn",
-                F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
+                F.row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")),
             )
             .where(F.col("_rn") == 1)
-            .drop("_fp", "_rn")
+            .drop("_rn")
         )
         try:
             corpus = writers.read_table(sess, corpus_dir)
             index = writers.read_table(sess, index_dir)
         except AnalysisException:
-            corpus = sess.createDataFrame([], schema)
+            corpus = sess.createDataFrame([], schema + ", fingerprint string")
             index = sess.createDataFrame([], "id long, band_idx int, band_hash long")
-        verdicts = dedup_ops.incremental_minhash_dedup(
-            in_batch, corpus, index, "doc_id", "text", threshold=threshold
+        # Redelivery guard: a doc whose earlier delivery fully committed
+        # is dropped here by exact fingerprint — independent of the
+        # MinHash path, so even docs too short to shingle (which the
+        # Jaccard verifier can never flag) are replay-idempotent.
+        fresh = in_batch.join(
+            corpus.select("fingerprint"), on="fingerprint", how="left_anti"
         )
-        survivors = in_batch.join(
+        verdicts = dedup_ops.incremental_minhash_dedup(
+            fresh, corpus, index, "doc_id", "text", threshold=threshold
+        )
+        survivors = fresh.join(
             verdicts.where(~F.col("is_dup")).select("doc_id"), on="doc_id", how="left_semi"
-        ).persist()
+        ).localCheckpoint(eager=False)
         if not survivors.isEmpty():
-            writers.append_table(survivors.select("doc_id", "source", "text"), corpus_dir)
+            # Index FIRST: a crash between these two appends must leave
+            # orphan postings (harmless — candidates are DISTINCT and the
+            # corpus-text semi-join drops orphan matches), never an
+            # unindexed corpus doc, whose future near-dups would probe
+            # past it forever and whose replay would commit a duplicate.
             writers.append_table(
                 dedup_ops.build_minhash_index(survivors, "doc_id", "text"), index_dir
             )
-        survivors.unpersist()
+            writers.append_table(
+                survivors.select("doc_id", "source", "text", "fingerprint"), corpus_dir
+            )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

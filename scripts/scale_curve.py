@@ -1,0 +1,183 @@
+"""Measured scale curve for the dedup/ANN families (SCALE.md evidence).
+
+Builds 1x/3x/10x replicas of the sf0.1 documents/embeddings tables
+(deterministic perturbed copies — distinct content, similar shingle and
+vector profiles) and measures, per scale point:
+
+- exact_dedup over the whole corpus            (expect near-linear)
+- build_minhash_index over the whole corpus    (one-time, linear)
+- incremental_minhash_dedup of a FIXED delta   (must track delta, not corpus)
+- ivf_topk / pq_topk with a FIXED query set    (probe cost, sublinear)
+
+Each measurement reports wall seconds (2nd run, warm) and the delta of
+cumulative executor shuffle bytes (AppStatusStore executorList) — the
+quantity that decides 100 TB viability. Prints a markdown table for
+SCALE.md plus one JSON line.
+
+Usage: python scripts/scale_curve.py [--sf /root/testdata/sf0.1]
+       [--scales 1,3,10] [--out-dir /tmp/spark_graft_scale_curve]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from reciping_data_pipeline_spark.operators import dedup, similarity  # noqa: E402
+from reciping_data_pipeline_spark.session import get_spark  # noqa: E402
+from reciping_data_pipeline_spark.tables import load_table  # noqa: E402
+
+
+def _shuffle_bytes(spark) -> int:
+    it = spark._jsc.sc().statusStore().executorList(False).iterator()
+    total = 0
+    while it.hasNext():
+        total += it.next().totalShuffleWrite()
+    return total
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(spark, build, runs: int = 2) -> tuple[float, int]:
+    """(warm wall sec, shuffle byte delta of the warm run). ``build``
+    returns a fresh DataFrame per call so nothing is cached between
+    runs."""
+    wall = 0.0
+    sb = 0
+    for _ in range(runs):
+        b0 = _shuffle_bytes(spark)
+        t0 = time.perf_counter()
+        _noop(build())
+        wall = time.perf_counter() - t0
+        sb = _shuffle_bytes(spark) - b0
+    return round(wall, 2), sb
+
+
+def replicate_docs(docs, k: int):
+    """k perturbed copies: shifted ids, per-copy suffix keeps every text
+    distinct (no degenerate dedup) while preserving the length/shingle
+    profile."""
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" s{i} "), F.col("doc_id").cast("string")).alias("text"),
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def replicate_vecs(emb, k: int):
+    """k perturbed copies: shifted ids, deterministic per-copy offset
+    rotates each vector slightly so copies are distinct directions."""
+
+    def perturb(i: int):
+        # factory, not a defaulted lambda: HOF lambdas with default args
+        # are misread as the (element, index) arity by pyspark
+        return lambda x, j: x + F.lit(0.02 * i) * F.cos(j.cast("double") + F.lit(float(i)))
+
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.transform(F.col("embedding"), perturb(i)).alias("embedding"),
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--out-dir", default="/tmp/spark_graft_scale_curve")
+    ap.add_argument("--delta-docs", type=int, default=500)
+    ap.add_argument("--queries", type=int, default=64)
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    spark = get_spark(app_name="scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_docs = load_table(spark, args.sf, "documents").select("doc_id", "text")
+    base_emb = load_table(spark, args.sf, "embeddings").select("vec_id", "embedding")
+
+    # fixed-size workloads, identical at every scale point
+    delta = base_docs.limit(args.delta_docs).select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+        F.concat(F.lit("delta "), F.col("text")).alias("text"),
+    ).localCheckpoint()
+    queries = base_emb.limit(args.queries).localCheckpoint()
+
+    results: list[dict] = []
+    for k in scales:
+        root = os.path.join(args.out_dir, f"x{k}")
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        docs_path = os.path.join(root, "documents.parquet")
+        emb_path = os.path.join(root, "embeddings.parquet")
+        idx_path = os.path.join(root, "minhash_index.parquet")
+        replicate_docs(base_docs, k).repartition(32).write.parquet(docs_path)
+        replicate_vecs(base_emb, k).repartition(32).write.parquet(emb_path)
+        docs = spark.read.parquet(docs_path)
+        emb = spark.read.parquet(emb_path)
+        n_docs, n_vecs = docs.count(), emb.count()
+
+        point: dict = {"scale": k, "n_docs": n_docs, "n_vecs": n_vecs}
+        point["exact_dedup_sec"], point["exact_dedup_shuffle"] = _timed(
+            spark, lambda: dedup.exact_dedup(docs, "doc_id", "text")
+        )
+        # one-time index build (linear in corpus, amortized over deltas)
+        t0 = time.perf_counter()
+        dedup.build_minhash_index(docs, "doc_id", "text").write.mode("overwrite").parquet(idx_path)
+        point["index_build_sec"] = round(time.perf_counter() - t0, 2)
+        index = spark.read.parquet(idx_path)
+        # the claim under test: probing a FIXED delta must cost ~the
+        # delta + index-join, not a corpus rescan
+        point["incr_probe_sec"], point["incr_probe_shuffle"] = _timed(
+            spark,
+            lambda: dedup.incremental_minhash_dedup(delta, docs, index, "doc_id", "text"),
+        )
+        point["ivf_sec"], point["ivf_shuffle"] = _timed(
+            spark,
+            lambda: similarity.ivf_topk(emb, queries, k=5, n_cells=8 * k, nprobe=2),
+        )
+        point["pq_sec"], point["pq_shuffle"] = _timed(
+            spark,
+            lambda: similarity.pq_topk(emb, queries, dim=64, m=8, k_codes=16, k=5),
+        )
+        results.append(point)
+        print(json.dumps(point), flush=True)
+
+    print("\n| scale | docs | exact_dedup s / MB | index build s | incr probe (fixed delta) s / MB | IVF s / MB | PQ s / MB |")
+    print("|---|---|---|---|---|---|---|")
+    for p in results:
+        print(
+            f"| {p['scale']}x | {p['n_docs']:,} "
+            f"| {p['exact_dedup_sec']} / {p['exact_dedup_shuffle'] / 1e6:.1f} "
+            f"| {p['index_build_sec']} "
+            f"| {p['incr_probe_sec']} / {p['incr_probe_shuffle'] / 1e6:.1f} "
+            f"| {p['ivf_sec']} / {p['ivf_shuffle'] / 1e6:.1f} "
+            f"| {p['pq_sec']} / {p['pq_shuffle'] / 1e6:.1f} |"
+        )
+    print(json.dumps({"metric": "scale_curve", "points": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

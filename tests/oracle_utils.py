@@ -37,6 +37,66 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _type_family(t: str) -> str:
+    """Collapse an engine type name to the family the driver's typed
+    value-hash distinguishes: 85 (int) vs 85.0 (float) vs 85.00
+    (decimal) format differently even when numerically equal, and
+    DuckDB's HUGEINT (windowed sum(BIGINT), count products) is NOT
+    hash-equal to Spark's BIGINT. The r04-r06 `signup_conversion_
+    survival` / r06 `dish_interactions_grouping_sets` driver reds were
+    exactly this class — values equal, type tag different — and cost
+    three rounds of misdirected floating-point work."""
+    t = t.lower().strip()
+    if t.endswith("[]") or t.startswith(("array", "list")):
+        return "array"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("char", "varchar")) or t in ("string", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith(("struct", "row")):
+        return "struct"
+    if t.startswith("map"):
+        return "map"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
+             "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("hugeint", "uhugeint"):
+        return "hugeint"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t in ("binary", "blob", "bytea", "varbinary"):
+        return "binary"
+    return t
+
+
+def assert_dtype_parity(
+    spark_df: DataFrame, con: duckdb.DuckDBPyConnection, oracle_sql: str, name: str = "query"
+) -> None:
+    """Bind (not execute) the oracle in DuckDB and assert each output
+    column's type FAMILY matches the Spark schema. HUGEINT and DECIMAL
+    deliberately mismatch against int/float: the driver hashes typed/
+    formatted values, so `85` vs `85.0` vs `85.00` all hash apart."""
+    rel = con.sql(oracle_sql)
+    duck_types = {c: _type_family(str(t)) for c, t in zip(rel.columns, rel.types)}
+    spark_types = {
+        f.name: _type_family(f.dataType.simpleString()) for f in spark_df.schema.fields
+    }
+    mismatches = {
+        c: (spark_types.get(c), duck_types.get(c))
+        for c in sorted(set(duck_types) | set(spark_types))
+        if spark_types.get(c) != duck_types.get(c)
+    }
+    assert not mismatches, (
+        f"{name}: oracle/Spark output dtype-family mismatch (spark, duckdb): "
+        f"{mismatches} — equal values with different type tags still fail the "
+        "driver's typed hash; CAST the oracle (or the Spark side) so families agree"
+    )
+
+
 def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -48,6 +108,7 @@ def _values_equal(a, b) -> bool:
 def compare_to_oracle(
     spark_df: DataFrame, con: duckdb.DuckDBPyConnection, oracle_sql: str, name: str = "query"
 ) -> None:
+    assert_dtype_parity(spark_df, con, oracle_sql, name)
     got = _canon(spark_df.toPandas())
     want = _canon(con.execute(oracle_sql).fetchdf())
     assert list(got.columns) == list(want.columns), (

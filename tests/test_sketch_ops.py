@@ -199,6 +199,42 @@ def test_degenerate_bucket_capped_not_exploded(spark):
     )
     assert uncapped.count() == 50 * 49 // 2  # all identical pairs found
 
+
+def test_bucket_overflow_is_reported_not_silent(spark, planted_docs):
+    """The max_bucket cap loses candidate recall on degenerate corpora,
+    so it must be REPORTED: overflow_report fills with the dropped
+    bucket count + member mass (and a warning fires). On a clean
+    fixture the same telemetry reports zero overflow — the no-silent-
+    caps contract in both directions."""
+    import warnings
+
+    boiler = "lorem ipsum dolor sit amet " * 10
+    rows = [(i, boiler) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    report: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket=10,
+            overflow_report=report,
+        ).count()
+    # 50 identical docs share every band bucket: all 16 overflow
+    assert report["overflow_buckets"] == 16
+    assert report["overflow_member_mass"] == 16 * 50
+    assert report["bucket_count"] == 16
+    assert any("recall" in str(w.message) for w in caught)
+
+    clean: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.minhash_lsh_pairs(
+            planted_docs, "doc_id", "text", threshold=0.8, overflow_report=clean
+        ).count()
+    assert clean["overflow_buckets"] == 0
+    assert clean["overflow_member_mass"] == 0
+    assert clean["bucket_count"] > 0  # the planted dups do share buckets
+    assert not any("recall" in str(w.message) for w in caught)
+
 def test_fit_sample_deterministic_across_partitionings(clustered_vectors):
     """The bottom-k-by-hash codebook fit sample is content-addressed:
     identical vectors (and order) regardless of how the corpus is
@@ -384,5 +420,67 @@ def test_bucketed_band_index_probe_shuffles_only_delta(spark, planted_docs, tmp_
     # the index side reads its buckets directly: exactly ONE exchange
     # in the join (the delta side), and the index scan advertises its
     # bucketed output partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_incremental_semantic_dedup_delta_vs_celled_corpus(spark, clustered_vectors):
+    """The embedding sibling of the incremental minhash probe: a delta
+    checked against a CELLED corpus through the persisted codebook must
+    flag exact copies (matched to the right vector at cosine 1.0) and
+    near-copies, and pass far vectors through with the (-1, 0.0)
+    sentinel."""
+    corpus_raw = clustered_vectors.where(F.col("vec_id") < 100)
+    cent = similarity.fit_spherical_centroids(
+        corpus_raw, vec_col="embedding", id_col="vec_id", n_cells=4, sample=64, seed=11
+    )
+    corpus = similarity.assign_cells(corpus_raw, cent, vec_col="embedding")
+    base = {r["vec_id"]: r["embedding"] for r in corpus_raw.where(F.col("vec_id").isin(3, 7)).collect()}
+    near7 = [float(x) + 0.001 for x in base[7]]
+    far = [float(-x) * 3.0 for x in base[3]]
+    delta = spark.createDataFrame(
+        [(5000, base[3]), (5001, near7), (5002, far)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["is_dup"], r["matched_id"], r["cosine"])
+        for r in similarity.incremental_semantic_dedup(
+            delta, corpus, cent, threshold=0.95
+        ).collect()
+    }
+    assert got[5000] == (True, 3, 1.0)
+    is_dup, matched, cos = got[5001]
+    assert is_dup and matched == 7 and cos >= 0.95
+    assert got[5002] == (False, -1, 0.0)
+
+
+def test_cell_bucketed_semantic_probe_shuffles_only_delta(spark, clustered_vectors, tmp_path):
+    """100 TB posture of incremental semantic dedup: with the celled
+    corpus persisted BUCKETED on cell, the delta probe join must not
+    exchange the corpus side — only the delta shuffles."""
+    from reciping_data_pipeline_spark.sources import bucketing
+
+    corpus_raw = clustered_vectors.where(F.col("vec_id") < 100)
+    cent = similarity.fit_spherical_centroids(
+        corpus_raw, vec_col="embedding", id_col="vec_id", n_cells=4, sample=64, seed=11
+    )
+    celled = similarity.assign_cells(corpus_raw, cent, vec_col="embedding")
+    bucketing.write_bucketed(
+        celled, "semantic_corpus_bucketed", str(tmp_path / "sem_corpus"),
+        ["cell"], n_buckets=4,
+    )
+    corpus = bucketing.read_bucketed(spark, "semantic_corpus_bucketed")
+    delta = similarity.assign_cells(
+        clustered_vectors.where(F.col("vec_id") >= 100), cent, vec_col="embedding"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = delta.alias("d").join(corpus.alias("c"), on="cell")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Bucketed: true" in plan, plan
