@@ -149,6 +149,28 @@ def bucket_overflow_stats(
     )
 
 
+def _report_overflow(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int,
+    overflow_report: dict, op: str,
+) -> None:
+    """Fill ``overflow_report`` from :func:`bucket_overflow_stats` (one
+    eager O(1) control-plane collect of a one-row aggregate) and warn
+    when the ``max_bucket`` cap dropped anything."""
+    stats = bucket_overflow_stats(keyed, key_cols, max_bucket).first()
+    overflow_report.update(stats.asDict())
+    if overflow_report["overflow_buckets"]:
+        import warnings
+
+        warnings.warn(
+            f"{op}: {overflow_report['overflow_buckets']} bucket(s) over "
+            f"max_bucket={max_bucket} dropped "
+            f"({overflow_report['overflow_member_mass']} member postings) — "
+            "candidate recall is reduced; raise max_bucket or pre-filter "
+            "boilerplate",
+            stacklevel=3,
+        )
+
+
 def _bucket_pairs(
     keyed: DataFrame, key_cols: list[str], payload: Column, max_bucket: int
 ) -> DataFrame:
@@ -241,19 +263,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
     )
     if overflow_report is not None:
-        stats = bucket_overflow_stats(keyed, ["band_idx", "band_hash"], max_bucket).first()
-        overflow_report.update(stats.asDict())
-        if overflow_report["overflow_buckets"]:
-            import warnings
-
-            warnings.warn(
-                f"minhash_lsh_pairs: {overflow_report['overflow_buckets']} band "
-                f"bucket(s) over max_bucket={max_bucket} dropped "
-                f"({overflow_report['overflow_member_mass']} member postings) — "
-                "candidate recall is reduced; raise max_bucket or pre-filter "
-                "boilerplate",
-                stacklevel=2,
-            )
+        _report_overflow(
+            keyed, ["band_idx", "band_hash"], max_bucket, overflow_report,
+            "minhash_lsh_pairs",
+        )
     cand = _bucket_pairs(
         keyed, ["band_idx", "band_hash"], F.struct(F.col("id")), max_bucket
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -266,10 +279,18 @@ def minhash_lsh_pairs(
     # Verification re-tokenizes ONLY candidate docs: semi-join the raw
     # corpus down to candidate ids first, then recompute shingles on
     # that (tiny) subset — not two more full-corpus shingle passes.
+    # The id set is explicitly broadcast: after the persist/checkpoint
+    # Catalyst has no stats for it, and a stats-blind planner falls
+    # back to a sort-merge semi join that SHUFFLES THE WHOLE CORPUS —
+    # measured growing linearly with corpus size in scale_curve.py.
+    # Candidate counts are LSH-bounded (that is the point of LSH), so
+    # broadcast is safe at any corpus scale.
     raw = df.select(F.col(id_col), F.col(text_col))
-    cand_ids = cand.select(F.col("id_a").alias(id_col)).union(
-        cand.select(F.col("id_b").alias(id_col))
-    ).distinct()
+    cand_ids = F.broadcast(
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     cand_docs = with_shingles(raw.join(cand_ids, on=id_col, how="left_semi"), text_col, shingle_k)
     sets_a = cand_docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a"))
     sets_b = cand_docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b"))
@@ -295,6 +316,7 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    overflow_report: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -302,7 +324,9 @@ def simhash_pairs(
     max_hamming+1 blocks; any pair within distance d must agree on at
     least one block (exact recall). Each block bucket carries
     (id, simhash) structs so the Hamming verification happens on the
-    pair row without another corpus pass.
+    pair row without another corpus pass. ``overflow_report`` (optional
+    dict) reports the ``max_bucket`` cap's dropped buckets — the same
+    no-silent-recall-loss contract as ``minhash_lsh_pairs``.
     """
     n_blocks = max_hamming + 1
     block_bits = 64 // n_blocks
@@ -326,6 +350,11 @@ def simhash_pairs(
             )
         ).alias("blk"),
     ).select("blk.block_idx", "blk.block_val", "id", "simhash")
+    if overflow_report is not None:
+        _report_overflow(
+            keyed, ["block_idx", "block_val"], max_bucket, overflow_report,
+            "simhash_pairs",
+        )
     pairs = _bucket_pairs(
         keyed,
         ["block_idx", "block_val"],
@@ -350,14 +379,21 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    overflow_report: dict | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via shingle inversion (recall = 1).
+    """Exact n-gram Jaccard pairs via shingle inversion (recall = 1*).
 
     explode(shingles) -> per-shingle postings bucket -> in-bucket pair
     expansion -> count shared shingles per pair -> re-attach per-doc
     set sizes -> Jaccard. Shuffle volume is the postings list, not
     doc x doc. A length-ratio prefilter (min/max set size >= threshold
     is necessary for J >= threshold) prunes before the division.
+
+    *The recall-1 claim holds only while no shingle's postings list
+    exceeds ``max_bucket`` (a 5-gram shared by >1000 docs is corpus
+    boilerplate; dropping it undercounts intersections for pairs that
+    share it). ``overflow_report`` (optional dict) reports that drop —
+    zero overflow certifies the exact-recall contract for the run.
     """
     docs = with_shingles(spread(df), text_col, shingle_k).select(
         F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("set_size")
@@ -366,6 +402,10 @@ def ngram_jaccard_pairs(
         F.explode("shingles").alias("shingle"),
         F.struct(F.col("doc").alias("id"), F.col("set_size")).alias("member"),
     )
+    if overflow_report is not None:
+        _report_overflow(
+            postings, ["shingle"], max_bucket, overflow_report, "ngram_jaccard_pairs"
+        )
     # Per-shingle buckets; every co-occurrence of a pair contributes
     # one row, so counting rows per pair == |A intersect B|.
     buckets = (
@@ -689,9 +729,15 @@ def incremental_minhash_dedup(
         .select(F.col("d.id").alias("new_id"), F.col("i.id").alias("corpus_id"))
         .distinct()
     ).localCheckpoint(eager=False)
+    # Candidate-id sets are explicitly broadcast: the checkpoint strips
+    # stats, and a stats-blind planner turns the corpus-side semi join
+    # into a sort-merge join that shuffles the WHOLE corpus (measured
+    # linear in corpus size in scale_curve.py — the exact rescan this
+    # operator exists to avoid). Candidates are probe-bounded, so the
+    # broadcast is small at any corpus scale.
     new_sets = with_shingles(
         new_docs.join(
-            cand.select(F.col("new_id").alias(id_col)).distinct(),
+            F.broadcast(cand.select(F.col("new_id").alias(id_col)).distinct()),
             on=id_col,
             how="left_semi",
         ),
@@ -700,7 +746,7 @@ def incremental_minhash_dedup(
     ).select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_new"))
     corp_sets = with_shingles(
         corpus.join(
-            cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+            F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
             on=id_col,
             how="left_semi",
         ),

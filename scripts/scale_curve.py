@@ -117,10 +117,19 @@ def main() -> int:
     base_docs = load_table(spark, args.sf, "documents").select("doc_id", "text")
     base_emb = load_table(spark, args.sf, "embeddings").select("vec_id", "embedding")
 
-    # fixed-size workloads, identical at every scale point
+    # fixed-size workloads, identical at every scale point. Two deltas:
+    # - matching: near-copies of base docs — candidates (and thus the
+    #   verification work) grow with how many corpus variants exist;
+    # - novel: token-REVERSED base docs (reversal destroys every 5-gram
+    #   shingle) — ~zero candidates, isolating the pure index-probe
+    #   cost, where the bucketed layout's exchange elision shows up.
     delta = base_docs.limit(args.delta_docs).select(
         (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
         F.concat(F.lit("delta "), F.col("text")).alias("text"),
+    ).localCheckpoint()
+    delta_novel = base_docs.limit(args.delta_docs).select(
+        (F.col("doc_id") + F.lit(950_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))).alias("text"),
     ).localCheckpoint()
     queries = base_emb.limit(args.queries).localCheckpoint()
 
@@ -153,6 +162,26 @@ def main() -> int:
             spark,
             lambda: dedup.incremental_minhash_dedup(delta, docs, index, "doc_id", "text"),
         )
+        # novel delta (zero matches) against the plain vs BUCKETED index:
+        # candidates vanish, so the shuffle left is the probe join itself
+        # — the bucketed layout elides the index side's exchange and its
+        # bytes should stop growing with the corpus
+        from reciping_data_pipeline_spark.sources import bucketing
+
+        point["novel_probe_sec"], point["novel_probe_shuffle"] = _timed(
+            spark,
+            lambda: dedup.incremental_minhash_dedup(delta_novel, docs, index, "doc_id", "text"),
+        )
+        tbl = f"scale_curve_band_index_x{k}"
+        bucketing.write_bucketed(
+            spark.read.parquet(idx_path), tbl, os.path.join(root, "index_bucketed"),
+            ["band_idx", "band_hash"], n_buckets=32,
+        )
+        bindex = bucketing.read_bucketed(spark, tbl)
+        point["novel_probe_bucketed_sec"], point["novel_probe_bucketed_shuffle"] = _timed(
+            spark,
+            lambda: dedup.incremental_minhash_dedup(delta_novel, docs, bindex, "doc_id", "text"),
+        )
         point["ivf_sec"], point["ivf_shuffle"] = _timed(
             spark,
             lambda: similarity.ivf_topk(emb, queries, k=5, n_cells=8 * k, nprobe=2),
@@ -164,14 +193,16 @@ def main() -> int:
         results.append(point)
         print(json.dumps(point), flush=True)
 
-    print("\n| scale | docs | exact_dedup s / MB | index build s | incr probe (fixed delta) s / MB | IVF s / MB | PQ s / MB |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| scale | docs | exact_dedup s / MB | index build s | incr probe (matching delta) s / MB | novel probe plain s / MB | novel probe bucketed s / MB | IVF s / MB | PQ s / MB |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for p in results:
         print(
             f"| {p['scale']}x | {p['n_docs']:,} "
             f"| {p['exact_dedup_sec']} / {p['exact_dedup_shuffle'] / 1e6:.1f} "
             f"| {p['index_build_sec']} "
             f"| {p['incr_probe_sec']} / {p['incr_probe_shuffle'] / 1e6:.1f} "
+            f"| {p['novel_probe_sec']} / {p['novel_probe_shuffle'] / 1e6:.1f} "
+            f"| {p['novel_probe_bucketed_sec']} / {p['novel_probe_bucketed_shuffle'] / 1e6:.1f} "
             f"| {p['ivf_sec']} / {p['ivf_shuffle'] / 1e6:.1f} "
             f"| {p['pq_sec']} / {p['pq_shuffle'] / 1e6:.1f} |"
         )

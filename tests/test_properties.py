@@ -187,6 +187,32 @@ def test_png_decoder_rejects_corruption_and_reads_foreign_shapes():
     assert (w, h, ch, depth, psum) == (4, 2, 4, 8, 10 * 4 * 4 * 2)
 
 
+def test_decode_image_real_png_path(spark):
+    """decode_image without fake=True decodes PNG-signatured bytes with
+    the REAL decoder (dimensions + mean luma from reconstructed pixels)
+    through the same Arrow kernel the stub uses; non-PNG bytes raise
+    inside the kernel rather than returning stub garbage."""
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    from reciping_data_pipeline_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, multimodal.synth_png_bytes(1, 10, 4)),
+         (2, multimodal.synth_png_bytes(2, 8, 8))],
+        "doc_id long, media_bytes binary",
+    )
+    got = {r["doc_id"]: r for r in multimodal.decode_image(df, "doc_id", "media_bytes").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (10, 4, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (8, 8, 3)
+    _, _, _, _, psum = multimodal.decode_png_bytes(multimodal.synth_png_bytes(1, 10, 4))
+    assert got[1]["mean_luma"] == f"{round(psum / (10 * 4 * 3) / 255.0, 4):.4f}"
+
+    not_png = spark.createDataFrame([(3, b"just text bytes")], "doc_id long, media_bytes binary")
+    with _pytest.raises(PythonException, match="PNG only"):
+        multimodal.decode_image(not_png, "doc_id", "media_bytes").collect()
+
+
 @given(
     names=st.lists(
         st.sampled_from("abcdefgh"), min_size=1, max_size=8, unique=True

@@ -235,6 +235,22 @@ def test_bucket_overflow_is_reported_not_silent(spark, planted_docs):
     assert clean["bucket_count"] > 0  # the planted dups do share buckets
     assert not any("recall" in str(w.message) for w in caught)
 
+    # the same hook on the simhash and exact-ngram families: the
+    # boilerplate corpus overflows both bucketing schemes, and the
+    # report certifies (or refutes) each operator's recall contract
+    sim_report: dict = {}
+    dedup.simhash_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket=10,
+        overflow_report=sim_report,
+    ).count()
+    assert sim_report["overflow_buckets"] >= 4  # all 4 pigeonhole blocks
+    ngram_report: dict = {}
+    dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket=10,
+        overflow_report=ngram_report,
+    ).count()
+    assert ngram_report["overflow_buckets"] > 0  # shared boilerplate shingles
+
 def test_fit_sample_deterministic_across_partitionings(clustered_vectors):
     """The bottom-k-by-hash codebook fit sample is content-addressed:
     identical vectors (and order) regardless of how the corpus is
