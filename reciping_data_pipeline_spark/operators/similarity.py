@@ -250,9 +250,14 @@ def incremental_semantic_dedup(
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    # Project to the skinny triple BEFORE the window: the rank exchange
+    # repartitions every column of its input, and candidate rows carry
+    # both vector payloads (~1 KB/row vs ~24 B) — measured ~50x the
+    # shuffle bytes at sf0.1 when the vectors rode through.
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("sim_rank", F.row_number().over(w).cast("int"))
+        pairs.select("query_id", "neighbor_id", "cosine_sim")
+        .withColumn("sim_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sim_rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "sim_rank")
     )
@@ -326,6 +331,7 @@ def lsh_ann_topk(
     num_planes: int = 12,
     num_tables: int = 6,
     round_dp: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
 
@@ -333,8 +339,15 @@ def lsh_ann_topk(
     least one table; exact cosine re-ranks candidates. Recall rises
     with num_tables and falls with num_planes; 6 tables x 12 bits
     gives high recall on clustered embeddings while keeping buckets
-    small. The bucket equi-join shuffles O(rows x tables) rows — at
-    100 TB this replaces the quadratic corpus x query scan.
+    small.
+
+    Scale shape: with ``broadcast_queries`` (default — the ANN probe
+    regime, |queries| ≪ corpus) the corpus NEVER shuffles: its postings
+    are semi-pruned map-side to live buckets, the candidate join
+    broadcasts the query postings, and only skinny
+    (query, neighbor, cosine) rows ride the dedup/rank exchanges. For a
+    huge query set pass False (planner picks a shuffle join) or chunk
+    the queries — an unbounded broadcast would OOM executors.
     """
     sig_c = with_lsh_signature(
         corpus, vec_col=vec_col, dim=dim, num_planes=num_planes, num_tables=num_tables
@@ -350,14 +363,31 @@ def lsh_ann_topk(
         F.col(vec_col).alias("query_vec"),
         F.posexplode("sigs").alias("table_idx", "sig"),
     )
-    cand = (
-        sig_c.join(sig_q, on=["table_idx", "sig"])
+    # Prune corpus postings to buckets some query occupies BEFORE the
+    # exchange: the raw bucket join would hash-shuffle every corpus
+    # (table, sig) posting WITH its vector payload; the distinct query
+    # bucket set is |queries| x tables tiny rows, broadcastable, and
+    # after the map-side semi join only corpus rows in live buckets
+    # ride the candidate exchange.
+    if broadcast_queries:
+        sig_q = F.broadcast(sig_q)
+    q_buckets = sig_q.select("table_idx", "sig").distinct()
+    c_pruned = sig_c.join(F.broadcast(q_buckets), on=["table_idx", "sig"], how="left_semi")
+    # Cosine is computed ON the join row and the vectors dropped before
+    # the pair dedup: dropDuplicates repartitions its whole input, and
+    # pair rows carrying two vectors are ~1 KB vs 24 B skinny — the
+    # duplicate-bucket recompute of a few dot products is far cheaper
+    # than shuffling payloads (a pair duplicated across tables yields
+    # the identical rounded cosine, so keeping any row is equivalent).
+    pairs = (
+        c_pruned.join(sig_q, on=["table_idx", "sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_vec", "neighbor_id", "cand_vec")
+        .withColumn(
+            "cosine_sim",
+            F.round(vectors.cosine(F.col("query_vec"), F.col("cand_vec")), round_dp),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    pairs = cand.withColumn(
-        "cosine_sim", F.round(vectors.cosine(F.col("query_vec"), F.col("cand_vec")), round_dp)
     )
     return _ranked(pairs, k)
 
@@ -375,6 +405,7 @@ def ivf_topk(
     seed: int = 5,
     kmeans_iters: int = 8,
     round_dp: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) cells.
 
@@ -385,8 +416,12 @@ def ivf_topk(
     closest cells; candidates re-ranked by exact cosine.
 
     Scale shape: the corpus is scanned once to assign cells (no
-    shuffle — the cell id is a narrow derived column); the candidate
-    join exchanges O(rows_in_probed_cells) instead of rows x queries.
+    shuffle — the cell id is a narrow derived column), semi-pruned
+    map-side to the probed cells, and with ``broadcast_queries``
+    (default — the probe regime, |queries| ≪ corpus) the candidate
+    join broadcasts the queries so the corpus NEVER shuffles; only
+    skinny (query, neighbor, cosine) rows ride the dedup/rank
+    exchanges. For a huge query set pass False or chunk the queries.
     The fit sample is a bottom-k hash reservoir (``fit_sample_vectors``)
     — bounded driver collect, deterministic across partitionings.
     """
@@ -420,14 +455,30 @@ def ivf_topk(
         F.col(vec_col).alias("query_vec"),
         F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
-    cand = (
-        c.join(q, on="cell")
+    # Prune the corpus to the probed cells BEFORE any exchange: a plain
+    # join on cell hash-shuffles EVERY corpus row (vectors included) —
+    # the probed-cell filter would only apply after the exchange, and
+    # scale_curve.py measured that shuffle growing linearly with the
+    # corpus. The distinct probed-cell set is ≤ n_cells rows, so the
+    # broadcast semi join prunes map-side and the candidate join then
+    # exchanges O(rows_in_probed_cells), as the contract states.
+    if broadcast_queries:
+        q = F.broadcast(q)
+    probed = q.select("cell").distinct()
+    c_pruned = c.join(F.broadcast(probed), on="cell", how="left_semi")
+    # Cosine computed on the join row, vectors dropped before the pair
+    # dedup — only skinny (query, neighbor, cosine) rows shuffle (see
+    # lsh_ann_topk; a pair duplicated across probed cells produces the
+    # identical rounded cosine, so dedup-after-compute is equivalent).
+    pairs = (
+        c_pruned.join(q, on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_vec", "neighbor_id", "cand_vec")
+        .withColumn(
+            "cosine_sim",
+            F.round(vectors.cosine(F.col("query_vec"), F.col("cand_vec")), round_dp),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    pairs = cand.withColumn(
-        "cosine_sim", F.round(vectors.cosine(F.col("query_vec"), F.col("cand_vec")), round_dp)
     )
     return _ranked(pairs, k)
 
