@@ -275,7 +275,12 @@ def minhash_lsh_pairs(
     # join); without persist Spark re-executes that pass per branch
     # (measured 2-3x wall). Candidate pairs are tiny at any corpus
     # scale — LSH exists to make them so — hence safe to cache.
-    cand = cand.persist()
+    # localCheckpoint, NOT persist: persist() registers in the session
+    # CacheManager and is never released without an explicit unpersist
+    # this lazy API cannot provide; checkpoint blocks are reclaimed by
+    # the ContextCleaner once the caller's handles are GC'd (same
+    # reasoning as incremental_minhash_dedup below).
+    cand = cand.localCheckpoint(eager=False)
     # Verification re-tokenizes ONLY candidate docs: semi-join the raw
     # corpus down to candidate ids first, then recompute shingles on
     # that (tiny) subset — not two more full-corpus shingle passes.
