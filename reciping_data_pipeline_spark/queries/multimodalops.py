@@ -234,3 +234,74 @@ def doc_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     png = multimodal.synthesize_png(docs, "doc_id", "w", "h")
     return multimodal.decode_png(png, "doc_id", "png_bytes")
+
+
+# The YCbCr forward+inverse chain as SQL, mirroring multimodal.py
+# _rgb_to_ycbcr/_ycbcr_to_rgb term-for-term: every constant is written
+# in eN notation (DuckDB types bare decimals as DECIMAL, which would
+# change the arithmetic), every rounding is floor(x + 0.5), and every
+# clamp is least/greatest — identical IEEE ops in both engines.
+_JPEG_YCBCR_SQL = """
+        SELECT doc_id, w, h,
+               least(255e0, greatest(0e0,
+                   floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0))) AS y,
+               least(255e0, greatest(0e0,
+                   floor(128e0 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0))) AS cb,
+               least(255e0, greatest(0e0,
+                   floor(128e0 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0))) AS cr
+        FROM colors
+"""
+
+
+@query(
+    "doc_jpeg_roundtrip",
+    oracle=f"""
+    WITH colors AS (
+        SELECT doc_id,
+               doc_id % 24 + 8 AS w, n_chars % 24 + 8 AS h,
+               CAST(doc_id % 256 AS DOUBLE) AS r,
+               CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+               CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+        FROM documents
+    ),
+    ycc AS ({_JPEG_YCBCR_SQL}),
+    rgb AS (
+        SELECT doc_id, w, h,
+               least(255e0, greatest(0e0,
+                   floor(y + 1.402e0 * (cr - 128e0) + 0.5e0))) AS r2,
+               least(255e0, greatest(0e0,
+                   floor(y - 0.344136e0 * (cb - 128e0) - 0.714136e0 * (cr - 128e0) + 0.5e0))) AS g2,
+               least(255e0, greatest(0e0,
+                   floor(y + 1.772e0 * (cb - 128e0) + 0.5e0))) AS b2
+        FROM ycc
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           3 AS n_channels,
+           CAST(w * h * (r2 + g2 + b2) AS BIGINT) AS pixel_sum
+    FROM rgb
+    """,
+    doc="REAL baseline-JPEG codec round-trip (stdlib+numpy, no codec "
+    "library): per doc, a solid-color image is encoded as a "
+    "spec-complete JFIF stream (SOI/APP0/DQT/SOF0/DHT/SOS, float DCT, "
+    "all-ones quantization, DC-differential + AC run-length Huffman "
+    "with byte stuffing) and decoded back by a true baseline decoder "
+    "(embedded-table Huffman decode, dequant, IDCT, YCbCr->RGB). "
+    "Constant blocks make the DCT chain integer-exact, so the oracle "
+    "predicts every decoded pixel by mirroring the YCbCr float chain "
+    "term-for-term in SQL (eN double constants, floor(x+0.5), "
+    "least/greatest clamps). The third real codec (WAV, PNG, JPEG) on "
+    "the same mapInPandas plumbing; lossy-path fidelity is covered by "
+    "the noise-image bounded-error property test.",
+    tags=("multimodal", "image", "codec"),
+)
+def doc_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(256)).alias("r"),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).alias("g"),
+        F.pmod(F.col("doc_id") * 13, F.lit(256)).alias("b"),
+        (F.pmod(F.col("doc_id"), F.lit(24)) + 8).alias("w"),
+        (F.pmod(F.col("n_chars"), F.lit(24)) + 8).alias("h"),
+    )
+    jpg = multimodal.synthesize_jpeg(docs, "doc_id", "r", "g", "b", "w", "h")
+    return multimodal.decode_jpeg(jpg, "doc_id", "jpeg_bytes")

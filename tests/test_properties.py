@@ -187,6 +187,65 @@ def test_png_decoder_rejects_corruption_and_reads_foreign_shapes():
     assert (w, h, ch, depth, psum) == (4, 2, 4, 8, 10 * 4 * 4 * 2)
 
 
+@given(
+    r=st.integers(min_value=0, max_value=255),
+    g=st.integers(min_value=0, max_value=255),
+    b=st.integers(min_value=0, max_value=255),
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_codec_solid_round_trip_exact(r, g, b, width, height):
+    """The real baseline-JPEG codec round-trips solid colors EXACTLY
+    for any (color, w, h) including non-multiple-of-8 shapes (edge
+    replication + crop): constant blocks carry one DC coefficient whose
+    all-ones-quantization chain is integer-exact, so decoded pixels are
+    the deterministic YCbCr round trip of the input color."""
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg_bytes,
+        synth_jpeg_bytes,
+    )
+
+    w, h, nc, psum = decode_jpeg_bytes(synth_jpeg_bytes(r, g, b, width, height))
+    rr, gg, bb = _ycbcr_to_rgb(*_rgb_to_ycbcr(r, g, b))
+    assert (w, h, nc) == (width, height, 3)
+    assert psum == width * height * (rr + gg + bb)
+
+
+def test_jpeg_codec_arbitrary_image_bounded_error_and_rigor():
+    """General-encoder rigor: a full random image runs the complete
+    DCT / zigzag / run-length / Huffman path (AC coefficients, ZRL,
+    byte stuffing) and decodes with only coefficient-rounding loss
+    (mean abs error well under 1 per sample with all-ones tables);
+    truncated streams and non-baseline markers raise instead of
+    returning garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(9)
+    pix = rng.integers(0, 256, size=(21, 37, 3)).astype(float)
+    data = encode_jpeg_rgb(pix, 37, 21)
+    w, h, nc, psum = decode_jpeg_bytes(data)
+    assert (w, h, nc) == (37, 21, 3)
+    assert abs(psum - pix.sum()) / (37 * 21 * 3) < 0.1  # rounding only
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_bytes(b"not a jpeg")
+    # flip SOF0 into progressive SOF2: must refuse, not misdecode
+    bad = bytearray(data)
+    idx = bad.find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_bytes(bytes(bad))
+
+
 def test_decode_image_real_png_path(spark):
     """decode_image without fake=True decodes PNG-signatured bytes with
     the REAL decoder (dimensions + mean luma from reconstructed pixels)
@@ -209,7 +268,7 @@ def test_decode_image_real_png_path(spark):
     assert got[1]["mean_luma"] == f"{round(psum / (10 * 4 * 3) / 255.0, 4):.4f}"
 
     not_png = spark.createDataFrame([(3, b"just text bytes")], "doc_id long, media_bytes binary")
-    with _pytest.raises(PythonException, match="PNG only"):
+    with _pytest.raises(PythonException, match="PNG and baseline JPEG only"):
         multimodal.decode_image(not_png, "doc_id", "media_bytes").collect()
 
 
