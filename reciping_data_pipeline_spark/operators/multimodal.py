@@ -6,20 +6,25 @@ processed by Arrow-batched ``mapInPandas`` kernels — the pattern a
 Python sees them as zero-copy Arrow buffers in bounded batches, and
 every kernel is a per-partition map (no shuffle).
 
-Codec status: THREE real codecs, zero codec libraries. WAV (stdlib
+Codec status: FOUR real codecs, zero codec libraries. WAV (stdlib
 ``wave`` — genuine RIFF PCM16, every decoded feature oracle-matched),
-PNG since r07 (stdlib ``zlib``/``struct`` — spec-compliant chunks with
-verified CRCs, all five scanline filters reconstructed), and baseline
-JPEG since r07 (stdlib+numpy — full JFIF marker stream, float DCT,
-zigzag, DC-differential + AC run-length Huffman with byte stuffing;
-the decoder reads any baseline sequential 8-bit stream without
-subsampling via its embedded tables). :func:`decode_image` routes PNG-
-and JPEG-signatured bytes through the real decoders. Only video and
-exotic image formats remain STUBBED (no ffmpeg/Pillow in this
-container): those paths raise ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic fake decoder. The
-Spark plumbing — schema, batch iteration, column pruning, partition
-parallelism — is identical for real and stub kernels.
+PNG (stdlib ``zlib``/``struct`` — spec-compliant chunks with verified
+CRCs, all five scanline filters reconstructed), baseline JPEG
+(stdlib+numpy — full JFIF marker stream, float DCT, zigzag,
+DC-differential + AC run-length Huffman with byte stuffing; the
+decoder reads any baseline sequential 8-bit stream without subsampling
+via its embedded tables), and animated GIF89a (stdlib — real
+variable-width LZW with clear/end codes and sub-block framing; the
+MULTI-FRAME container, so frame sampling runs on actually-decoded
+frames and the sampling policy is a relational filter downstream of
+the codec). :func:`decode_image` routes PNG- and JPEG-signatured
+bytes through the real decoders; :func:`decode_gif_frames` is the
+real sibling of the byte-slice ``sample_frames`` stub. Only true
+video (mp4/h264) and exotic image formats remain STUBBED (no ffmpeg/
+Pillow in this container): those paths raise ``NotImplementedError``
+unless ``fake=True``. The Spark plumbing — schema, batch iteration,
+column pruning, partition parallelism — is identical for real and
+stub kernels.
 
 Design notes at scale:
 - metadata (lengths, hashes, formats) is computed JVM-side with
@@ -307,6 +312,244 @@ def synthesize_wav(
 
     return df.select(F.col(id_col), F.col(amp_col), F.col(frames_col)).mapInPandas(
         kernel, "doc_id long, wav_bytes binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# GIF89a codec — stdlib only. Real LZW compression/decompression (variable
+# code width, clear/end codes, LSB-first packing, 255-byte sub-blocks), a
+# global color table, and one image descriptor per frame: a genuine
+# MULTI-FRAME container, so frame sampling runs on actually-decoded frames
+# instead of byte-slice stubs. Lossless, hence integer-exact round trips.
+
+GIF_PALETTE_BITS = 6  # 64-entry global color table
+GIF_PALETTE_SIZE = 1 << GIF_PALETTE_BITS
+
+
+def _gif_palette() -> list[tuple[int, int, int]]:
+    return [((i * 3) % 256, (i * 5) % 256, (i * 7) % 256) for i in range(GIF_PALETTE_SIZE)]
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, width)
+    seq: tuple = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (idx,)
+    if seq:
+        put(table[seq], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+
+    def get(w: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(w):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += w
+        return v
+
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    total_bits = len(data) * 8
+    while pos + width <= total_bits:
+        code = get(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the cScSc special case
+        else:
+            raise ValueError(f"GIF LZW: invalid code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def synth_gif_bytes(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """REAL animated-GIF89a encoder (stdlib only): ``n_frames`` frames
+    of the deterministic pattern index(x, y, f) = (doc_id + f + x + y)
+    mod 64 over a fixed 64-entry palette, LZW-compressed per frame with
+    a graphics-control extension each. Lossless — decode recovers every
+    index exactly, so all frame features are closed-form."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (GIF_PALETTE_BITS - 1) << 4 | (GIF_PALETTE_BITS - 1), 0, 0])
+    for r, g, b in _gif_palette():
+        out += bytes((r, g, b))
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10 cs delay
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        indices = [
+            (doc_id + f + x + y) % GIF_PALETTE_SIZE
+            for y in range(height)
+            for x in range(width)
+        ]
+        out.append(GIF_PALETTE_BITS)  # LZW min code size
+        payload = _lzw_encode(indices, GIF_PALETTE_BITS)
+        for lo in range(0, len(payload), 255):
+            chunk = payload[lo : lo + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames_bytes(data: bytes) -> list[tuple[int, int, int, int]]:
+    """REAL GIF decoder (stdlib only): header + logical screen + global
+    color table, extension skipping, per-frame image descriptors
+    (local color tables honored), LZW decompression. Returns one tuple
+    per frame: (frame_idx, width, height, rgb_sum) where rgb_sum is
+    the exact integer sum of every decoded pixel's palette RGB.
+    Interlaced frames raise (scope: non-interlaced baseline GIFs)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    frames: list[tuple[int, int, int, int]] = []
+    saw_trailer = False
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
+        _left, _top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        iflags = data[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames unsupported")
+        palette = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        mcs = data[pos]
+        pos += 1
+        payload = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            payload += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(payload), mcs)
+        if len(indices) < w * h:
+            raise ValueError(f"GIF: frame under-decoded ({len(indices)} < {w * h})")
+        rgb_sum = sum(sum(palette[i]) for i in indices[: w * h])
+        frames.append((len(frames), w, h, rgb_sum))
+    if not saw_trailer:
+        raise ValueError("GIF: truncated stream (missing trailer)")
+    return frames
+
+
+def decode_gif_frames(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Per-row :func:`decode_gif_frames_bytes` as a 1:N Arrow kernel —
+    REAL multi-frame extraction on the same generator contract the
+    stub ``sample_frames`` uses; downstream sampling (every-nth frame,
+    frame caps) is then a relational filter, not codec logic."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                for frame_idx, w, h, rgb_sum in decode_gif_frames_bytes(bytes(b)):
+                    rows.append((int(i), frame_idx, w, h, rgb_sum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "rgb_sum"]
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        kernel, "doc_id long, frame_idx int, width int, height int, rgb_sum long"
+    )
+
+
+def synthesize_gif(
+    df: DataFrame, id_col: str, w_col: str, h_col: str, frames_col: str
+) -> DataFrame:
+    """Per-row :func:`synth_gif_bytes` as an Arrow kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), synth_gif_bytes(int(i), int(w), int(h), int(nf)))
+                for i, w, h, nf in zip(
+                    pdf[id_col], pdf[w_col], pdf[h_col], pdf[frames_col]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "gif_bytes"])
+
+    return df.select(F.col(id_col), F.col(w_col), F.col(h_col), F.col(frames_col)).mapInPandas(
+        kernel, "doc_id long, gif_bytes binary"
     )
 
 

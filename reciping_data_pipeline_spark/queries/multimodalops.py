@@ -236,6 +236,55 @@ def doc_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_png(png, "doc_id", "png_bytes")
 
 
+@query(
+    "doc_gif_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % 16 + 8 AS w, n_chars % 16 + 8 AS h,
+               doc_id % 4 + 2 AS nf
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(f.range AS INT) AS frame_idx,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           -- palette color i = (3i%256, 5i%256, 7i%256); pixel index =
+           -- (doc_id + frame + x + y) % 64 — the exact pattern the
+           -- encoder writes and LZW losslessly round-trips
+           CAST(sum(((d.doc_id + f.range + x.range + y.range) % 64 * 3) % 256
+                    + ((d.doc_id + f.range + x.range + y.range) % 64 * 5) % 256
+                    + ((d.doc_id + f.range + x.range + y.range) % 64 * 7) % 256)
+                AS BIGINT) AS rgb_sum
+    FROM d, range(0, 6) f, range(0, 24) x, range(0, 24) y
+    WHERE f.range < d.nf AND f.range % 2 = 0
+      AND x.range < d.w AND y.range < d.h
+    GROUP BY d.doc_id, f.range, d.w, d.h
+    """,
+    doc="REAL animated-GIF codec + frame sampling (stdlib LZW, no "
+    "codec library): per doc, a multi-frame GIF89a is encoded (global "
+    "color table, per-frame graphics-control extensions, variable-"
+    "width LZW with sub-block framing) and decoded back frame-by-frame "
+    "by a true LZW decoder; every-2nd-frame sampling is then a "
+    "RELATIONAL filter over the 1:N decoded rows — codec and sampling "
+    "policy decoupled, unlike the byte-slice stub. GIF is lossless, so "
+    "each frame's palette-RGB pixel sum is closed-form and the oracle "
+    "recomputes it from first principles. The fourth real codec (WAV, "
+    "PNG, JPEG, GIF) on the same mapInPandas plumbing.",
+    tags=("multimodal", "video", "codec"),
+)
+def doc_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(16)) + 8).alias("w"),
+        (F.pmod(F.col("n_chars"), F.lit(16)) + 8).alias("h"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 2).alias("nf"),
+    )
+    gif = multimodal.synthesize_gif(docs, "doc_id", "w", "h", "nf")
+    frames = multimodal.decode_gif_frames(gif, "doc_id", "gif_bytes")
+    return frames.where(F.pmod(F.col("frame_idx"), F.lit(2)) == 0)
+
+
 # The YCbCr forward+inverse chain as SQL, mirroring multimodal.py
 # _rgb_to_ycbcr/_ycbcr_to_rgb term-for-term: every constant is written
 # in eN notation (DuckDB types bare decimals as DECIMAL, which would

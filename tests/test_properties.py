@@ -246,6 +246,79 @@ def test_jpeg_codec_arbitrary_image_bounded_error_and_rigor():
         decode_jpeg_bytes(bytes(bad))
 
 
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**12),
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    n_frames=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_codec_round_trip_exact(doc_id, width, height, n_frames):
+    """The real GIF LZW codec round-trips every frame exactly (GIF is
+    lossless): frame count, dimensions, and per-frame palette-RGB sums
+    all match the closed form, for any (id, w, h, frames) including
+    1x1 frames and dictionary-reset-sized images."""
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        GIF_PALETTE_SIZE,
+        _gif_palette,
+        decode_gif_frames_bytes,
+        synth_gif_bytes,
+    )
+
+    pal = _gif_palette()
+    frames = decode_gif_frames_bytes(synth_gif_bytes(doc_id, width, height, n_frames))
+    assert len(frames) == n_frames
+    for f, (fi, w, h, rgb_sum) in enumerate(frames):
+        assert (fi, w, h) == (f, width, height)
+        want = sum(
+            sum(pal[(doc_id + f + x + y) % GIF_PALETTE_SIZE])
+            for y in range(height)
+            for x in range(width)
+        )
+        assert rgb_sum == want
+
+
+def test_gif_decoder_rigor():
+    """Decoder rigor: the LZW path survives a dictionary-growth-heavy
+    noise frame (code widths 7→12), bad signatures and truncated
+    streams raise, and a hand-built foreign GIF (local color table,
+    87a signature) decodes with its own palette."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        GIF_PALETTE_BITS,
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_frames_bytes,
+        synth_gif_bytes,
+    )
+
+    rng = random.Random(4)
+    noise = [rng.randrange(64) for _ in range(64 * 64)]
+    assert _lzw_decode(_lzw_encode(noise, GIF_PALETTE_BITS), GIF_PALETTE_BITS) == noise
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif_frames_bytes(b"NOTAGIF")
+    data = synth_gif_bytes(5, 10, 10, 2)
+    with _pytest.raises((ValueError, IndexError)):
+        decode_gif_frames_bytes(data[: len(data) // 2])
+
+    # foreign file: GIF87a, no global table, 4-entry LOCAL color table
+    lct = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    idx = [0, 1, 2, 3] * 4  # 4x4 frame
+    payload = _lzw_encode(idx, 2)
+    foreign = (
+        b"GIF87a" + struct.pack("<HH", 4, 4) + bytes([0, 0, 0])
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0x80 | 1])
+        + lct + bytes([2, len(payload)]) + payload + b"\x00\x3b"
+    )
+    frames = decode_gif_frames_bytes(foreign)
+    assert frames == [(0, 4, 4, 4 * (255 + 255 + 255 + 27))]
+
+
 def test_decode_image_real_png_path(spark):
     """decode_image without fake=True decodes PNG-signatured bytes with
     the REAL decoder (dimensions + mean luma from reconstructed pixels)
