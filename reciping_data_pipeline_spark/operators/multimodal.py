@@ -17,14 +17,18 @@ via its embedded tables), and animated GIF89a (stdlib — real
 variable-width LZW with clear/end codes and sub-block framing; the
 MULTI-FRAME container, so frame sampling runs on actually-decoded
 frames and the sampling policy is a relational filter downstream of
-the codec). :func:`decode_image` routes PNG- and JPEG-signatured
-bytes through the real decoders; :func:`decode_gif_frames` is the
-real sibling of the byte-slice ``sample_frames`` stub. Only true
-video (mp4/h264) and exotic image formats remain STUBBED (no ffmpeg/
-Pillow in this container): those paths raise ``NotImplementedError``
-unless ``fake=True``. The Spark plumbing — schema, batch iteration,
-column pruning, partition parallelism — is identical for real and
-stub kernels.
+the codec), plus a real AVI/MJPEG VIDEO container (RIFF mux/demux
+whose frame payloads run through the baseline-JPEG codec —
+:func:`decode_video_frames` does genuine per-frame video decode).
+:func:`decode_image` routes PNG- and JPEG-signatured bytes through
+the real decoders; :func:`decode_gif_frames` /
+:func:`decode_video_frames` are the real siblings of the byte-slice
+``sample_frames`` stub. Only non-MJPEG video compression (h264 etc.)
+and exotic image formats remain STUBBED (no ffmpeg/Pillow in this
+container): those paths raise ``NotImplementedError`` unless
+``fake=True``. The Spark plumbing — schema, batch iteration, column
+pruning, partition parallelism — is identical for real and stub
+kernels.
 
 Design notes at scale:
 - metadata (lengths, hashes, formats) is computed JVM-side with
@@ -550,6 +554,128 @@ def synthesize_gif(
 
     return df.select(F.col(id_col), F.col(w_col), F.col(h_col), F.col(frames_col)).mapInPandas(
         kernel, "doc_id long, gif_bytes binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# AVI/MJPEG video — stdlib only. A real RIFF container mux/demux whose frame
+# payloads are genuine baseline JPEGs (the codec above): actual VIDEO frame
+# decode, not a byte-slice stub. Scope: 'vids'/'MJPG' single-stream AVIs,
+# '00dc'/'00db' movi chunks, even-byte chunk padding.
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(payload) % 2 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def synth_avi_mjpeg_bytes(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """REAL AVI (RIFF) muxer (stdlib only): ``n_frames`` MJPEG frames,
+    each a spec-complete baseline JPEG of the solid color derived from
+    (doc_id + frame). Emits hdrl (avih + strl/strh/strf) and the movi
+    LIST with even-padded '00dc' chunks — a stream any AVI demuxer
+    walks. Solid frames are integer-exact through the JPEG chain, so
+    every decoded frame feature is closed-form."""
+    import struct
+
+    frames = []
+    for f in range(n_frames):
+        c = doc_id + f
+        frames.append(synth_jpeg_bytes(c % 256, (c * 7) % 256, (c * 13) % 256, width, height))
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0x10, n_frames, 0, 1, max(len(j) for j in frames),
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, 25, 0, n_frames, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<I2i2H", 40, width, height, 1, 24) + b"MJPG" + struct.pack(
+        "<Iii2I", width * height * 3, 0, 0, 0, 0
+    )
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", j) for j in frames))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_frames_bytes(data: bytes) -> list[tuple[int, int, int, int]]:
+    """REAL AVI demuxer + MJPEG frame decode (stdlib only): validates
+    the RIFF/'AVI ' envelope, walks LIST chunks to 'movi', and decodes
+    every '00dc'/'00db' payload with the baseline JPEG decoder.
+    Returns one tuple per frame: (frame_idx, width, height, pixel_sum).
+    Non-MJPEG payloads fail inside the JPEG decoder (bad SOI) rather
+    than decoding garbage."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_len)
+    frames: list[tuple[int, int, int, int]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            tag = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_lo = pos + 8
+            body_hi = body_lo + ln
+            if body_hi > hi:
+                raise ValueError("AVI: truncated chunk")
+            if tag == b"LIST":
+                list_type = data[body_lo : body_lo + 4]
+                if list_type in (b"movi", b"hdrl", b"rec "):
+                    walk(body_lo + 4, body_hi)
+            elif tag[2:4] in (b"dc", b"db") and ln:
+                w, h, _nc, psum = decode_jpeg_bytes(data[body_lo:body_hi])
+                frames.append((len(frames), w, h, psum))
+            pos = body_hi + (ln % 2)  # chunks pad to even byte counts
+    walk(12, end)
+    if not frames:
+        raise ValueError("AVI: no video frame chunks found")
+    return frames
+
+
+def decode_video_frames(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Per-row :func:`decode_avi_frames_bytes` as a 1:N Arrow kernel —
+    real video frame extraction (RIFF demux + JPEG decode per frame)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                for frame_idx, w, h, psum in decode_avi_frames_bytes(bytes(b)):
+                    rows.append((int(i), frame_idx, w, h, psum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "pixel_sum"]
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        kernel, "doc_id long, frame_idx int, width int, height int, pixel_sum long"
+    )
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str, w_col: str, h_col: str, frames_col: str
+) -> DataFrame:
+    """Per-row :func:`synth_avi_mjpeg_bytes` as an Arrow kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), synth_avi_mjpeg_bytes(int(i), int(w), int(h), int(nf)))
+                for i, w, h, nf in zip(
+                    pdf[id_col], pdf[w_col], pdf[h_col], pdf[frames_col]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "avi_bytes"])
+
+    return df.select(F.col(id_col), F.col(w_col), F.col(h_col), F.col(frames_col)).mapInPandas(
+        kernel, "doc_id long, avi_bytes binary"
     )
 
 

@@ -319,6 +319,62 @@ def test_gif_decoder_rigor():
     assert frames == [(0, 4, 4, 4 * (255 + 255 + 255 + 27))]
 
 
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**9),
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    n_frames=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_mjpeg_round_trip_exact(doc_id, width, height, n_frames):
+    """The AVI/MJPEG mux/demux round-trips exactly: RIFF chunk walk
+    (incl. odd-length JPEG payloads exercising even padding) recovers
+    every frame, and each solid MJPEG frame decodes to its closed-form
+    pixel sum through the real JPEG chain."""
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_avi_frames_bytes,
+        synth_avi_mjpeg_bytes,
+    )
+
+    frames = decode_avi_frames_bytes(synth_avi_mjpeg_bytes(doc_id, width, height, n_frames))
+    assert len(frames) == n_frames
+    for f, (fi, w, h, psum) in enumerate(frames):
+        c = doc_id + f
+        rr, gg, bb = _ycbcr_to_rgb(*_rgb_to_ycbcr(c % 256, (c * 7) % 256, (c * 13) % 256))
+        assert (fi, w, h, psum) == (f, width, height, width * height * (rr + gg + bb))
+
+
+def test_avi_demuxer_rigor():
+    """Demuxer rigor: bad signatures, truncated chunks, and frame-less
+    containers raise; a non-JPEG '00dc' payload fails inside the JPEG
+    decoder instead of producing garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from reciping_data_pipeline_spark.operators.multimodal import (
+        _riff_chunk,
+        decode_avi_frames_bytes,
+        synth_avi_mjpeg_bytes,
+    )
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi_frames_bytes(b"garbage bytes here")
+    data = synth_avi_mjpeg_bytes(1, 8, 8, 2)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi_frames_bytes(data[:-40])
+    empty = _riff_chunk(b"RIFF", b"AVI " + _riff_chunk(b"LIST", b"movi"))
+    with _pytest.raises(ValueError, match="no video frame"):
+        decode_avi_frames_bytes(empty)
+    bogus = _riff_chunk(
+        b"RIFF", b"AVI " + _riff_chunk(b"LIST", b"movi" + _riff_chunk(b"00dc", b"NOTJPEG"))
+    )
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_avi_frames_bytes(bogus)
+
+
 def test_decode_image_real_png_path(spark):
     """decode_image without fake=True decodes PNG-signatured bytes with
     the REAL decoder (dimensions + mean luma from reconstructed pixels)
