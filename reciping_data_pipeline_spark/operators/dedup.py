@@ -275,12 +275,18 @@ def minhash_lsh_pairs(
     # join); without persist Spark re-executes that pass per branch
     # (measured 2-3x wall). Candidate pairs are tiny at any corpus
     # scale — LSH exists to make them so — hence safe to cache.
-    # localCheckpoint, NOT persist: persist() registers in the session
-    # CacheManager and is never released without an explicit unpersist
-    # this lazy API cannot provide; checkpoint blocks are reclaimed by
-    # the ContextCleaner once the caller's handles are GC'd (same
-    # reasoning as incremental_minhash_dedup below).
-    cand = cand.localCheckpoint(eager=False)
+    # persist(), NOT localCheckpoint(eager=False): with AQE enabled a
+    # "lazy" localCheckpoint is eager anyway — Dataset.checkpoint calls
+    # physicalPlan.execute(), and AdaptiveSparkPlanExec runs every
+    # query stage to produce the final plan, so the whole candidate
+    # pipeline executes at PLAN-BUILD time; worse, the resulting
+    # LogicalRDD never registers with the CacheManager, so repeated
+    # builds of the identical plan (benchmarks, retried jobs, notebook
+    # re-runs) recompute from scratch instead of hitting the cache
+    # (measured 10x wall in BENCH r07). persist() dedups identical
+    # plans to ONE cache entry, so repeated same-input calls do not
+    # accumulate blocks.
+    cand = cand.persist()
     # Verification re-tokenizes ONLY candidate docs: semi-join the raw
     # corpus down to candidate ids first, then recompute shingles on
     # that (tiny) subset — not two more full-corpus shingle passes.
@@ -691,6 +697,7 @@ def incremental_minhash_dedup(
     num_bands: int = 16,
     seed: int = 42,
     threshold: float = 0.5,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate check of a delta batch against a persisted
     corpus band index (``build_minhash_index``) — the daily-crawl
@@ -710,6 +717,14 @@ def incremental_minhash_dedup(
     Scale: sketching is map-side over the delta; the probe join
     shuffles O(delta × bands) postings against the (bucketed) index;
     verification is bounded by the candidate count.
+
+    ``cache_registry``: the candidate set is ``persist()``-ed (it is
+    referenced three times). Repeated calls with an identical plan
+    share one CacheManager entry, but a long-lived caller that issues
+    a DIFFERENT plan per call (a streaming micro-batch loop) would
+    accumulate entries — pass a list here to receive the persisted
+    handle(s) and ``unpersist()`` them once the batch's outputs are
+    materialized.
     """
     delta_bands = build_minhash_index(
         new_docs,
@@ -720,20 +735,26 @@ def incremental_minhash_dedup(
         num_bands=num_bands,
         seed=seed,
     )
-    # localCheckpoint, NOT persist: the candidate subplan is referenced
-    # three times below and must not re-execute per branch, but persist()
-    # registers in the session CacheManager and is never released without
-    # an explicit unpersist — called once per micro-batch from
-    # start_near_dup_corpus_stream, that leaks cached blocks for the life
-    # of the stream (the same session-pollution effect BENCH_NOTES.md
-    # measured at 1.4x). Checkpoint blocks are instead reclaimed by the
-    # ContextCleaner as soon as the batch's DataFrame handles are GC'd.
+    # persist(), NOT localCheckpoint(eager=False): the candidate
+    # subplan is referenced three times below and must not re-execute
+    # per branch. A lazy localCheckpoint is NOT a leak-free substitute:
+    # under AQE it executes the whole probe pipeline eagerly at
+    # plan-build time (AdaptiveSparkPlanExec materializes every query
+    # stage inside Dataset.checkpoint's execute()) and bypasses the
+    # CacheManager, so identical re-builds recompute from scratch
+    # (measured 10x wall in BENCH r07). The per-micro-batch cache-leak
+    # concern (each batch's plan differs, so entries would accumulate
+    # for the life of a stream) is handled explicitly instead: pass
+    # ``cache_registry`` and unpersist after the batch's writes, as
+    # start_near_dup_corpus_stream does.
     cand = (
         delta_bands.alias("d")
         .join(index.alias("i"), ["band_idx", "band_hash"])
         .select(F.col("d.id").alias("new_id"), F.col("i.id").alias("corpus_id"))
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(cand)
     # Candidate-id sets are explicitly broadcast: the checkpoint strips
     # stats, and a stats-blind planner turns the corpus-side semi join
     # into a sort-merge join that shuffles the WHOLE corpus (measured

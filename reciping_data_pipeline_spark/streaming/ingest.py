@@ -354,24 +354,35 @@ def start_near_dup_corpus_stream(
         fresh = in_batch.join(
             corpus.select("fingerprint"), on="fingerprint", how="left_anti"
         )
+        # Each micro-batch's candidate plan is unique, so the persist
+        # inside incremental_minhash_dedup would accumulate one
+        # CacheManager entry per batch for the life of the stream (the
+        # session-pollution effect BENCH_NOTES.md measured at 1.4x) —
+        # collect the handles and release them after the writes.
+        batch_caches: list = []
         verdicts = dedup_ops.incremental_minhash_dedup(
-            fresh, corpus, index, "doc_id", "text", threshold=threshold
+            fresh, corpus, index, "doc_id", "text", threshold=threshold,
+            cache_registry=batch_caches,
         )
         survivors = fresh.join(
             verdicts.where(~F.col("is_dup")).select("doc_id"), on="doc_id", how="left_semi"
         ).localCheckpoint(eager=False)
-        if not survivors.isEmpty():
-            # Index FIRST: a crash between these two appends must leave
-            # orphan postings (harmless — candidates are DISTINCT and the
-            # corpus-text semi-join drops orphan matches), never an
-            # unindexed corpus doc, whose future near-dups would probe
-            # past it forever and whose replay would commit a duplicate.
-            writers.append_table(
-                dedup_ops.build_minhash_index(survivors, "doc_id", "text"), index_dir
-            )
-            writers.append_table(
-                survivors.select("doc_id", "source", "text", "fingerprint"), corpus_dir
-            )
+        try:
+            if not survivors.isEmpty():
+                # Index FIRST: a crash between these two appends must leave
+                # orphan postings (harmless — candidates are DISTINCT and the
+                # corpus-text semi-join drops orphan matches), never an
+                # unindexed corpus doc, whose future near-dups would probe
+                # past it forever and whose replay would commit a duplicate.
+                writers.append_table(
+                    dedup_ops.build_minhash_index(survivors, "doc_id", "text"), index_dir
+                )
+                writers.append_table(
+                    survivors.select("doc_id", "source", "text", "fingerprint"), corpus_dir
+                )
+        finally:
+            for cached in batch_caches:
+                cached.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
