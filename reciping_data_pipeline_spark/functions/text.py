@@ -110,3 +110,49 @@ def fingerprint(text: Column | str) -> Column:
     """Content fingerprint = md5 of the normalized text (exact-dup key
     robust to case/whitespace/punctuation noise)."""
     return F.md5(normalized_text(text))
+
+
+# PII redaction patterns, restricted to the syntax subset Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# bounded repetition, word boundaries — no lookaround, no unicode
+# property classes, no backreferences. Order matters and is part of
+# the contract: EMAIL first (emails contain digit runs and dots that
+# the later patterns could nibble), then the longest digit shapes
+# (CARD) before the shorter ones (SSN, PHONE), IP last (dotted quads
+# are disjoint from the dashed shapes). The same (pattern, token)
+# sequence is applied verbatim in the DuckDB oracle of
+# ``queries/corpusops.py::doc_pii_redaction`` — change one, change
+# both.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cards", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ssns", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phones", r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Sequentially replace every PII_PATTERNS match with its typed
+    token — chained native ``regexp_replace``, whole-stage codegen,
+    no Python in the row loop. Sequential order means an earlier
+    pattern's token is never re-matched by a later pattern (the
+    tokens contain no digits or '@')."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return col
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type match counts on the RAW text. Counts are independent
+    per pattern: a span can contribute to two counters when one shape
+    nests inside another (a dotted quad inside an email's domain
+    counts as both an email and an ip even though redaction consumes
+    it as the email) — the counters audit raw exposure, the redacted
+    text is the authority on what was removed."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(col, F.lit(pattern)).cast("long")
+        for name, pattern, _ in PII_PATTERNS
+    }

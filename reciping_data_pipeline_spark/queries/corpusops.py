@@ -993,3 +993,86 @@ def doc_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# The planted-PII suffix appended to every 7th document, expressed
+# once per engine with identical output bytes (md5-compared): emails,
+# a card, an SSN, a phone and a dotted quad, all derived from doc_id
+# so the oracle can reconstruct the exact same corpus.
+_PII_PLANT_SQL = (
+    "' Contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@corp.example.com, card 4111-1111-1111-2222, ssn 987-65-4320, "
+    "tel +1 202-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || "
+    "', ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || ' end.'"
+)
+
+# Build the DuckDB side from the SAME pattern table the Spark side
+# uses (functions/text.py PII_PATTERNS) — a pattern edit cannot drift
+# the oracle.
+_PII_REDACT_SQL = "t2"
+for _pname, _ppat, _ptok in T.PII_PATTERNS:
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_ppat}', '{_ptok}', 'g')"
+_PII_COUNT_SQL = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(t2, '{_ppat}')) AS BIGINT) AS {_pname}"
+    for _pname, _ppat, _ptok in T.PII_PATTERNS
+)
+
+
+@query(
+    "doc_pii_redaction",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || {_PII_PLANT_SQL}
+                    ELSE text END AS t2
+        FROM documents
+    )
+    SELECT doc_id,
+           {_PII_COUNT_SQL},
+           md5({_PII_REDACT_SQL}) AS redacted_md5
+    FROM planted
+    """,
+    doc="Typed PII redaction over the corpus — the scrub step a "
+    "training-data pipeline runs before anything else ships: emails, "
+    "card numbers, SSNs, phone numbers and IPv4 quads replaced by "
+    "typed tokens via chained native regexp_replace (whole-stage "
+    "codegen, zero Python in the row loop, embarrassingly parallel — "
+    "no shuffle at all). Every 7th doc gets a planted PII suffix "
+    "derived from doc_id; the oracle rebuilds the identical corpus "
+    "and applies the identical (pattern, token) sequence — generated "
+    "from the SAME functions/text.py PII_PATTERNS table — so the "
+    "md5 of the redacted text proves byte-exact Java-vs-RE2 regex "
+    "agreement, and the per-type counts prove match parity on both "
+    "planted and organic text. Patterns use only the regex subset "
+    "the two engines share (no lookaround, no unicode classes).",
+    tags=("text", "scrub", "curation"),
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    plant = F.concat(
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "@corp.example.com, card 4111-1111-1111-2222, ssn 987-65-4320, "
+            "tel +1 202-555-"
+        ),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(", ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" end."),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), plant))
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    counts = T.pii_counts(F.col("t2"))
+    return planted.select(
+        "doc_id",
+        *[counts[name].alias(name) for name, _, _ in T.PII_PATTERNS],
+        F.md5(T.redact_pii(F.col("t2"))).alias("redacted_md5"),
+    )
