@@ -102,6 +102,48 @@ def replicate_vecs(emb, k: int):
     return out
 
 
+def make_edges(docs):
+    """Deterministic 4-regular-out edge set per corpus copy: dst ids
+    are hashed WITHIN the copy's 10M id block, so each replica is a
+    disjoint subgraph of the same shape — total work must then grow
+    linearly in edges with CONSTANT iteration count (diameter does not
+    grow with replication)."""
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+    )
+    block = (F.floor(F.col("src") / 10_000_000) * 10_000_000).cast("long")
+    dst = block + F.pmod(F.xxhash64(F.col("src"), F.col("j")), F.lit(5000))
+    return e.select("src", dst.alias("dst")).where(F.col("src") != F.col("dst"))
+
+
+def _graph_point(spark, root: str, docs, point: dict) -> None:
+    """Iterative-family measurements: 3-round PageRank and full
+    connected components over the replicated disjoint graph. Claims
+    under test: per-round cost (wall + shuffle) linear in |E|; CC
+    round count CONSTANT across scale (disjoint copies keep the
+    diameter fixed, pointer doubling keeps rounds at O(log d))."""
+    from reciping_data_pipeline_spark.operators import graph as G
+
+    edges_path = os.path.join(root, "edges.parquet")
+    make_edges(docs).repartition(32).write.mode("overwrite").parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+    point["n_edges"] = edges.count()
+    point["pagerank_sec"], point["pagerank_shuffle"] = _timed(
+        spark, lambda: G.pagerank(edges, iterations=3)
+    )
+    cc_stats: dict = {}
+
+    def build_cc():
+        cc_stats.clear()
+        return dedup.connected_components(
+            edges, "src", "dst", stats=cc_stats
+        )
+
+    point["cc_sec"], point["cc_shuffle"] = _timed(spark, build_cc)
+    point["cc_rounds"] = cc_stats.get("rounds")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -109,8 +151,13 @@ def main() -> int:
     ap.add_argument("--out-dir", default="/tmp/spark_graft_scale_curve")
     ap.add_argument("--delta-docs", type=int, default=500)
     ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument(
+        "--families", default="dedup,ann,graph",
+        help="comma subset of dedup,ann,graph to measure",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    fams = set(args.families.split(","))
 
     spark = get_spark(app_name="scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,12 +189,21 @@ def main() -> int:
         emb_path = os.path.join(root, "embeddings.parquet")
         idx_path = os.path.join(root, "minhash_index.parquet")
         replicate_docs(base_docs, k).repartition(32).write.parquet(docs_path)
-        replicate_vecs(base_emb, k).repartition(32).write.parquet(emb_path)
         docs = spark.read.parquet(docs_path)
-        emb = spark.read.parquet(emb_path)
-        n_docs, n_vecs = docs.count(), emb.count()
+        n_docs, n_vecs = docs.count(), 0
+        emb = None
+        if "ann" in fams:
+            replicate_vecs(base_emb, k).repartition(32).write.parquet(emb_path)
+            emb = spark.read.parquet(emb_path)
+            n_vecs = emb.count()
 
         point: dict = {"scale": k, "n_docs": n_docs, "n_vecs": n_vecs}
+        if "graph" in fams:
+            _graph_point(spark, root, docs, point)
+        if "dedup" not in fams:
+            results.append(point)
+            print(json.dumps(point), flush=True)
+            continue
         point["exact_dedup_sec"], point["exact_dedup_shuffle"] = _timed(
             spark, lambda: dedup.exact_dedup(docs, "doc_id", "text")
         )
@@ -182,17 +238,31 @@ def main() -> int:
             spark,
             lambda: dedup.incremental_minhash_dedup(delta_novel, docs, bindex, "doc_id", "text"),
         )
-        point["ivf_sec"], point["ivf_shuffle"] = _timed(
-            spark,
-            lambda: similarity.ivf_topk(emb, queries, k=5, n_cells=8 * k, nprobe=2),
-        )
-        point["pq_sec"], point["pq_shuffle"] = _timed(
-            spark,
-            lambda: similarity.pq_topk(emb, queries, dim=64, m=8, k_codes=16, k=5),
-        )
+        if "ann" in fams:
+            point["ivf_sec"], point["ivf_shuffle"] = _timed(
+                spark,
+                lambda: similarity.ivf_topk(emb, queries, k=5, n_cells=8 * k, nprobe=2),
+            )
+            point["pq_sec"], point["pq_shuffle"] = _timed(
+                spark,
+                lambda: similarity.pq_topk(emb, queries, dim=64, m=8, k_codes=16, k=5),
+            )
         results.append(point)
         print(json.dumps(point), flush=True)
 
+    if results and "pagerank_sec" in results[0]:
+        print("\n| scale | edges | pagerank (3 it) s / MB | CC s / MB | CC rounds |")
+        print("|---|---|---|---|---|")
+        for p in results:
+            print(
+                f"| {p['scale']}x | {p['n_edges']:,} "
+                f"| {p['pagerank_sec']} / {p['pagerank_shuffle'] / 1e6:.1f} "
+                f"| {p['cc_sec']} / {p['cc_shuffle'] / 1e6:.1f} "
+                f"| {p['cc_rounds']} |"
+            )
+    if not results or "exact_dedup_sec" not in results[0]:
+        print(json.dumps({"metric": "scale_curve", "points": results}))
+        return 0
     print("\n| scale | docs | exact_dedup s / MB | index build s | incr probe (matching delta) s / MB | novel probe plain s / MB | novel probe bucketed s / MB | IVF s / MB | PQ s / MB |")
     print("|---|---|---|---|---|---|---|---|---|")
     for p in results:
