@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from reciping_data_pipeline_spark.functions import text as T
+from reciping_data_pipeline_spark.operators import dedup
 from reciping_data_pipeline_spark.queries import query
 from reciping_data_pipeline_spark.tables import load_table
 
@@ -1010,9 +1011,14 @@ _PII_PLANT_SQL = (
 # Build the DuckDB side from the SAME pattern table the Spark side
 # uses (functions/text.py PII_PATTERNS) — a pattern edit cannot drift
 # the oracle.
-_PII_REDACT_SQL = "t2"
-for _pname, _ppat, _ptok in T.PII_PATTERNS:
-    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_ppat}', '{_ptok}', 'g')"
+def _pii_redact_sql(expr: str) -> str:
+    out = expr
+    for _, pat, tok in T.PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tok}', 'g')"
+    return out
+
+
+_PII_REDACT_SQL = _pii_redact_sql("t2")
 _PII_COUNT_SQL = ",\n           ".join(
     f"CAST(len(regexp_extract_all(t2, '{_ppat}')) AS BIGINT) AS {_pname}"
     for _pname, _ppat, _ptok in T.PII_PATTERNS
@@ -1076,3 +1082,244 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[name].alias(name) for name, _, _ in T.PII_PATTERNS],
         F.md5(T.redact_pii(F.col("t2"))).alias("redacted_md5"),
     )
+
+
+# 5-gram shingle list over an arbitrary DuckDB token-array expression
+# (mirrors dedup.with_shingles / _TOKENS_SQL-based fragments in
+# textops, parameterized on the text expression).
+def _shingles_sql(tok_expr: str) -> str:
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, len({tok_expr}) - 4), "
+        f"i -> {tok_expr}[i] || ' ' || {tok_expr}[i+1] || ' ' || "
+        f"{tok_expr}[i+2] || ' ' || {tok_expr}[i+3] || ' ' || {tok_expr}[i+4]))"
+    )
+
+
+_RT_TOKS = "regexp_split_to_array(rt, '\\s+')"
+
+
+@query(
+    "doc_curation_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE corp AS (
+        SELECT doc_id, lang, {_pii_redact_sql("text")} AS rt
+        FROM documents WHERE doc_id % 101 <> 0
+    ),
+    feat AS (
+        SELECT doc_id, lang, rt,
+               CAST(len({_RT_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len({_RT_TOKS}) AS BIGINT) AS n_tok_l,
+               CAST(len(list_filter({_RT_TOKS}, x -> x IN {_EN_STOP})) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(rt, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / nullif(length(rt), 0) AS p_ratio,
+               md5(rt) AS fp
+        FROM corp
+    ),
+    q AS (
+        SELECT doc_id, lang, rt, n_tok, n_tok_l, fp,
+               (lang IN ('en', 'es') AND n_tok BETWEEN 20 AND 5000
+                AND round(1.0 / (1.0 + exp(-(0.01 * n_tok
+                        + 2.0 * (n_stop / nullif(n_tok, 0))
+                        - 5.0 * p_ratio - 1.0))), 4) >= 0.5) AS c_q
+        FROM feat
+    ),
+    ex AS (
+        SELECT *,
+               (c_q AND doc_id = min(CASE WHEN c_q THEN doc_id END)
+                    OVER (PARTITION BY fp)) AS c_ex
+        FROM q
+    ),
+    sh AS (
+        SELECT doc_id, length(rt) AS n_chars_rt, {_shingles_sql(_RT_TOKS)} AS sh
+        FROM ex WHERE c_ex
+    ),
+    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM postings a JOIN postings b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(v, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v),
+    members AS (
+        SELECT c.component, c.id AS doc_id, s.n_chars_rt
+        FROM comp c JOIN sh s ON s.doc_id = c.id
+    ),
+    drops AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY component
+                       ORDER BY n_chars_rt DESC, doc_id ASC) AS rn
+            FROM members)
+        WHERE rn > 1
+    ),
+    esh AS (
+        SELECT {_shingles_sql(_RT_TOKS)} AS sh
+        FROM (SELECT {_pii_redact_sql("text")} AS rt
+              FROM documents WHERE doc_id % 101 = 0)
+    ),
+    epost AS (SELECT DISTINCT unnest(sh) AS g FROM esh),
+    cpost AS (SELECT doc_id, unnest(sh2) AS g
+              FROM (SELECT doc_id, {_shingles_sql(_RT_TOKS)} AS sh2 FROM corp)),
+    cont AS (SELECT DISTINCT c.doc_id FROM cpost c JOIN epost e USING (g)),
+    flags AS (
+        SELECT e.doc_id, e.n_tok_l, e.c_q, e.c_ex,
+               (e.c_ex AND e.doc_id NOT IN (SELECT doc_id FROM drops)) AS c_fz,
+               (e.c_ex AND e.doc_id NOT IN (SELECT doc_id FROM drops)
+                AND e.doc_id NOT IN (SELECT doc_id FROM cont)) AS c_fin
+        FROM ex e
+    )
+    SELECT 0 AS stage_idx, 'input' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok_l) AS BIGINT) AS n_tokens FROM flags
+    UNION ALL
+    SELECT 1, 'quality', CAST(sum(CASE WHEN c_q THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c_q THEN n_tok_l ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 2, 'exact_dedup', CAST(sum(CASE WHEN c_ex THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c_ex THEN n_tok_l ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 3, 'fuzzy_dedup', CAST(sum(CASE WHEN c_fz THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c_fz THEN n_tok_l ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 4, 'decontaminated', CAST(sum(CASE WHEN c_fin THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c_fin THEN n_tok_l ELSE 0 END) AS BIGINT) FROM flags
+    """,
+    doc="The FLAGSHIP curation composite: the full pretraining-corpus "
+    "pipeline a data team actually ships, as ONE lazy Spark plan — "
+    "(1) typed PII redaction (functions/text.py PII_PATTERNS), "
+    "(2) language/length/quality gate on the REDACTED text (same "
+    "logistic as doc_pretrain_filter_funnel), (3) exact dedup "
+    "(min-id per md5 fingerprint, window — no join), (4) fuzzy dedup "
+    "among exact survivors (MinHash-LSH candidates, exact-Jaccard "
+    ">= 0.5 verify, connected components, keep-LONGEST canonical), "
+    "(5) 5-gram decontamination against the deterministic doc_id%101 "
+    "eval split. Output: the per-stage funnel report (docs + tokens "
+    "surviving each cumulative gate) — 5 rows from one conditional "
+    "aggregation over flag columns; the join-derived stages attach as "
+    "broadcast flags (drop-list and contamination sets are "
+    "LSH-/overlap-bounded). The oracle rebuilds all five stages in "
+    "SQL, reusing the verified fragments of doc_pii_redaction, "
+    "doc_pretrain_filter_funnel, doc_fuzzy_dedup_e2e (recursive-CTE "
+    "closure) and doc_decontaminate, so hash equality asserts the "
+    "COMPOSITION is right — stage order, cumulative gating, and each "
+    "stage's set — not just each stage in isolation. Scale: one "
+    "corpus scan feeds the flag columns; the fuzzy stage shuffles "
+    "O(survivors x bands) postings and O(pairs) candidates; nothing "
+    "doc x doc (catalog-wide no-cartesian sweep covers it).",
+    tags=("text", "curation", "dedup", "pipeline"),
+)
+def doc_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corp = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+    ev = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+    base = corp.select("doc_id", "lang", T.redact_pii("text").alias("rt"))
+    n_tok = T.token_count(F.col("rt")).cast("double")
+    feats = base.select(
+        "doc_id",
+        "lang",
+        "rt",
+        n_tok.alias("n_tok"),
+        T.token_count(F.col("rt")).cast("long").alias("n_tok_l"),
+        F.round(T.quality_score(F.col("rt")), 4).alias("quality"),
+        F.md5("rt").alias("fp"),
+    )
+    c_q = (
+        F.col("lang").isin("en", "es")
+        & F.col("n_tok").between(20, 5000)
+        & (F.col("quality") >= 0.5)
+    )
+    flagged = feats.withColumn("c_q", c_q).withColumn(
+        "c_ex",
+        F.col("c_q")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("c_q"), F.col("doc_id"))).over(
+                Window.partitionBy("fp")
+            )
+        ),
+    )
+    # fuzzy stage runs ONLY on exact-dedup survivors: candidates via
+    # banded LSH, exact-verified, grouped, keep-longest canonical
+    s2 = flagged.where(F.col("c_ex")).select(
+        "doc_id", F.col("rt").alias("text"), F.length("rt").alias("n_chars_rt")
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        s2.select("doc_id", "text"), "doc_id", "text",
+        shingle_k=5, num_perm=64, num_bands=16, threshold=0.5,
+    )
+    comp = dedup.connected_components(pairs)
+    members = comp.join(
+        s2.select(F.col("doc_id").alias("id"), "n_chars_rt"), on="id"
+    )
+    w_best = Window.partitionBy("component").orderBy(
+        F.col("n_chars_rt").desc(), F.col("id").asc()
+    )
+    drops = (
+        members.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") > 1)
+        .select(F.col("id").alias("doc_id"), F.lit(True).alias("_fz_drop"))
+    )
+    # decontamination is a per-doc property — computed once over the
+    # whole corpus, gated later (broadcast eval shingles inside)
+    cont = dedup.contamination(
+        base.select("doc_id", F.col("rt").alias("text")),
+        ev.select("doc_id", T.redact_pii("text").alias("text")),
+        "doc_id", "text", n_gram=5,
+    ).select("doc_id", "contaminated")
+    flagged2 = (
+        flagged.join(F.broadcast(drops), on="doc_id", how="left")
+        .join(cont, on="doc_id", how="left")
+        .withColumn("c_fz", F.col("c_ex") & F.col("_fz_drop").isNull())
+        .withColumn(
+            "c_fin",
+            F.col("c_fz") & ~F.coalesce(F.col("contaminated"), F.lit(False)),
+        )
+    )
+    stages = [
+        ("input", F.lit(True)),
+        ("quality", F.col("c_q")),
+        ("exact_dedup", F.col("c_ex")),
+        ("fuzzy_dedup", F.col("c_fz")),
+        ("decontaminated", F.col("c_fin")),
+    ]
+    aggs = []
+    for i, (name, cond) in enumerate(stages):
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tok_l")).otherwise(0))
+            .cast("long")
+            .alias(f"_t{i}")
+        )
+    row = flagged2.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"_d{i}").alias("n_docs"),
+                F.col(f"_t{i}").alias("n_tokens"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return row.select(F.explode(report).alias("s")).select("s.*")
