@@ -364,9 +364,15 @@ def start_near_dup_corpus_stream(
             fresh, corpus, index, "doc_id", "text", threshold=threshold,
             cache_registry=batch_caches,
         )
+        # persist, not localCheckpoint: both pin the survivor set so the
+        # two appends commit the same snapshot, but checkpoint blocks
+        # are only reclaimed whenever the ContextCleaner notices the
+        # handle is gone (measured lingering across batches), while a
+        # registered persist is released deterministically below.
         survivors = fresh.join(
             verdicts.where(~F.col("is_dup")).select("doc_id"), on="doc_id", how="left_semi"
-        ).localCheckpoint(eager=False)
+        ).persist()
+        batch_caches.append(survivors)
         try:
             if not survivors.isEmpty():
                 # Index FIRST: a crash between these two appends must leave

@@ -383,6 +383,7 @@ def test_near_dup_corpus_stream_across_batches(spark, tmp_path):
     index_dir = str(tmp_path / "index")
     ckpt = str(tmp_path / "ckpt")
 
+    n_persistent_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     rng = random.Random(42)
     words = [f"w{i}" for i in range(300)]
     doc_a = " ".join(rng.choice(words) for _ in range(60))
@@ -429,6 +430,17 @@ def test_near_dup_corpus_stream_across_batches(spark, tmp_path):
     # the index grew with exactly the survivors' postings
     index = spark.read.parquet(index_dir)
     assert sorted(r["id"] for r in index.select("id").distinct().collect()) == [1, 2, 5]
+    # cache-leak regression (r07): each micro-batch's candidate persist
+    # must be RELEASED after the batch's writes (cache_registry
+    # unpersist in process_batch) — a long-lived stream must not
+    # accumulate one CacheManager entry per batch. Two batches ran, so
+    # a leak would show as >= 2 extra persistent RDDs vs the session's
+    # pre-existing ones (captured at test start below).
+    n_persistent_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_persistent_after - n_persistent_before == 0, (
+        n_persistent_before,
+        n_persistent_after,
+    )
 
 
 def test_near_dup_corpus_stream_redelivery_idempotent(spark, tmp_path):
