@@ -1224,7 +1224,7 @@ _RT_TOKS = "regexp_split_to_array(rt, '\\s+')"
     "corpus scan feeds the flag columns; the fuzzy stage shuffles "
     "O(survivors x bands) postings and O(pairs) candidates; nothing "
     "doc x doc (catalog-wide no-cartesian sweep covers it).",
-    tags=("text", "curation", "dedup", "pipeline"),
+    tags=("text", "curation", "dedup", "pipeline", "bench"),
 )
 def doc_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
