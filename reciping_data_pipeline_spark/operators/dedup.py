@@ -229,6 +229,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     overflow_report: dict | None = None,
+    max_broadcast_ids: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold,
     candidates generated by banded MinHash-LSH.
@@ -290,18 +291,27 @@ def minhash_lsh_pairs(
     # Verification re-tokenizes ONLY candidate docs: semi-join the raw
     # corpus down to candidate ids first, then recompute shingles on
     # that (tiny) subset — not two more full-corpus shingle passes.
-    # The id set is explicitly broadcast: after the persist/checkpoint
+    # The id set is explicitly broadcast WHEN SMALL: after the persist
     # Catalyst has no stats for it, and a stats-blind planner falls
     # back to a sort-merge semi join that SHUFFLES THE WHOLE CORPUS —
     # measured growing linearly with corpus size in scale_curve.py.
-    # Candidate counts are LSH-bounded (that is the point of LSH), so
-    # broadcast is safe at any corpus scale.
+    # LSH bounds pairs PER BUCKET, not the total: on a dup-heavy
+    # corpus candidate-id mass grows with the duplicate mass, and an
+    # unconditional broadcast hint would blow the 8 GB broadcast limit
+    # with no planner fallback. The persist above makes the size check
+    # a cheap cache-warming count (the three downstream references hit
+    # the cache either way); past ``max_broadcast_ids`` distinct ids
+    # (~2M ids ≈ tens of MB broadcast) the hint is dropped and the
+    # planner chooses — slower, never fatal.
+    n_pairs = cand.count()
     raw = df.select(F.col(id_col), F.col(text_col))
-    cand_ids = F.broadcast(
+    cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    if 2 * n_pairs <= max_broadcast_ids:
+        cand_ids = F.broadcast(cand_ids)
     cand_docs = with_shingles(raw.join(cand_ids, on=id_col, how="left_semi"), text_col, shingle_k)
     sets_a = cand_docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a"))
     sets_b = cand_docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b"))

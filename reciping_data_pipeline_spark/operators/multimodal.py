@@ -580,6 +580,12 @@ def synth_avi_mjpeg_bytes(doc_id: int, width: int, height: int, n_frames: int) -
     every decoded frame feature is closed-form."""
     import struct
 
+    if n_frames < 1:
+        raise ValueError(
+            f"synth_avi_mjpeg_bytes requires n_frames >= 1, got {n_frames}: "
+            "an AVI with zero frames has no max-chunk size for the avih "
+            "header (and no demuxer-visible stream)"
+        )
     frames = []
     for f in range(n_frames):
         c = doc_id + f

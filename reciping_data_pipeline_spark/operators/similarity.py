@@ -331,7 +331,8 @@ def lsh_ann_topk(
     num_planes: int = 12,
     num_tables: int = 6,
     round_dp: int = 6,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
+    max_broadcast_queries: int = 25_000,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
 
@@ -341,14 +342,23 @@ def lsh_ann_topk(
     gives high recall on clustered embeddings while keeping buckets
     small.
 
-    Scale shape: with ``broadcast_queries`` (default — the ANN probe
-    regime, |queries| ≪ corpus) the corpus NEVER shuffles: its postings
-    are semi-pruned map-side to live buckets, the candidate join
-    broadcasts the query postings, and only skinny
-    (query, neighbor, cosine) rows ride the dedup/rank exchanges. For a
-    huge query set pass False (planner picks a shuffle join) or chunk
-    the queries — an unbounded broadcast would OOM executors.
+    Scale shape: with ``broadcast_queries`` (the ANN probe regime,
+    |queries| ≪ corpus) the corpus NEVER shuffles: its postings are
+    semi-pruned map-side to live buckets, the candidate join broadcasts
+    the query postings, and only skinny (query, neighbor, cosine) rows
+    ride the dedup/rank exchanges. The default ``None`` is size-aware:
+    a bounded ``limit(N+1).count()`` probe of the query set decides —
+    broadcast only under ``max_broadcast_queries`` rows (the exploded
+    postings carry full vector payloads, |queries| × tables rows, so an
+    unconditional hint on a huge query set would OOM executors with no
+    planner fallback). Pass True/False to skip the probe (e.g. when
+    the query subplan is expensive to execute twice) or to force the
+    shuffle join / chunk the queries yourself.
     """
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
     sig_c = with_lsh_signature(
         corpus, vec_col=vec_col, dim=dim, num_planes=num_planes, num_tables=num_tables
     ).select(
@@ -405,7 +415,8 @@ def ivf_topk(
     seed: int = 5,
     kmeans_iters: int = 8,
     round_dp: int = 6,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
+    max_broadcast_queries: int = 25_000,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) cells.
 
@@ -418,15 +429,22 @@ def ivf_topk(
     Scale shape: the corpus is scanned once to assign cells (no
     shuffle — the cell id is a narrow derived column), semi-pruned
     map-side to the probed cells, and with ``broadcast_queries``
-    (default — the probe regime, |queries| ≪ corpus) the candidate
-    join broadcasts the queries so the corpus NEVER shuffles; only
-    skinny (query, neighbor, cosine) rows ride the dedup/rank
-    exchanges. For a huge query set pass False or chunk the queries.
+    (the probe regime, |queries| ≪ corpus) the candidate join
+    broadcasts the queries so the corpus NEVER shuffles; only skinny
+    (query, neighbor, cosine) rows ride the dedup/rank exchanges. The
+    default ``None`` is size-aware (see ``lsh_ann_topk``): broadcast
+    only when a bounded count probe finds ≤ ``max_broadcast_queries``
+    query rows; pass True/False to skip the probe or force the
+    planner's shuffle join for a huge query set.
     The fit sample is a bottom-k hash reservoir (``fit_sample_vectors``)
     — bounded driver collect, deterministic across partitionings.
     """
     from pyspark.sql.functions import pandas_udf
 
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
     cent = fit_spherical_centroids(
         corpus,
         vec_col=vec_col,

@@ -59,126 +59,65 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     return deco
 
 
-# Queries that already have a row in a prior round's driver CORRECTNESS
-# artifact (r01/r02 checked the same 50; r03 checked the next 50 — see
-# CORRECTNESS_r03.json).  The driver verifies the first 50 entries of
-# ``queries()`` in dict order, so ``all_queries`` rotates not-yet-verified
-# queries to the front; the union of CORRECTNESS_r01..r0N then covers the
-# whole catalog.  No-oracle queries (rows-only check) are included once
-# their rows-only row has been recorded — re-running them never upgrades
-# the check, so the slot is better spent on unchecked queries.
-_DRIVER_VERIFIED = frozenset(
-    {
-        # r01/r02 hash-green
-        "dau", "dau_segment_breakdown", "wau_growth", "hourly_heatmap",
-        "conversion_funnel", "ab_test_ctr", "ab_test_lift", "engagement_by_day",
-        "daily_type_pivot", "sessionization", "props_json_extract",
-        "user_first_seen_cohort", "event_value_stats", "top20_users_by_value",
-        "props_variant_stats", "props_map_explode",
-        "doc_vocab_topk", "doc_bigram_topk", "doc_repetition_stats",
-        "doc_length_histogram", "doc_sequence_packing", "event_props_pii_scrub",
-        "doc_chunking", "doc_tfidf_topk", "doc_shuffle_shards",
-        # r06 hash-green (CORRECTNESS_r06.json): the r05 rotations that
-        # came back green, plus the rows-only→hash-oracle upgrades.
-        # Deliberately ABSENT so they head the r07 driver window: the
-        # two r06 reds (signup_conversion_survival,
-        # dish_interactions_grouping_sets — oracle dtype fixed r07) and
-        # the other four grouping-sets siblings whose SQL changed r07
-        # (grouping() set-disambiguation; integer-unit engagement avg).
-        "wau_sketch_rollup", "purchase_multitouch_attribution",
-        "doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs",
-        "doc_simhash_pairs", "doc_incremental_minhash_dedup",
-        "doc_fuzzy_dedup_e2e", "doc_vocab_heavy_hitters_approx",
-        "copurchase_pagerank", "doc_image_decode_fake",
-        "doc_weighted_sample", "doc_stratified_weighted_sample",
-        "user_loyalty_balance", "dau_approx",
-        "event_value_percentiles_approx", "embed_lsh_ann", "embed_ivf_ann",
-        "embed_pq_ann", "embed_semantic_dedup",
-        "doc_stats_by_lang", "doc_exact_dedup", "doc_fingerprint", "doc_quality",
-        "doc_langid", "doc_token_counts", "doc_dedup_groups",
-        "doc_train_val_split", "doc_stratified_sample",
-        "doc_pretrain_filter_funnel", "doc_source_mixture", "doc_corpus_manifest",
-        "doc_media_meta",
-        "doc_frame_sample_counts", "doc_image_resize_fake",
-        "doc_audio_features_fake", "lineitem_rollup", "order_cube",
-        "repeat_users_intersect",
-        # r03 hash-green (CORRECTNESS_r03.json)
-        "doc_sequence_packing_sharded", "doc_cc_chain_stress",
-        "doc_decontaminate", "doc_incremental_dedup", "doc_temperature_mixture",
-        "medallion_e2e_inventory", "doc_wav_roundtrip",
-        "window_shoppers_except", "value_percentiles",
-        "order_ship_latency_band", "purchase_asof_last_view",
-        "daily_events_rolling", "orders_events_full_outer",
-        "customer_balance_deciles", "nation_metrics_unpivot",
-        "order_priority_profile", "user_event_span", "event_type_date_grid",
-        "order_value_percentile_rank", "top2_lineitems_lateral",
-        "custdist_by_order_count", "top_supplier_revenue",
-        "parts_supplier_count", "big_order_customers",
-        "high_balance_no_urgent_orders", "pricing_summary",
-        "revenue_by_nation", "customers_without_orders",
-        "priority_with_late_lines", "top_parts_per_brand",
-        "monthly_revenue_growth", "priority_share_by_month",
-        "order_segment_breakdown", "latest_order_per_customer",
-        "nation_balance_heatmap", "top10_parts_by_revenue",
-        "market_segment_pivot", "small_quantity_revenue",
-        "promo_revenue_share", "top_returning_customers",
-        "embed_label_stats", "embed_knn_brute", "embed_near_dup_blocked",
-        "embed_quantize_int8",
-        # (the six r03 rows-only entries — dau_approx, percentiles,
-        # lsh/ivf/pq ANN, embed_semantic_dedup — were all upgraded to
-        # hash oracles in r06 and rotate back into the driver window;
-        # the catalog now carries ZERO rows-only checks.)
-        # r04 hash-green (CORRECTNESS_r04.json); the two r04 reds
-        # (signup_conversion_survival, embed_label_centroids) are
-        # deliberately ABSENT so their fixes rotate to the front of the
-        # r05 driver window.
-        "session_stats_daily", "langid_confusion_matrix", "doc_bm25_topk",
-        "doc_kl_source_divergence", "doc_zipf_slope", "doc_source_cap_sample",
-        "doc_token_pmi_topk", "doc_ttr_fertility_by_source",
-        "doc_unigram_logprob_quality", "returnflag_price_corr",
-        "discount_price_slope", "event_type_entropy_daily",
-        "value_moments_by_type", "user_value_gini",
-        "value_equiwidth_histogram", "priority_segment_chi2",
-        "order_interarrival_by_customer", "lineitem_benford_first_digit",
-        "copurchase_triangles", "cohort_ltv_curve", "user_rfm_segments",
-        "customer_revenue_pareto", "copurchase_lift_topk",
-        "event_count_autocorr", "nation_pair_trade_volume",
-        "region_market_share_by_year", "part_type_margin_by_year",
-        "embed_dim_variance_topk", "embed_centroid_pair_distances",
-        "embed_intra_label_cohesion", "embed_norm_quantiles_by_label",
-        "doc_length_winsorize", "doc_split_leakage", "doc_ngram_novelty",
-        "doc_dup_cluster_histogram", "doc_boilerplate_prefix",
-        "doc_token_frequency_spectrum", "embed_filtered_knn",
-        "doc_repeated_passages", "user_day_transcripts",
-        "user_trailing_7d_value", "user_timeseries_similarity",
-        "behavior_path_bigrams", "cohort_retention_matrix",
-        "strict_funnel_per_user_day", "event_volume_anomaly_days",
-        "source_vocab_drift",
-        # (doc_vocab_heavy_hitters_approx was r04 rows-only; upgraded to
-        # a direct exact-top-25 oracle in r06 and rotated back in.)
-        # r05 hash-green (CORRECTNESS_r05.json); deliberately ABSENT so
-        # they rotate to the front of the r06 driver window: the r05 red
-        # (signup_conversion_survival, fixed) and the five queries whose
-        # arithmetic was re-pinned to integer-unit sums this round
-        # (purchase_multitouch_attribution, copurchase_pagerank,
-        # user_loyalty_balance, doc_weighted_sample,
-        # doc_stratified_weighted_sample).
-        "funnel_within_hour",
-        "user_longest_streak", "doc_dedup_keep_best",
-        "copurchase_label_propagation", "supplier_concurrent_shipments",
-        "user_state_intervals", "doc_zorder_skipping",
-        "doc_token_index_needle", "dq_expectations", "join_key_skew_profile",
-        "part_name_near_duplicates", "event_value_mad_outliers",
-        "qty_weighted_median_price_by_flag", "item_cf_similarity_topk",
-        "embed_label_centroids",
-    }
-)
+# Driver-window rotation (stalest-first). The driver verifies the FIRST
+# 50 entries of ``queries()`` in dict order each round, so ordering is
+# the whole scheduling policy. Before r08 a hand-maintained
+# ``_DRIVER_VERIFIED`` set split the catalog into never-checked (front)
+# and checked (back); by r07 all 184 queries had been green at least
+# once, but 108 of them last had a THIRD-PARTY driver row in r04 or
+# earlier. r08 replaces the set with staleness computed from the
+# committed CORRECTNESS_r*.json artifacts themselves: a query's rank is
+# the latest round in which the driver recorded it green (hash_match,
+# or rows_match for no-oracle entries), -1 if never. Ascending sort ⇒
+# brand-new queries head the window, then the stalest cohort; every
+# round the 50 oldest third-party rows get refreshed automatically and
+# no query's evidence ages past ~3 rounds at the current catalog size.
+#
+# ``_FORCE_REVERIFY`` pins queries whose SEMANTICS changed after their
+# last green row (their recorded round would otherwise let them hide at
+# the back with evidence for the old behavior): they rank as never-run.
+_FORCE_REVERIFY: frozenset[str] = frozenset()
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query name -> latest round with a green driver row, parsed from
+    the committed CORRECTNESS_r*.json artifacts in the repo root (the
+    directory holding the package). Unreadable/absent artifacts are
+    skipped; an empty map leaves registration order unchanged."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if (
+                isinstance(res, dict)
+                and res.get("err") is None
+                and (res.get("hash_match") or res.get("rows_match"))
+            ):
+                out[name] = max(out.get(name, -1), rnd)
+    return out
 
 
 def all_queries() -> dict[str, Query]:
     """Import every query module (side-effect: registration) and return
-    the full registry, ordered so queries without a prior-round driver
-    correctness row come first (the driver checks the first 50)."""
+    the full registry, ordered stalest-first by last green driver
+    round (never-verified queries first — the driver checks the first
+    50, so each round refreshes the oldest third-party evidence)."""
     from reciping_data_pipeline_spark.queries import (  # noqa: F401
         clickstream,
         corpusops,
@@ -202,6 +141,11 @@ def all_queries() -> dict[str, Query]:
     # for this round's 50-entry driver verification window.
     from reciping_data_pipeline_spark.queries import curation  # noqa: F401
 
-    unverified = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_VERIFIED}
-    verified = {n: q for n, q in REGISTRY.items() if n in _DRIVER_VERIFIED}
-    return {**unverified, **verified}
+    last_green = _last_green_rounds()
+
+    def rank(name: str) -> int:
+        return -1 if name in _FORCE_REVERIFY else last_green.get(name, -1)
+
+    # Stable sort: registration order is preserved within a staleness
+    # cohort, so same-round queries keep their module grouping.
+    return {n: REGISTRY[n] for n in sorted(REGISTRY, key=rank)}

@@ -249,9 +249,17 @@ def start_semantic_dedup_corpus_stream(
             verdicts.where(~F.col("is_dup")).select("vec_id"), on="vec_id", how="left_semi"
         )
         celled = similarity.assign_cells(survivors, cent, vec_col="embedding")
-        out = celled.select("vec_id", "embedding", "cell", "fingerprint")
-        if not out.isEmpty():
-            writers.append_table(out, corpus_dir)
+        # persist before isEmpty: without it the whole per-batch plan
+        # (fingerprint dedup + incremental probe + cell assignment)
+        # executes TWICE — once for the emptiness check, once for the
+        # append — mirroring the near-dup stream's batch_caches
+        # handling; released deterministically below.
+        out = celled.select("vec_id", "embedding", "cell", "fingerprint").persist()
+        try:
+            if not out.isEmpty():
+                writers.append_table(out, corpus_dir)
+        finally:
+            out.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -344,6 +352,31 @@ def start_near_dup_corpus_stream(
         try:
             corpus = writers.read_table(sess, corpus_dir)
             index = writers.read_table(sess, index_dir)
+            if "fingerprint" not in corpus.columns:
+                # Migration: a corpus written before the fingerprint
+                # column existed (pre-r07) would fail the select below
+                # and, worse, later appends would create a mixed-schema
+                # parquet directory. One-time backfill: recompute the
+                # fingerprint from text and rewrite the table, then
+                # re-read so this batch (and all future ones) sees the
+                # current schema. Staged through a sibling dir — a
+                # direct self-overwrite deletes the input files under
+                # the lazy scan (FAILED_READ_FILE). Single-writer per
+                # stream, so the rewrite races nothing.
+                import shutil
+
+                stage_dir = corpus_dir.rstrip("/") + ".__migrate__"
+                writers.overwrite_table(
+                    corpus.withColumn(
+                        "fingerprint", text_fns.fingerprint(F.col("text"))
+                    ),
+                    stage_dir,
+                )
+                writers.overwrite_table(
+                    writers.read_table(sess, stage_dir), corpus_dir
+                )
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                corpus = writers.read_table(sess, corpus_dir)
         except AnalysisException:
             corpus = sess.createDataFrame([], schema + ", fingerprint string")
             index = sess.createDataFrame([], "id long, band_idx int, band_hash long")

@@ -373,6 +373,12 @@ def test_avi_demuxer_rigor():
     )
     with _pytest.raises(ValueError, match="SOI"):
         decode_avi_frames_bytes(bogus)
+    # muxer-side guard: zero frames must fail with a self-explanatory
+    # message, not a bare max()-on-empty-list ValueError from deep
+    # inside avih header packing (which would kill a whole Arrow batch
+    # in synthesize_video with a confusing traceback)
+    with _pytest.raises(ValueError, match="n_frames"):
+        synth_avi_mjpeg_bytes(1, 8, 8, 0)
 
 
 def test_decode_image_real_png_path(spark):

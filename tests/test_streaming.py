@@ -613,3 +613,53 @@ def test_near_dup_corpus_stream_orphan_postings_window(spark, tmp_path):
     # are tolerated by DISTINCT candidate generation, never deduped away
     index = spark.read.parquet(index_dir)
     assert index.select("id").distinct().count() == 1
+
+
+def test_near_dup_corpus_stream_migrates_legacy_corpus(spark, tmp_path):
+    """Resume against a pre-fingerprint corpus (written before r07 added
+    the column): the stream must backfill the fingerprint column by a
+    one-time rewrite — not fail on corpus.select("fingerprint"), and
+    not append mixed-schema parquet — and the backfilled fingerprints
+    must still drop an exact redelivery of a legacy doc."""
+    import json
+    import random
+
+    from reciping_data_pipeline_spark.operators import dedup as dedup_ops
+    from reciping_data_pipeline_spark.sources import writers
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(300)]
+    doc_a = " ".join(rng.choice(words) for _ in range(60))
+    doc_c = " ".join(rng.choice(words) for _ in range(60))
+
+    # Legacy state: corpus WITHOUT the fingerprint column + its index.
+    legacy = spark.createDataFrame(
+        [(1, "web", doc_a)], "doc_id long, source string, text string"
+    )
+    writers.overwrite_table(legacy, corpus_dir)
+    writers.overwrite_table(
+        dedup_ops.build_minhash_index(legacy, "doc_id", "text"), index_dir
+    )
+
+    with open(incoming / "wave.jsonl", "w") as f:
+        # doc 2: exact copy of legacy doc 1 (must be dropped by the
+        # BACKFILLED fingerprint guard); doc 3: novel (must survive).
+        f.write(json.dumps({"doc_id": 2, "source": "web", "text": doc_a}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "source": "web", "text": doc_c}) + "\n")
+    q = ingest.start_near_dup_corpus_stream(
+        spark, str(incoming), corpus_dir, index_dir, ckpt
+    )
+    q.awaitTermination(60)
+
+    corpus = spark.read.parquet(corpus_dir)
+    assert "fingerprint" in corpus.columns
+    rows = {r["doc_id"]: r["fingerprint"] for r in corpus.collect()}
+    assert sorted(rows) == [1, 3]
+    assert all(fp is not None for fp in rows.values())
