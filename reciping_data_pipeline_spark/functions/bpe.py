@@ -1,0 +1,192 @@
+"""Real byte-pair encoding: corpus-learned merge table + Arrow encode kernel.
+
+Training pipelines budget tokens with a real BPE merge table, not a
+pre-tokenizer regex estimate (reference scope: the token-count columns
+of the documents analytics; cf. reference corpus stats in
+create_data/create_event_logs.py's text fields). Design mirrors the
+IVF centroid codebook (`operators/similarity.py`):
+
+- **Fit** is distributed-then-driver: pre-token word counts are an
+  exact distributed aggregation (JVM regex, groupBy); the distinct-word
+  vocabulary (Heaps'-law sublinear in corpus size, capped by
+  ``max_vocab`` for open-domain corpora) is collected O(vocab) to the
+  driver where the classic merge loop runs in pure Python — the same
+  control-plane shape as k-means codebook fitting, NOT a data-sized
+  collect.
+- **Encode** is a vectorized Arrow kernel: the learned merge list ships
+  with the pandas UDF (broadcast via closure), each batch memoizes
+  per-distinct-word encodings, and the hot path never leaves the
+  executor.
+- **Persistence**: ``merges_to_df`` / ``merges_from_df`` store the
+  ranked merge table like the centroid codebook, so incremental /
+  streaming consumers reuse one vocabulary for the life of a corpus.
+
+Determinism contract (what the DuckDB recursive-CTE oracle replays):
+pair frequencies are counted per adjacent position, weighted by word
+count; ties break on the lexicographically smallest (a, b) pair
+(binary codepoint order on both engines); each merge is applied to
+every word in one left-to-right non-overlapping pass. Applying merges
+in rank order is equivalent to the classic lowest-rank-present loop
+because a pair's constituent symbols are always created by strictly
+earlier merges.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from reciping_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+
+# Symbol delimiter used only by the cross-engine oracle's string
+# representation; stripped from words on BOTH engines so a pathological
+# corpus containing it cannot desynchronize the two trainers.
+_DELIM = "\x1f"
+
+
+def pre_tokenize(text: str) -> list[str]:
+    """GPT-2-style pre-tokens (Python re — same Java∩RE2∩`re` syntax
+    subset as the JVM/DuckDB sides), delimiter-stripped, empties
+    dropped."""
+    return [
+        w.replace(_DELIM, "")
+        for w in re.findall(BPE_ISH_PATTERN, text)
+        if w.replace(_DELIM, "")
+    ]
+
+
+def word_count_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed exact pre-token word counts: ``(word, cnt)``. JVM
+    regex + hash aggregation; partial (map-side) combine applies, so
+    the shuffle carries vocab-sized, not corpus-sized, traffic."""
+    return (
+        df.select(
+            F.explode(
+                # idx=0: whole-match extraction (the pattern's only group
+                # is non-capturing; Spark defaults to group 1)
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("word")
+        )
+        .select(F.replace(F.col("word"), F.lit(_DELIM), F.lit("")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _apply_merge(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """One left-to-right non-overlapping pass — the unit both training
+    and encoding are built from (and what the oracle's literal
+    ``replace()`` on the delimiter-wrapped form computes)."""
+    i, out = 0, []
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(word_counts: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference trainer: ``num_merges`` iterations of
+    (count adjacent pairs weighted by word count → merge the most
+    frequent, ties to the smallest (a, b) → apply everywhere). Stops
+    early when no adjacent pairs remain. O(vocab × avg_len) per
+    iteration — driver-side control plane, like k-means on the codebook
+    sample."""
+    vocab = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        a, b = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        ab = a + b
+        for w in vocab:
+            vocab[w] = _apply_merge(vocab[w], a, b, ab)
+    return merges
+
+
+def fit_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 60,
+    max_vocab: int | None = None,
+) -> list[tuple[str, str]]:
+    """Fit a BPE merge table on a corpus. ``max_vocab`` caps the
+    driver collect for open-domain corpora (top-K words by
+    (count DESC, word) — deterministic under any partitioning); None
+    collects the full distinct-word vocabulary (exact, the form the
+    catalog oracle replays). Encoding handles out-of-vocabulary words
+    identically either way — the cap only trades merge quality."""
+    wc = word_count_df(df, text_col)
+    if max_vocab is not None:
+        wc = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_vocab)
+    counts = {r["word"]: r["cnt"] for r in wc.collect()}
+    return train_bpe(counts, num_merges)
+
+
+def encode_token_count(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of one word under the learned merges (rank-order
+    application, one pass per merge)."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = _apply_merge(syms, a, b, a + b)
+    return len(syms)
+
+
+def bpe_token_count_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched kernel: text → total BPE token count. Per-batch
+    memo over distinct words (corpus vocabularies are Heaps'-law small
+    relative to token mass, so the memo hit rate dominates)."""
+    frozen = list(merges)
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def doc_count(t: str) -> int:
+            if t is None:
+                return 0
+            total = 0
+            for w in pre_tokenize(t):
+                n = memo.get(w)
+                if n is None:
+                    n = memo[w] = encode_token_count(w, frozen)
+                total += n
+            return total
+
+        return texts.map(doc_count)
+
+    return _count
+
+
+def merges_to_df(spark: SparkSession, merges: list[tuple[str, str]]) -> DataFrame:
+    """Ranked merge table for persistence next to a corpus (the
+    centroid-codebook pattern: fit once, reuse for the corpus's
+    life; re-fit = rebuild, exactly like re-sharding a band index)."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    rows = df.select("rank", "left", "right").collect()
+    return [(r["left"], r["right"]) for r in sorted(rows, key=lambda r: r["rank"])]

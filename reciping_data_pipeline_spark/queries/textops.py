@@ -296,6 +296,93 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Merge budget for the catalog query: the synthetic corpus vocabulary
+# exhausts its pair supply at ~127 merges; 60 keeps a non-trivial
+# subword distribution (~2.6 tokens/word) so the oracle exercises real
+# merge behavior, not whole-word lookup. MUST match between the Spark
+# fn and the SQL (both interpolate this constant).
+_BPE_NUM_MERGES = 60
+
+# DuckDB replay of the full BPE pipeline (train + encode), so the
+# oracle is corpus-derived like every other catalog entry — no
+# precomputed fixture to go stale. Words are delimiter-wrapped
+# ('\x1f' || sym || '\x1f' per symbol) so a literal replace() of
+# '\x1fA\x1f\x1fB\x1f' → '\x1fAB\x1f' is exactly one left-to-right
+# non-overlapping merge pass over exact symbol pairs (the wrap means a
+# match can never span symbol boundaries, and adjacent matches don't
+# share consumed characters). The recursive CTE's working table is one
+# training iteration's word states; the aggregate subquery picks the
+# next merge with the same (count DESC, a, b) tie-break as
+# functions/bpe.train_bpe. Encoding needs no second phase: training
+# runs over EVERY distinct corpus word, so the final iteration's symbol
+# count per word IS its encoded length.
+_BPE_ORACLE = f"""
+    WITH RECURSIVE
+    train AS (
+        SELECT 0 AS iter, word, cnt,
+               chr(31) || array_to_string(string_split(word, ''), chr(31) || chr(31)) || chr(31) AS repr
+        FROM (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT replace(unnest(regexp_extract_all(text, '{_BPE_SQL}')), chr(31), '') AS word
+                FROM documents
+            ) WHERE word <> '' GROUP BY word
+        )
+        UNION ALL
+        SELECT iter + 1, word, cnt,
+               replace(repr, chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
+                              chr(31) || best.a || best.b || chr(31))
+        FROM train CROSS JOIN (
+            SELECT p.a AS a, p.b AS b FROM (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p,
+                       cnt
+                FROM (SELECT cnt, string_split(trim(repr, chr(31)), chr(31) || chr(31)) AS syms
+                      FROM train)
+            )
+            GROUP BY p.a, p.b
+            ORDER BY sum(cnt) DESC, p.a, p.b
+            LIMIT 1
+        ) best
+        WHERE iter < {_BPE_NUM_MERGES}
+    ),
+    final AS (
+        SELECT word, len(string_split(trim(repr, chr(31)), chr(31) || chr(31))) AS ntok
+        FROM train WHERE iter = (SELECT max(iter) FROM train)
+    ),
+    doc_words AS (
+        SELECT doc_id, replace(unnest(regexp_extract_all(text, '{_BPE_SQL}')), chr(31), '') AS word
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sum(f.ntok), 0) AS BIGINT) AS bpe_tokens
+    FROM documents d
+    LEFT JOIN (SELECT dw.doc_id, f.ntok FROM doc_words dw JOIN final f USING (word)
+               WHERE dw.word <> '') f USING (doc_id)
+    GROUP BY d.doc_id
+"""
+
+
+@query(
+    "doc_token_counts_bpe",
+    oracle=_BPE_ORACLE,
+    doc="REAL learned BPE token budgeting: merge table fit on the "
+    "corpus's pre-token word counts (distributed count, O(vocab) "
+    "driver fit — the codebook pattern), encoding in a memoized Arrow "
+    "kernel. The oracle replays training AND encoding in one DuckDB "
+    "recursive CTE over the same corpus.",
+    tags=("text", "tokens", "bpe", "bench"),
+)
+def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.fit_bpe_merges(docs, "text", num_merges=_BPE_NUM_MERGES)
+    return docs.select(
+        "doc_id", bpe.bpe_token_count_udf(merges)(F.col("text")).alias("bpe_tokens")
+    )
+
+
 @query(
     "doc_dedup_groups",
     oracle=f"""
