@@ -18,6 +18,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: live-broker integration tests — skipped unless "
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP points at a reachable broker",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="tests", shuffle_partitions=8)

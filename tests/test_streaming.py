@@ -663,3 +663,176 @@ def test_near_dup_corpus_stream_migrates_legacy_corpus(spark, tmp_path):
     rows = {r["doc_id"]: r["fingerprint"] for r in corpus.collect()}
     assert sorted(rows) == [1, 3]
     assert all(fp is not None for fp in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Common crash-window harness (VERDICT r07 #8): both corpus-ingest
+# streams run the SAME adversarial scenario — phase-1 side state
+# committed but the corpus append lost (kill between foreachBatch
+# phases), then delivery, then byte-identical redelivery. The adapter
+# pins each stream's claimed inconsistent-state contract:
+#   near-dup:  (index postings BEFORE corpus) → orphan postings only
+#   semantic:  (centroid codebook BEFORE corpus, bootstrap batch only)
+#              → orphan codebook; replay must REUSE it, never refit
+# A stream whose commit ordering regresses (corpus first) would commit
+# duplicate corpus rows here and fail the exactly-once assertion.
+
+
+class _NearDupAdapter:
+    name = "near_dup"
+    expected_ids = [1, 2]
+
+    def wave(self):
+        text_a = " ".join(f"w{i}" for i in range(40))
+        text_b = " ".join(f"v{i}" for i in range(40))
+        return [
+            {"doc_id": 1, "source": "web", "text": text_a},
+            {"doc_id": 2, "source": "web", "text": text_b},
+        ]
+
+    def write_wave(self, incoming, fname, rows):
+        import json
+
+        with open(incoming / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def seed_phase1_only(self, spark, tmp):
+        from reciping_data_pipeline_spark.operators import dedup as D
+        from reciping_data_pipeline_spark.sources import writers
+
+        rows = self.wave()
+        df = spark.createDataFrame(
+            [(r["doc_id"], r["source"], r["text"]) for r in rows],
+            "doc_id long, source string, text string",
+        )
+        writers.append_table(
+            D.build_minhash_index(df, "doc_id", "text"), str(tmp / "index")
+        )
+
+    def start(self, spark, incoming, tmp):
+        from reciping_data_pipeline_spark.streaming import ingest
+
+        return ingest.start_near_dup_corpus_stream(
+            spark, str(incoming), str(tmp / "corpus"), str(tmp / "index"),
+            str(tmp / "ckpt"),
+        )
+
+    def committed_ids(self, spark, tmp):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp / "corpus")).select("doc_id").collect()
+        )
+
+    def orphan_state_still_consistent(self, spark, tmp):
+        # orphan + replayed postings are tolerated duplicates, never a
+        # second distinct id
+        idx = spark.read.parquet(str(tmp / "index"))
+        assert sorted(
+            r["id"] for r in idx.select("id").distinct().collect()
+        ) == self.expected_ids
+
+
+class _SemanticAdapter:
+    name = "semantic"
+    expected_ids = [1, 2, 3]
+    N_CELLS = 3
+
+    def wave(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((3, 16)) * 3.0
+        return [
+            {"vec_id": i + 1, "embedding": [float(x) for x in base[i]]}
+            for i in range(3)
+        ]
+
+    def write_wave(self, incoming, fname, rows):
+        import json
+
+        with open(incoming / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def seed_phase1_only(self, spark, tmp):
+        from reciping_data_pipeline_spark.operators import similarity
+        from reciping_data_pipeline_spark.sources import writers
+
+        rows = self.wave()
+        df = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in rows],
+            "vec_id long, embedding array<double>",
+        )
+        # exactly the stream's bootstrap fit (same params/seed), as if
+        # the codebook commit landed and the corpus append did not
+        cent = similarity.fit_spherical_centroids(
+            df, vec_col="embedding", id_col="vec_id",
+            n_cells=self.N_CELLS, sample=4 * self.N_CELLS, seed=17,
+        )
+        writers.overwrite_table(
+            similarity.centroids_to_df(spark, cent), str(tmp / "centroids")
+        )
+
+    def start(self, spark, incoming, tmp):
+        from reciping_data_pipeline_spark.streaming import ingest
+
+        return ingest.start_semantic_dedup_corpus_stream(
+            spark, str(incoming), str(tmp / "corpus"), str(tmp / "centroids"),
+            str(tmp / "ckpt"), n_cells=self.N_CELLS,
+        )
+
+    def committed_ids(self, spark, tmp):
+        return sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(str(tmp / "corpus")).select("vec_id").collect()
+        )
+
+    def orphan_state_still_consistent(self, spark, tmp):
+        # replay must have REUSED the committed codebook, not refit it:
+        # corpus cells agree with assignment under the pre-crash codebook
+        import pyspark.sql.functions as F
+
+        from reciping_data_pipeline_spark.operators import similarity
+        from reciping_data_pipeline_spark.sources import writers
+
+        cent = similarity.centroids_from_df(
+            writers.read_table(spark, str(tmp / "centroids"))
+        )
+        assert cent.shape[0] <= self.N_CELLS
+        corpus = spark.read.parquet(str(tmp / "corpus"))
+        recelled = similarity.assign_cells(
+            corpus.select("vec_id", "embedding"), cent, vec_col="embedding"
+        ).select("vec_id", F.col("cell").alias("cell2"))
+        mismatches = (
+            corpus.select("vec_id", "cell")
+            .join(recelled, on="vec_id")
+            .where(F.col("cell") != F.col("cell2"))
+            .count()
+        )
+        assert mismatches == 0
+
+
+@pytest.mark.parametrize(
+    "adapter", [_NearDupAdapter(), _SemanticAdapter()], ids=lambda a: a.name
+)
+def test_crash_window_phase1_orphan_then_redelivery(spark, adapter, tmp_path):
+    """Kill-between-phases parity: phase-1 state committed, corpus row
+    lost, then (1) delivery commits each doc exactly once, (2) a
+    byte-identical redelivery commits nothing, (3) the orphaned
+    phase-1 state stays harmless under its stream's documented
+    contract."""
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    adapter.seed_phase1_only(spark, tmp_path)
+    adapter.write_wave(incoming, "wave1.jsonl", adapter.wave())
+    q = adapter.start(spark, incoming, tmp_path)
+    q.awaitTermination(60)
+    assert adapter.committed_ids(spark, tmp_path) == adapter.expected_ids
+
+    adapter.write_wave(incoming, "wave1_replay.jsonl", adapter.wave())
+    q = adapter.start(spark, incoming, tmp_path)
+    q.awaitTermination(60)
+    assert adapter.committed_ids(spark, tmp_path) == adapter.expected_ids
+    adapter.orphan_state_still_consistent(spark, tmp_path)
