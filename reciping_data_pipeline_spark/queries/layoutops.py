@@ -136,6 +136,10 @@ def doc_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_hi"),
     ).collect()[0]
 
+    # ^ driver-side collect of ONE aggregate row (probe bounds): file
+    # pruning is metadata-driven, so the bounds must be literals at
+    # plan time — O(1) control plane, not a data collect.
+
     def _probe(name: str, col: str, lo: int, hi: int) -> DataFrame:
         kept, total = snapshots.pruned_file_count(table, col, lo, hi)
         scan = snapshots.read_where(spark, table, col, lo, hi)
@@ -213,6 +217,8 @@ def doc_token_index_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _ensure_token_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    # one-row collect: the probe token must be a literal for the index
+    # manifest's posting lookup (metadata pruning) — O(1) control plane
     needle = (
         docs.where(F.col("doc_id") == 0)
         .select(F.element_at(F.split(F.trim("text"), r"\s+"), -1).alias("tok"))

@@ -29,6 +29,7 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--first", type=int, default=0, help="check only the first N registry entries (0 = all)")
     ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument("--json-out", default="", help="write per-query results to this JSON file")
     ap.add_argument("--partitions", type=int, default=32,
                     help="spark.sql.shuffle.partitions (partition-invariance sweeps)")
     args = ap.parse_args()
@@ -40,8 +41,13 @@ def main() -> int:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(args.sf, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
+        if os.path.isdir(path):
+            # Spark-written table (scaled fixtures from make_sf.py):
+            # a directory of part files — DuckDB needs the glob form
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
 
     registry = all_queries()
     names = list(registry)
@@ -68,6 +74,11 @@ def main() -> int:
         print(f"{name}: {results[name]}", flush=True)
 
     bad = {n: r for n, r in results.items() if not (r == "ok" or r.startswith("rows_only"))}
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {"sf": args.sf, "partitions": args.partitions, "results": results}, f, indent=1
+            )
     print(json.dumps({"checked": len(results), "bad": len(bad), "bad_names": sorted(bad)}))
     return 1 if bad else 0
 

@@ -133,9 +133,26 @@ UNION_FORMS: dict[str, tuple[str, tuple[str, ...]]] = {
 }
 
 
+def _drop_page_cache() -> None:
+    """Cold-scan mode: flush dirty pages and evict the OS page cache so
+    every timed pass re-reads parquet from disk — the scan-bound regime
+    the GROUPING SETS rewrite targets (N−1 avoided fact scans). Needs
+    root; raises loudly rather than silently measuring hot."""
+    import subprocess
+
+    subprocess.run(["sync"], check=True)
+    with open("/proc/sys/vm/drop_caches", "w") as f:
+        f.write("3\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--cold", action="store_true",
+        help="drop the OS page cache before every timed pass (scan-bound regime)",
+    )
+    ap.add_argument("--only", default="", help="comma-separated query subset")
     args = ap.parse_args()
 
     spark = get_spark(app_name="gsets_headtohead")
@@ -146,16 +163,21 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
 
     def med3(build) -> float:
-        run_noop(build())  # warm-up
+        run_noop(build())  # warm-up (codegen/JIT/footers; footers re-read cold below)
         samples = []
         for _ in range(3):
+            if args.cold:
+                _drop_page_cache()
             t0 = time.perf_counter()
             run_noop(build())
             samples.append(time.perf_counter() - t0)
         return round(sorted(samples)[1], 3)
 
     rows = []
+    selected = set(args.only.split(",")) if args.only else None
     for name, (union_sql, tables) in UNION_FORMS.items():
+        if selected is not None and name not in selected:
+            continue
         for t in tables:
             load_table(spark, args.sf, t).createOrReplaceTempView(t)
         gs_sec = med3(lambda: registry[name].fn(spark, args.sf))
@@ -177,7 +199,11 @@ def main() -> int:
             f"| {r['query']} | {r['grouping_sets_sec']} | {r['union_all_sec']} "
             f"| {r['speedup']}x |"
         )
-    print(json.dumps({"metric": "gsets_headtohead", "rows": rows}))
+    print(
+        json.dumps(
+            {"metric": "gsets_headtohead", "sf": args.sf, "cold": args.cold, "rows": rows}
+        )
+    )
     return 0
 
 

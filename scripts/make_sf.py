@@ -1,0 +1,212 @@
+"""Generate an sf1-class fixture by deterministic fact replication
+(VERDICT r07 #1): documents/embeddings/events/orders/lineitem scaled
+``--mult``×, dims copied as-is — the realistic scale-up shape (facts
+grow, dims don't) that keeps every FK the headline queries join on
+valid.
+
+Replication is ONE Spark scan crossJoined with ``range(mult)`` (fully
+executor-parallel — no driver loop, no k-way union plan), with per-copy
+transforms chosen so the scaled corpus is HONEST about duplicate mass:
+
+- documents: ids shift by copy block; every TOKEN gets a per-copy tag
+  (copy 0 untouched), so shingles never collide across copies — the
+  corpus's natural near-dup structure repeats per copy and dup mass
+  grows LINEARLY. A bare suffix perturbation (scale_curve's replicas)
+  would make every copy a near-dup of every other and inflate dup mass
+  quadratically, which no real crawl does.
+- embeddings: ids shift; per-copy pseudo-random noise
+  (xxhash64(vec_id, dim, copy)-derived, magnitude ~1.5× the unit norm)
+  pushes cross-copy cosine far below any dedup threshold — again
+  linear semantic-dup mass.
+- events: event_id/user_id shift per copy (new users, same calendar) —
+  per-user/segment/day aggregates scale linearly.
+- orders: o_orderkey shifts, o_custkey kept (customer FK valid).
+- lineitem: l_orderkey AND l_partkey shift per copy → the co-purchase
+  graph becomes ``mult`` disjoint replicas of the base subgraph
+  (linear |E|, constant diameter); l_suppkey kept.
+
+The output directory is a drop-in ``sf_dir``: the whole catalog's
+``queries(spark, sf_dir)`` and the DuckDB oracles run on it unchanged
+(`scripts/driver_sim.py --sf <out>`), which is what makes the scaled
+correctness artifact third-party-replayable. Note the part/partkey FK
+is intentionally broken for copies > 0 — the scaled dirs serve the
+fact-side headline queries, not part-dim joins.
+
+Usage:
+  python scripts/make_sf.py --out /tmp/spark_graft_sf1 --mult 10
+  python scripts/make_sf.py --out /tmp/..._docs1000 --mult 1000 --tables documents
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from reciping_data_pipeline_spark.session import get_spark  # noqa: E402
+from reciping_data_pipeline_spark.tables import load_table  # noqa: E402
+
+BLOCK = 10_000_000
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def _with_copies(df, mult: int):
+    copies = df.sparkSession.range(mult).select(F.col("id").alias("copy"))
+    return df.crossJoin(copies)
+
+
+def scale_documents(spark, sf_dir: str, mult: int):
+    docs = _with_copies(load_table(spark, sf_dir, "documents"), mult)
+    tagged = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("_c"), F.col("copy").cast("string")),
+        ),
+        " ",
+    )
+    return docs.select(
+        (F.col("doc_id") + F.col("copy") * BLOCK).alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text")).otherwise(tagged).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def scale_embeddings(spark, sf_dir: str, mult: int):
+    emb = _with_copies(load_table(spark, sf_dir, "embeddings"), mult)
+    noisy = F.transform(
+        F.col("embedding"),
+        lambda x, j: (
+            x
+            + F.when(F.col("copy") == 0, F.lit(0.0)).otherwise(
+                (
+                    F.pmod(F.xxhash64(F.col("vec_id"), j, F.col("copy")), F.lit(1000)).cast(
+                        "double"
+                    )
+                    / 1000.0
+                    - 0.5
+                )
+                * 0.375  # per-dim ±0.19 → ~1.5 L2 noise on dim-64 unit vectors
+            )
+        ).cast("float"),
+    )
+    return emb.select(
+        (F.col("vec_id") + F.col("copy") * BLOCK).alias("vec_id"),
+        noisy.alias("embedding"),
+        "label",
+    )
+
+
+def scale_events(spark, sf_dir: str, mult: int):
+    ev = _with_copies(load_table(spark, sf_dir, "events"), mult)
+    return ev.select(
+        (F.col("event_id") + F.col("copy") * BLOCK).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * BLOCK).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def scale_orders(spark, sf_dir: str, mult: int):
+    o = _with_copies(load_table(spark, sf_dir, "orders"), mult)
+    return o.select(
+        (F.col("o_orderkey") + F.col("copy") * BLOCK).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def scale_lineitem(spark, sf_dir: str, mult: int):
+    li = _with_copies(load_table(spark, sf_dir, "lineitem"), mult)
+    return li.select(
+        (F.col("l_orderkey") + F.col("copy") * BLOCK).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("copy") * BLOCK).alias("l_partkey"),
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+
+
+SCALERS = {
+    "documents": scale_documents,
+    "embeddings": scale_embeddings,
+    "events": scale_events,
+    "orders": scale_orders,
+    "lineitem": scale_lineitem,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mult", type=int, required=True)
+    ap.add_argument(
+        "--tables",
+        default="documents,embeddings,events,orders,lineitem",
+        help="comma subset of fact tables to scale (dims always copied)",
+    )
+    ap.add_argument("--partitions", type=int, default=64)
+    args = ap.parse_args()
+    if args.mult < 1:
+        raise SystemExit("--mult must be >= 1")
+
+    spark = get_spark(app_name="make_sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+    report = {"base": args.sf, "mult": args.mult, "tables": {}}
+    key_of = {
+        "documents": "doc_id", "embeddings": "vec_id", "events": "event_id",
+        "orders": "o_orderkey", "lineitem": "l_orderkey",
+    }
+    for name in args.tables.split(","):
+        # id-block safety: copy blocks are disjoint only while base ids
+        # stay under BLOCK
+        mx = load_table(spark, args.sf, name).agg(F.max(key_of[name])).first()[0]
+        if mx is not None and mx >= BLOCK:
+            raise SystemExit(f"{name}: base max id {mx} >= BLOCK {BLOCK}")
+        t0 = time.perf_counter()
+        out_path = os.path.join(args.out, f"{name}.parquet")
+        df = SCALERS[name](spark, args.sf, args.mult)
+        # spread by the shifted key so every output split mixes copies
+        df.repartition(args.partitions).write.mode("overwrite").parquet(out_path)
+        n = spark.read.parquet(out_path).count()
+        report["tables"][name] = {"rows": n, "sec": round(time.perf_counter() - t0, 1)}
+        print(f"{name}: {n:,} rows in {report['tables'][name]['sec']}s", flush=True)
+    import shutil
+
+    for name in DIM_TABLES:
+        src = os.path.join(args.sf, f"{name}.parquet")
+        if os.path.isfile(src):
+            # single-file copy keeps the DuckDB-friendly layout
+            shutil.copyfile(src, os.path.join(args.out, f"{name}.parquet"))
+        elif os.path.isdir(src):
+            shutil.copytree(
+                src, os.path.join(args.out, f"{name}.parquet"), dirs_exist_ok=True
+            )
+    with open(os.path.join(args.out, "make_sf.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
