@@ -7,6 +7,14 @@ and connected-components queries build on their operators. The DuckDB
 oracle UNROLLS the three iterations as chained CTEs computing the
 identical double arithmetic, so the driver hash checks the full
 iterative computation, not just its shape.
+
+The edge-construction CTEs carry ``AS MATERIALIZED``: DuckDB inlines
+multiply-referenced CTEs by default, and the unrolled iterations
+reference ``ed``/``deg`` once per round — at the ×30 scaled fixture the
+inlined plan recomputed the 18M-row DISTINCT + pair join ~8×
+concurrently and spilled 67 GB of hash tables to temp before dying
+(r08 finding). Materialization pins each stage to one execution; the
+hint is oracle-side only and invisible to the small-SF gates.
 """
 
 from __future__ import annotations
@@ -46,16 +54,16 @@ _ITER = """
 @query(
     "copurchase_pagerank",
     oracle=f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    ed AS (SELECT u AS src, v AS dst FROM e
+    ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
            UNION ALL SELECT v AS src, u AS dst FROM e),
-    deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY src),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
     r0 AS (SELECT deg.src AS node, CAST(1 AS DOUBLE) / n.n AS pr
            FROM deg CROSS JOIN n),
@@ -132,14 +140,14 @@ l{i} AS (
 @query(
     "copurchase_label_propagation",
     oracle=f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    ed AS (SELECT u AS src, v AS dst FROM e
+    ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
            UNION ALL SELECT v AS src, u AS dst FROM e),
     l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
     {_LPA_ITER.format(i=1, prev="l0")},

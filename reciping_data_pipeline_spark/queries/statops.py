@@ -396,25 +396,25 @@ def lineitem_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "copurchase_triangles",
     oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT node, count(*) AS d FROM (
             SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
         ) GROUP BY node
     ),
-    o AS (
+    o AS MATERIALIZED (
         SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
                CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
                CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
         FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
     ),
-    w AS (
+    w AS MATERIALIZED (
         SELECT e1.dst AS x, e2.dst AS y
         FROM o e1 JOIN o e2
           ON e1.src = e2.src
