@@ -37,8 +37,13 @@ def token_count(text: Column | str) -> Column:
 # GPT-2-style pre-tokenizer, restricted to the syntax subset that Java
 # regex (Spark) and RE2 (DuckDB) interpret identically: contractions,
 # space-prefixed letter runs, digit runs, punctuation runs. No
-# lookahead, no unicode property classes.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# lookahead, no unicode property classes — and no bare \s: Python's \s
+# is Unicode (NBSP, \x85, ideographic space) while Java/RE2 default to
+# ASCII-ish sets, so the same document would pre-tokenize differently
+# in the Arrow encode kernel (Python) vs the fit (JVM) vs the oracle
+# (RE2). The explicit hex class below is byte-identical in all three
+# engines (ADVICE r08).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+"
 
 
 def bpe_token_count(text: Column | str) -> Column:

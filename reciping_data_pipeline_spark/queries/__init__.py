@@ -76,7 +76,17 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # ``_FORCE_REVERIFY`` pins queries whose SEMANTICS changed after their
 # last green row (their recorded round would otherwise let them hide at
 # the back with evidence for the old behavior): they rank as never-run.
-_FORCE_REVERIFY: frozenset[str] = frozenset()
+_FORCE_REVERIFY: frozenset[str] = frozenset(
+    {
+        # r09: BPE_ISH_PATTERN's \s replaced with an explicit ASCII
+        # class (Python-re \s was Unicode, JVM/RE2 ASCII-ish — ADVICE
+        # r08); every pattern consumer must re-verify under the new
+        # tokenization.
+        "doc_token_counts",
+        "doc_token_counts_bpe",
+        "doc_ttr_fertility_by_source",
+    }
+)
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -104,10 +114,19 @@ def _last_green_rounds() -> dict[str, int]:
         if not isinstance(data, dict):
             continue
         for name, res in data.items():
+            # hash_match must be strictly True; rows_match only counts
+            # for no-oracle entries (hash_match is None there).  A
+            # hash-MISMATCH row ({hash_match: false, rows_match: true})
+            # is red and must NOT refresh staleness, else the rotation
+            # pushes exactly the broken queries to the back of the
+            # window (ADVICE r08).
             if (
                 isinstance(res, dict)
                 and res.get("err") is None
-                and (res.get("hash_match") or res.get("rows_match"))
+                and (
+                    res.get("hash_match") is True
+                    or (res.get("hash_match") is None and res.get("rows_match") is True)
+                )
             ):
                 out[name] = max(out.get(name, -1), rnd)
     return out

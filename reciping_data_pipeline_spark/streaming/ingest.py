@@ -349,6 +349,7 @@ def start_near_dup_corpus_stream(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+        stage_dir = corpus_dir.rstrip("/") + ".__migrate__"
         try:
             corpus = writers.read_table(sess, corpus_dir)
             index = writers.read_table(sess, index_dir)
@@ -363,23 +364,52 @@ def start_near_dup_corpus_stream(
                 # direct self-overwrite deletes the input files under
                 # the lazy scan (FAILED_READ_FILE). Single-writer per
                 # stream, so the rewrite races nothing.
+                import os as _os
                 import shutil
 
-                stage_dir = corpus_dir.rstrip("/") + ".__migrate__"
                 writers.overwrite_table(
                     corpus.withColumn(
                         "fingerprint", text_fns.fingerprint(F.col("text"))
                     ),
                     stage_dir,
                 )
-                writers.overwrite_table(
-                    writers.read_table(sess, stage_dir), corpus_dir
-                )
-                shutil.rmtree(stage_dir, ignore_errors=True)
+                # Commit via directory rename, not a second rewrite: a
+                # crash after Spark clears corpus_dir but before the
+                # rewrite lands would leave the ONLY copy of the legacy
+                # corpus in the stage dir (ADVICE r08). rmtree+rename
+                # shrinks the window to the gap between the two syscalls,
+                # and a crash inside it leaves the intact stage dir for
+                # the recovery path below.
+                shutil.rmtree(corpus_dir)
+                _os.rename(stage_dir, corpus_dir)
                 corpus = writers.read_table(sess, corpus_dir)
         except AnalysisException:
-            corpus = sess.createDataFrame([], schema + ", fingerprint string")
-            index = sess.createDataFrame([], "id long, band_idx int, band_hash long")
+            import os as _os
+
+            if _os.path.isdir(stage_dir):
+                # Crash-recovery: a migration that died after clearing
+                # corpus_dir left the fully-written backfill in the
+                # stage dir. Restore it instead of falling through to
+                # an empty corpus — that fallback would silently drop
+                # the legacy docs AND their fingerprint redelivery
+                # guard.
+                import shutil
+
+                shutil.rmtree(corpus_dir, ignore_errors=True)
+                _os.rename(stage_dir, corpus_dir)
+                try:
+                    corpus = writers.read_table(sess, corpus_dir)
+                    index = writers.read_table(sess, index_dir)
+                except AnalysisException:
+                    corpus = writers.read_table(sess, corpus_dir)
+                    index = sess.createDataFrame(
+                        [], "id long, band_idx int, band_hash long"
+                    )
+            else:
+                corpus = sess.createDataFrame([], schema + ", fingerprint string")
+                index = sess.createDataFrame(
+                    [], "id long, band_idx int, band_hash long"
+                )
         # Redelivery guard: a doc whose earlier delivery fully committed
         # is dropped here by exact fingerprint — independent of the
         # MinHash path, so even docs too short to shingle (which the

@@ -70,12 +70,16 @@ def scale_documents(spark, sf_dir: str, mult: int):
         ),
         " ",
     )
+    text = F.when(F.col("copy") == 0, F.col("text")).otherwise(tagged)
     return docs.select(
         (F.col("doc_id") + F.col("copy") * BLOCK).alias("doc_id"),
-        F.when(F.col("copy") == 0, F.col("text")).otherwise(tagged).alias("text"),
+        text.alias("text"),
         "lang",
         "source",
-        "n_chars",
+        # recompute, don't carry: the _c<copy> tags lengthen every copy>0
+        # text, and a stale n_chars skews length-weighted queries at
+        # scale (ADVICE r08)
+        F.length(text).cast("long").alias("n_chars"),
     )
 
 

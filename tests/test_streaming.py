@@ -663,6 +663,69 @@ def test_near_dup_corpus_stream_migrates_legacy_corpus(spark, tmp_path):
     rows = {r["doc_id"]: r["fingerprint"] for r in corpus.collect()}
     assert sorted(rows) == [1, 3]
     assert all(fp is not None for fp in rows.values())
+    # the migration commit leaves no orphaned stage dir behind
+    assert not (tmp_path / "corpus.__migrate__").exists()
+
+
+def test_near_dup_corpus_stream_recovers_crashed_migration(spark, tmp_path):
+    """Crash-window recovery for the legacy-corpus migration (ADVICE
+    r08): simulate a migration that died AFTER the backfilled table
+    landed in the ``.__migrate__`` stage dir and AFTER corpus_dir was
+    cleared, but BEFORE the rename committed. On restart the stream
+    must restore the stage dir — not fall through to an empty corpus,
+    which would silently drop the legacy docs and their fingerprint
+    redelivery guard."""
+    import json
+    import random
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.functions import text as text_fns
+    from reciping_data_pipeline_spark.operators import dedup as dedup_ops
+    from reciping_data_pipeline_spark.sources import writers
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    stage_dir = str(tmp_path / "corpus.__migrate__")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(300)]
+    doc_a = " ".join(rng.choice(words) for _ in range(60))
+    doc_c = " ".join(rng.choice(words) for _ in range(60))
+
+    legacy = spark.createDataFrame(
+        [(1, "web", doc_a)], "doc_id long, source string, text string"
+    )
+    writers.overwrite_table(
+        legacy.withColumn("fingerprint", text_fns.fingerprint(F.col("text"))),
+        stage_dir,
+    )
+    writers.overwrite_table(
+        dedup_ops.build_minhash_index(legacy, "doc_id", "text"), index_dir
+    )
+    # corpus_dir cleared mid-migration; the stage dir is the only copy
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    with open(incoming / "wave.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "source": "web", "text": doc_a}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "source": "web", "text": doc_c}) + "\n")
+    q = ingest.start_near_dup_corpus_stream(
+        spark, str(incoming), corpus_dir, index_dir, ckpt
+    )
+    q.awaitTermination(60)
+
+    corpus = spark.read.parquet(corpus_dir)
+    rows = {r["doc_id"]: r["fingerprint"] for r in corpus.collect()}
+    # doc 2 (exact redelivery of legacy doc 1) dropped by the RESTORED
+    # fingerprint guard; doc 3 novel and committed
+    assert sorted(rows) == [1, 3]
+    assert all(fp is not None for fp in rows.values())
+    assert not (tmp_path / "corpus.__migrate__").exists()
 
 
 # ---------------------------------------------------------------------------
