@@ -120,6 +120,86 @@ def train_bpe(word_counts: dict[str, int], num_merges: int) -> list[tuple[str, s
     return merges
 
 
+def train_bpe_fast(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Incremental-pair-count trainer — output-identical to
+    :func:`train_bpe` (pinned by a property test), but O(touched words)
+    per merge instead of recounting the whole vocabulary: the classic
+    trainer optimization that turns a 16k-merge fit on a 1M-word vocab
+    from hours into minutes of driver CPU (VERDICT r08 #3).
+
+    Structure: exact pair counts + an occurrence index (pair → word
+    ids) maintained under each merge (subtract the touched word's old
+    adjacent pairs, apply the merge, add the new ones), with a lazily
+    invalidated max-heap for best-pair selection — a popped entry is
+    valid only if its count equals the live count. Tie-break and count
+    semantics are byte-identical to the reference loop, so the DuckDB
+    recursive-CTE oracle replays this trainer unchanged."""
+    import heapq
+
+    words = list(word_counts.keys())
+    syms_list = [list(w) for w in words]
+    counts = [word_counts[w] for w in words]
+
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(syms_list):
+        c = counts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] = pairs.get(p, 0) + c
+            where.setdefault(p, set()).add(wi)
+
+    # heap entries: (-count, pair); stale entries are discarded on pop
+    # by comparing against the live count. min of (-cnt, pair) == the
+    # reference's min(items, key=(-cnt, pair)).
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and pairs:
+        neg, best = heapq.heappop(heap)
+        live = pairs.get(best)
+        if live is None or -neg != live:
+            continue  # stale
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        touched = where.pop(best, set())
+        # Batch the count updates: per-word old/new pair diffs cancel
+        # for pairs far from the merge site, so the net-changed pair
+        # set per merge is small — ONE heap push per changed pair, not
+        # one per (touched word × pair), which is what keeps a 16k-merge
+        # fit on a 1M-word vocab in driver-CPU minutes.
+        delta: dict[tuple[str, str], int] = {}
+        for wi in touched:
+            syms = syms_list[wi]
+            c = counts[wi]
+            # a stale index (word no longer holds the pair) nets to a
+            # no-op: old pairs subtracted, identical new pairs added
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                delta[p] = delta.get(p, 0) - c
+            new = _apply_merge(syms, a, b, ab)
+            syms_list[wi] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                delta[p] = delta.get(p, 0) + c
+                where.setdefault(p, set()).add(wi)
+        for p, d in delta.items():
+            if d == 0:
+                continue
+            now = pairs.get(p, 0) + d
+            if now:
+                pairs[p] = now
+                heapq.heappush(heap, (-now, p))
+            else:
+                pairs.pop(p, None)
+        pairs.pop(best, None)
+    return merges
+
+
 def fit_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -137,7 +217,7 @@ def fit_bpe_merges(
     if max_vocab is not None:
         wc = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_vocab)
     counts = {r["word"]: r["cnt"] for r in wc.collect()}
-    return train_bpe(counts, num_merges)
+    return train_bpe_fast(counts, num_merges)
 
 
 def encode_token_count(word: str, merges: list[tuple[str, str]]) -> int:

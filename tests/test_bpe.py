@@ -52,6 +52,40 @@ def test_merge_pass_preserves_symbol_mass(syms):
     assert len(out) <= len(syms)
 
 
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde!? ", min_size=1, max_size=10),
+        st.integers(min_value=1, max_value=9),
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=100, deadline=None)
+def test_fast_trainer_equals_reference(wc, num_merges):
+    """train_bpe_fast (incremental pair counts + lazy-invalidation heap)
+    must be output-IDENTICAL to the reference recount loop — same
+    merges, same order, same early stop — else the DuckDB recursive-CTE
+    oracle (which replays the reference semantics) diverges."""
+    assert bpe.train_bpe_fast(dict(wc), num_merges) == bpe.train_bpe(
+        dict(wc), num_merges
+    )
+
+
+def test_fast_trainer_equals_reference_on_corpus():
+    """Same equivalence on a realistic pre-tokenized corpus with
+    repeated-symbol runs (the overlap edge of the one-pass merge)."""
+    texts = [
+        "the cat sat on the mat",
+        "aaaa aaaa baaab",
+        "the theme thesis there",
+        "don't can't won't it's",
+        "ababab ababab abab",
+    ] * 3
+    wc = _corpus_counts(texts)
+    for n in (0, 1, 7, 30, 500):
+        assert bpe.train_bpe_fast(dict(wc), n) == bpe.train_bpe(dict(wc), n)
+
+
 def test_trainer_deterministic_and_tie_break():
     # 'ab' and 'cd' both appear twice; ('a','b') < ('c','d') wins first.
     wc = {"ab": 2, "cd": 2}
