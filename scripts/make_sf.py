@@ -108,12 +108,26 @@ def scale_embeddings(spark, sf_dir: str, mult: int):
     )
 
 
-def scale_events(spark, sf_dir: str, mult: int):
+def scale_events(spark, sf_dir: str, mult: int, zipf_users: int = 0):
+    """``zipf_users > 0`` remaps user_id to a zipf(s=1) population of
+    that many users (deterministic inverse-CDF of an xxhash64 uniform:
+    rank = U^u has P(rank=r) ∝ 1/r), instead of the default per-copy id
+    shift. Real clickstreams are zipfian — rank-1 carries ~1/ln(U) of
+    ALL events — so this is the skewed-reducer stress shape the uniform
+    replication can't produce (VERDICT r08 #5)."""
     ev = _with_copies(load_table(spark, sf_dir, "events"), mult)
+    if zipf_users > 0:
+        u = (
+            F.pmod(F.xxhash64(F.col("event_id"), F.col("copy")), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        user = F.floor(F.pow(F.lit(float(zipf_users)), u)).cast("long")
+    else:
+        user = F.col("user_id") + F.col("copy") * BLOCK
     return ev.select(
         (F.col("event_id") + F.col("copy") * BLOCK).alias("event_id"),
         "ts",
-        (F.col("user_id") + F.col("copy") * BLOCK).alias("user_id"),
+        user.alias("user_id"),
         "event_type",
         "value",
         "props",
@@ -169,6 +183,13 @@ def main() -> int:
         help="comma subset of fact tables to scale (dims always copied)",
     )
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument(
+        "--zipf-users",
+        type=int,
+        default=0,
+        help="remap events.user_id to a zipf(1) population of N users "
+        "(skewed-reducer stress fixture); 0 = uniform per-copy shift",
+    )
     args = ap.parse_args()
     if args.mult < 1:
         raise SystemExit("--mult must be >= 1")
@@ -189,7 +210,10 @@ def main() -> int:
             raise SystemExit(f"{name}: base max id {mx} >= BLOCK {BLOCK}")
         t0 = time.perf_counter()
         out_path = os.path.join(args.out, f"{name}.parquet")
-        df = SCALERS[name](spark, args.sf, args.mult)
+        if name == "events" and args.zipf_users:
+            df = scale_events(spark, args.sf, args.mult, zipf_users=args.zipf_users)
+        else:
+            df = SCALERS[name](spark, args.sf, args.mult)
         # spread by the shifted key so every output split mixes copies
         df.repartition(args.partitions).write.mode("overwrite").parquet(out_path)
         n = spark.read.parquet(out_path).count()
