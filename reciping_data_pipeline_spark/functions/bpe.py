@@ -222,7 +222,8 @@ def fit_bpe_merges(
 
 def encode_token_count(word: str, merges: list[tuple[str, str]]) -> int:
     """Token count of one word under the learned merges (rank-order
-    application, one pass per merge)."""
+    application, one pass per merge). Reference semantics — kept as the
+    equivalence anchor for :func:`encode_token_count_ranked`."""
     syms = list(word)
     for a, b in merges:
         if len(syms) < 2:
@@ -231,11 +232,40 @@ def encode_token_count(word: str, merges: list[tuple[str, str]]) -> int:
     return len(syms)
 
 
+def encode_token_count_ranked(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> int:
+    """Token count via the classic lowest-rank-present loop — O(len²)
+    per word INDEPENDENT of merge-table size, vs the rank-order pass's
+    O(merges × len). Output-identical to :func:`encode_token_count`
+    for any merge table produced by a valid BPE training run (each
+    merge's constituents are created only by strictly earlier merges,
+    so a pair can never become newly present after its own rank has
+    passed — the module-docstring equivalence, pinned by
+    ``test_bpe.py``'s property test). This is what makes a 16k-merge
+    production vocabulary encodable at corpus scale."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        syms = _apply_merge(syms, a, b, a + b)
+    return len(syms)
+
+
 def bpe_token_count_udf(merges: list[tuple[str, str]]):
     """Arrow-batched kernel: text → total BPE token count. Per-batch
     memo over distinct words (corpus vocabularies are Heaps'-law small
-    relative to token mass, so the memo hit rate dominates)."""
-    frozen = list(merges)
+    relative to token mass, so the memo hit rate dominates); the
+    per-word encode is the rank-dict greedy loop, so kernel cost does
+    not grow with merge-table size."""
+    ranks = {p: i for i, p in enumerate(merges)}
 
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
@@ -248,7 +278,7 @@ def bpe_token_count_udf(merges: list[tuple[str, str]]):
             for w in pre_tokenize(t):
                 n = memo.get(w)
                 if n is None:
-                    n = memo[w] = encode_token_count(w, frozen)
+                    n = memo[w] = encode_token_count_ranked(w, ranks)
                 total += n
             return total
 

@@ -130,3 +130,22 @@ def test_fit_persist_roundtrip_and_kernel_parity(spark):
     capped = bpe.fit_bpe_merges(df, "text", num_merges=20, max_vocab=5)
     capped2 = bpe.fit_bpe_merges(df.repartition(7), "text", num_merges=20, max_vocab=5)
     assert capped == capped2
+
+
+@given(st.lists(st.text(alphabet="ab cde", max_size=20), min_size=1, max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_ranked_encode_equals_rank_order_encode(texts):
+    """The O(len²) lowest-rank-present greedy encode must be
+    output-identical to the O(merges×len) rank-order pass for any merge
+    table a real training run can produce — including on OOV words
+    (never seen in training) built from the same alphabet."""
+    wc = _corpus_counts(texts)
+    if not wc:
+        return
+    merges = bpe.train_bpe(wc, 15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    probe = list(wc) + ["".join(sorted(wc))[:16], "abcde", "aabbccddee", ""]
+    for w in probe:
+        assert bpe.encode_token_count_ranked(w, ranks) == bpe.encode_token_count(
+            w, merges
+        ), (w, merges)
