@@ -92,8 +92,16 @@ def main() -> int:
 
     def seg_agg(join_fn):
         joined = join_fn()
+        # parity must hold across DIFFERENT physical plans (plain vs
+        # salted), so the value sum is quantized to an integer grid and
+        # summed as BIGINT — exact and order-invariant, where a double
+        # sum differs in the last ulps with partition order (the
+        # sum-then-floor rule the oracle layer uses engine-wide).
         return joined.groupBy("c_mktsegment").agg(
-            F.count("*").alias("n"), F.sum("value").alias("sv")
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("sv"),
         )
 
     # 2. shuffle-forced join, AQE skew split ON: final plan must show a
@@ -101,9 +109,13 @@ def main() -> int:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # make the skew visible to AQE at this (local-bench) data size; on a
-    # real cluster the 256 MB defaults fire on their own
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    # real cluster the 256 MB defaults fire on their own. A zipf(1)
+    # population's rank-1 share is ~1/ln(U) (~7% here), so over 32 hash
+    # partitions the hot partition is ~3x the median — above factor=2
+    # but below the default factor=5, hence the factor override too.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     try:
         plain = events.join(customer, "user_id", "inner")
         t0 = time.perf_counter()
@@ -122,7 +134,10 @@ def main() -> int:
             flush=True,
         )
 
-        # 3. reducer balance, AQE skew split OFF: plain vs salted
+        # 3. reducer balance, AQE fully OFF (not just skew split): AQE
+        # coalesce merges toward byte-equal partitions and masks the
+        # raw hash-partition imbalance this step exists to measure.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         n_p, max_p, ratio_plain = _partition_balance(
             events.join(customer, "user_id", "inner").select("user_id", "value")
@@ -171,8 +186,10 @@ def main() -> int:
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
     ok = (
