@@ -85,6 +85,15 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "doc_token_counts",
         "doc_token_counts_bpe",
         "doc_ttr_fertility_by_source",
+        # r09: segment-stack serving default flipped GROUPING SETS →
+        # UNION ALL (the measured winner hot+cold through ×300 —
+        # BENCH_NOTES.md). Results are form-invariant, but the driver
+        # evidence should cover the plan actually served.
+        "wau_grouping_sets",
+        "events_per_time_grouping_sets",
+        "daily_engagement_grouping_sets",
+        "pages_views_grouping_sets",
+        "dish_interactions_grouping_sets",
     }
 )
 

@@ -22,115 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from reciping_data_pipeline_spark.queries import all_queries  # noqa: E402
+from reciping_data_pipeline_spark.queries import groupingsets  # noqa: E402
 from reciping_data_pipeline_spark.session import get_spark  # noqa: E402
-from reciping_data_pipeline_spark.tables import load_table  # noqa: E402
 
-_AB_SEG = (
-    "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'control' "
-    "WHEN 1 THEN 'variant_a' ELSE 'variant_b' END"
-)
-_WEEK = "CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING)"
-
-# Spark-dialect UNION ALL forms — the faithful N-scan shape the
-# reference's SQL uses (its Trino queries re-scan the fact per block).
-UNION_FORMS: dict[str, tuple[str, tuple[str, ...]]] = {
-    "wau_grouping_sets": (
-        f"""
-        WITH base AS (
-            SELECT {_WEEK} AS week_start, event_type, {_AB_SEG} AS seg, user_id
-            FROM events
-        )
-        SELECT week_start, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
-               count(DISTINCT user_id) AS wau
-        FROM base GROUP BY week_start
-        UNION ALL
-        SELECT week_start, 'EVENT_TYPE', event_type, count(DISTINCT user_id)
-        FROM base GROUP BY week_start, event_type
-        UNION ALL
-        SELECT week_start, 'AB_GROUP', seg, count(DISTINCT user_id)
-        FROM base GROUP BY week_start, seg
-        """,
-        ("events",),
-    ),
-    "events_per_time_grouping_sets": (
-        f"""
-        WITH base AS (
-            SELECT CAST(hour(ts) AS INT) AS hour, {_AB_SEG} AS seg, user_id
-            FROM events
-        )
-        SELECT hour, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
-               count(*) AS event_count, count(DISTINCT user_id) AS unique_users
-        FROM base GROUP BY hour
-        UNION ALL
-        SELECT hour, 'AB_GROUP', seg, count(*), count(DISTINCT user_id)
-        FROM base GROUP BY hour, seg
-        """,
-        ("events",),
-    ),
-    "daily_engagement_grouping_sets": (
-        f"""
-        WITH base AS (
-            SELECT CAST(weekday(ts) + 1 AS INT) AS day_of_week, {_AB_SEG} AS seg,
-                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_u
-            FROM events
-        )
-        SELECT day_of_week, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
-               CAST(floor(CAST(sum(value_u) AS DOUBLE) / (10000.0 * count(*)) + 0.5)
-                    AS DOUBLE) / 100.0 AS avg_engagement,
-               count(*) AS total_events
-        FROM base GROUP BY day_of_week
-        UNION ALL
-        SELECT day_of_week, 'AB_GROUP', seg,
-               CAST(floor(CAST(sum(value_u) AS DOUBLE) / (10000.0 * count(*)) + 0.5)
-                    AS DOUBLE) / 100.0,
-               count(*)
-        FROM base GROUP BY day_of_week, seg
-        """,
-        ("events",),
-    ),
-    "pages_views_grouping_sets": (
-        f"""
-        WITH base AS (
-            SELECT concat('page_', CAST(CAST(get_json_object(props, '$.k') AS INT) % 5
-                                        AS STRING)) AS page_name,
-                   {_AB_SEG} AS seg, user_id
-            FROM events
-        )
-        SELECT page_name, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
-               count(*) AS page_views, count(DISTINCT user_id) AS unique_visitors
-        FROM base GROUP BY page_name
-        UNION ALL
-        SELECT page_name, 'AB_GROUP', seg, count(*), count(DISTINCT user_id)
-        FROM base GROUP BY page_name, seg
-        """,
-        ("events",),
-    ),
-    "dish_interactions_grouping_sets": (
-        """
-        WITH base AS (
-            SELECT p.p_type AS dish_type, o.o_orderpriority AS seg,
-                   o.o_custkey, l.l_extendedprice
-            FROM lineitem l
-            JOIN part p ON l.l_partkey = p.p_partkey
-            JOIN orders o ON l.l_orderkey = o.o_orderkey
-        )
-        SELECT dish_type, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
-               count(*) AS interactions,
-               count(DISTINCT o_custkey) AS unique_customers,
-               floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                          AS DOUBLE) / 100.0 + 0.5) AS revenue_whole
-        FROM base GROUP BY dish_type
-        UNION ALL
-        SELECT dish_type, 'PRIORITY', seg, count(*),
-               count(DISTINCT o_custkey),
-               floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                          AS DOUBLE) / 100.0 + 0.5)
-        FROM base GROUP BY dish_type, seg
-        """,
-        ("lineitem", "part", "orders"),
-    ),
-}
+FAMILIES = list(groupingsets._FORMS)
 
 
 def _drop_page_cache() -> None:
@@ -157,7 +52,6 @@ def main() -> int:
 
     spark = get_spark(app_name="gsets_headtohead")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
 
     def run_noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -175,13 +69,15 @@ def main() -> int:
 
     rows = []
     selected = set(args.only.split(",")) if args.only else None
-    for name, (union_sql, tables) in UNION_FORMS.items():
+    for name in FAMILIES:
         if selected is not None and name not in selected:
             continue
-        for t in tables:
-            load_table(spark, args.sf, t).createOrReplaceTempView(t)
-        gs_sec = med3(lambda: registry[name].fn(spark, args.sf))
-        ua_sec = med3(lambda: spark.sql(union_sql))
+        gs_sec = med3(
+            lambda: groupingsets.segment_stack(spark, args.sf, name, form="grouping_sets")
+        )
+        ua_sec = med3(
+            lambda: groupingsets.segment_stack(spark, args.sf, name, form="union_all")
+        )
         rows.append(
             {
                 "query": name,

@@ -372,15 +372,45 @@ def test_runtime_bloom_filter_on_selective_shuffle_join(spark):
     ],
 )
 def test_grouping_sets_one_scan_no_union(spark, name, tables):
-    """The GROUPING SETS siblings of the reference's UNION ALL stacks
+    """The GROUPING SETS sibling (segment_stack(form='grouping_sets'))
     must plan as ONE scan per input table feeding a single Expand —
-    never a Union of per-block rescans (at 100 TB each extra block is
-    a full fact scan). Exchange count stays bounded by the two-phase
-    distinct aggregation (<= 3), independent of the number of segment
-    blocks."""
-    df = _q(spark, name)
+    never a Union of per-block rescans. Exchange count stays bounded by
+    the two-phase distinct aggregation (<= 3), independent of the
+    number of segment blocks. (The REGISTERED default is the UNION ALL
+    form — the measured winner hot and cold through x300, see
+    BENCH_NOTES.md — so this gate builds the GS form explicitly: the
+    one-scan capability must stay intact for the regimes where scans
+    do dominate.)"""
+    from reciping_data_pipeline_spark.queries import groupingsets
+
+    df = groupingsets.segment_stack(spark, SF_SMOKE, name, form="grouping_sets")
     plan = inspect.simple_plan(df)
     assert "Union" not in plan, plan
     assert plan.count("Scan parquet") == tables, plan
     assert "Expand" in plan, plan
     assert inspect.count_exchanges(df) <= 3, inspect.simple_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "wau_grouping_sets",
+        "events_per_time_grouping_sets",
+        "daily_engagement_grouping_sets",
+        "pages_views_grouping_sets",
+        "dish_interactions_grouping_sets",
+    ],
+)
+def test_segment_stack_default_form_is_union_all(spark, name):
+    """The registered catalog entry serves the UNION ALL form (no
+    Expand in the plan) and is result-identical to the GROUPING SETS
+    sibling — the cross-form equivalence that used to be implicit in
+    the driver oracle (Spark-GS vs DuckDB-UA) now pinned engine-side."""
+    from reciping_data_pipeline_spark.queries import groupingsets
+
+    df = _q(spark, name)
+    plan = inspect.simple_plan(df)
+    assert "Expand" not in plan, plan
+    assert "Union" in plan, plan
+    gs = groupingsets.segment_stack(spark, SF_SMOKE, name, form="grouping_sets")
+    assert sorted(map(str, df.collect())) == sorted(map(str, gs.collect()))
