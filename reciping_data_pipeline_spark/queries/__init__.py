@@ -157,6 +157,7 @@ def all_queries() -> dict[str, Query]:
         multimodalops,
         qualityops,
         relational_ext,
+        rollupserve,
         samplingops,
         statops,
         subqueries,
