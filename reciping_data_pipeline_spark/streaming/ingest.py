@@ -459,3 +459,82 @@ def start_near_dup_corpus_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_user_day_rollup_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Events JSONL stream → idempotent date-partitioned events table →
+    incremental user-day rollup (`pipeline/rollups.py`), per micro-batch.
+
+    Exactly-once WITHOUT a commit marker: the events append is an
+    event_id anti-join against the already-committed rows of exactly
+    the partitions the batch touches (the `silver.append_incremental`
+    discipline — re-offered events drop out), and the rollup update is
+    a deterministic RECOMPUTE of the touched date partitions from the
+    events table (not an additive merge, which would double-count on
+    replay). Every crash window replays convergently: append crashed →
+    re-append is a no-op via the anti-join; rollup overwrite crashed →
+    the replayed batch recomputes the same partitions from the same
+    committed events. Touched dates are derived from the BATCH (before
+    the anti-join), so a replay whose events all drop out still repairs
+    a rollup overwrite that never landed. Cost per batch ∝ the touched
+    days' events — never table size."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from reciping_data_pipeline_spark.pipeline import rollups
+    from reciping_data_pipeline_spark.sources import writers
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    raw = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("pathGlobFilter", "*.jsonl")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = raw.load(incoming_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "event_date", F.col("ts").cast("date").cast("string")
+        )
+        touched = [r["event_date"] for r in batch.select("event_date").distinct().collect()]
+        # idempotent append: anti-join on event_id within ONLY the
+        # touched partitions (directory-pruned read)
+        try:
+            existing = (
+                writers.read_table(sess, events_dir)
+                .where(F.col("event_date").isin(touched))
+                .select("event_id")
+            )
+        except AnalysisException:
+            existing = sess.createDataFrame([], "event_id long")
+        new_rows = batch.join(existing, on="event_id", how="left_anti")
+        if not new_rows.isEmpty():
+            writers.append_table(new_rows, events_dir, partition_cols=["event_date"])
+        # recompute the touched rollup partitions from the committed
+        # events history of those days (pruned scan) — replay-safe
+        day_events = writers.read_table(sess, events_dir).where(
+            F.col("event_date").isin(touched)
+        )
+        rollups.maintain_user_day_rollup(sess, day_events, rollup_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -100,3 +100,80 @@ def test_serving_plan_is_fact_free_and_partition_prunable(spark, events, tmp_pat
     pruned = rollups.dau_from_rollup(rollup.where(F.col("event_date") == some_day))
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan and "event_date" in pplan, pplan
+
+
+def test_rollup_stream_matches_batch_and_survives_redelivery(spark, tmp_path):
+    """Streaming rollup maintenance: same-day events split across
+    micro-batches must MERGE into the day's partials (the bug an
+    overwrite-from-batch-only design would have), and a second run that
+    re-offers wave-1 files plus new events must converge to exactly the
+    one-shot batch rollup over all unique events."""
+    import json as _json
+
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    events_dir = str(tmp_path / "events_tbl")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, rows):
+        with open(incoming / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # two files, SAME day, forced into separate triggers
+    write_wave(
+        "w1.jsonl",
+        [
+            {"event_id": 1, "ts": "2025-09-01T10:00:00", "user_id": 7, "event_type": "click", "value": 1.25},
+            {"event_id": 2, "ts": "2025-09-01T11:00:00", "user_id": 8, "event_type": "view", "value": 0.5},
+        ],
+    )
+    write_wave(
+        "w2.jsonl",
+        [
+            {"event_id": 3, "ts": "2025-09-01T12:00:00", "user_id": 7, "event_type": "click", "value": 2.0},
+            {"event_id": 4, "ts": "2025-09-02T09:00:00", "user_id": 9, "event_type": "click", "value": 3.0},
+        ],
+    )
+    q = ingest.start_user_day_rollup_stream(
+        spark, str(incoming), events_dir, rollup_dir, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    # wave 3: re-offers event 1-3 content under a new file (redelivery)
+    # plus one genuinely new event on day 1
+    write_wave(
+        "w3.jsonl",
+        [
+            {"event_id": 1, "ts": "2025-09-01T10:00:00", "user_id": 7, "event_type": "click", "value": 1.25},
+            {"event_id": 3, "ts": "2025-09-01T12:00:00", "user_id": 7, "event_type": "click", "value": 2.0},
+            {"event_id": 5, "ts": "2025-09-01T23:00:00", "user_id": 8, "event_type": "click", "value": 0.75},
+        ],
+    )
+    q = ingest.start_user_day_rollup_stream(
+        spark, str(incoming), events_dir, rollup_dir, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    streamed = rollups.read_user_day_rollup(spark, rollup_dir)
+    # the batch truth: one-shot rollup over the 5 unique events
+    all_events = (
+        spark.read.format("json")
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("pathGlobFilter", "*.jsonl")
+        .load(str(incoming))
+        .dropDuplicates(["event_id"])
+    )
+    batch = rollups.user_day_rollup(all_events)
+    cols = sorted(batch.columns)
+    assert _sorted_rows(
+        streamed.select(*[F.col(c).cast("string") for c in cols])
+    ) == _sorted_rows(batch.select(*[F.col(c).cast("string") for c in cols]))
+    # user 7 day-1 clicks merged across triggers AND not double-counted
+    u7 = streamed.where(
+        (F.col("user_id") == 7) & (F.col("event_type") == "click")
+    ).collect()
+    assert len(u7) == 1 and u7[0]["n_events"] == 2 and u7[0]["value_u"] == 3_250_000
