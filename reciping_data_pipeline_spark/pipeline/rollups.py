@@ -60,7 +60,12 @@ def user_day_rollup(events: DataFrame) -> DataFrame:
 
 
 def maintain_user_day_rollup(
-    spark: SparkSession, events: DataFrame, rollup_path: str
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    *,
+    events_path: str | None = None,
+    touched_dates: list[str] | None = None,
 ) -> list[str]:
     """Incrementally maintain the rollup at ``rollup_path`` from an
     interval's (already event-id-deduped) events: recompute the partial
@@ -71,19 +76,50 @@ def maintain_user_day_rollup(
     it is idempotent under re-delivery of the SAME interval without any
     read-side bookkeeping, and its cost is bounded by the touched days'
     events — on a date-partitioned warehouse that's one pruned scan.
-    The day-partition recompute source is the events argument itself,
-    so callers replaying history pass the union of the interval and
-    any late events for its days (gold.run_incremental's pruned-read
-    pattern). Returns the ISO dates rewritten (O(touched days))."""
-    batch_rollup = user_day_rollup(events)
-    touched = [
-        r["event_date"].isoformat()
-        for r in batch_rollup.select("event_date").distinct().collect()
-    ]
-    if not touched:
-        return touched
-    writers.overwrite_partitions(batch_rollup, rollup_path, ["event_date"])
-    return touched
+
+    ``events_path`` closes the late-data hole BY CONSTRUCTION (ADVICE
+    r09): when given, the recompute source is the COMMITTED events
+    table pruned to the touched days — so a caller passing only a
+    late-arriving sliver of an old day still rewrites that day from its
+    full history (the streaming flavor's pattern). Without it, the
+    batch itself is the source and the caller owns the
+    union-of-the-day contract (gold.run_incremental's pruned-read
+    pattern). The ``events`` argument then only names the touched days
+    — one column-pruned distinct, never a second full aggregation (the
+    r09 double-execution fix).
+
+    ``touched_dates`` (ISO strings) skips that distinct when the caller
+    already knows the days (streaming derives them pre-anti-join so a
+    replay whose rows all drop out still repairs the rollup).
+    Returns the ISO dates rewritten (O(touched days))."""
+    if touched_dates is None:
+        touched_dates = [
+            r["d"]
+            for r in events.select(
+                F.col("ts").cast("date").cast("string").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+    if not touched_dates:
+        return []
+    if events_path is not None:
+        committed = writers.read_table(spark, events_path)
+        # prune on the partition column when the table is
+        # date-partitioned (directory pruning — the touched days are
+        # the only ones read); fall back to the ts-derived date.
+        day = (
+            F.col("event_date").cast("string")
+            if "event_date" in committed.columns
+            else F.col("ts").cast("date").cast("string")
+        )
+        source = committed.where(day.isin(touched_dates))
+    else:
+        source = events.where(
+            F.col("ts").cast("date").cast("string").isin(touched_dates)
+        )
+    writers.overwrite_partitions(user_day_rollup(source), rollup_path, ["event_date"])
+    return touched_dates
 
 
 def read_user_day_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
@@ -112,6 +148,196 @@ def wau_from_rollup(rollup: DataFrame) -> DataFrame:
         "user_id",
     ).distinct()
     return wk.groupBy("week_start").agg(F.count("*").alias("wau"))
+
+
+def _ab_segment(user_col):
+    """AB-group segment derived from user_id — the same integer
+    arithmetic as queries/groupingsets.py's ``_AB_SEG`` (the sf events
+    table has no user dim, so the segment is a deterministic function
+    both engines compute identically)."""
+    m = F.pmod(user_col, F.lit(3)).cast("int")
+    return (
+        F.when(m == 0, F.lit("control"))
+        .when(m == 1, F.lit("variant_a"))
+        .otherwise(F.lit("variant_b"))
+    )
+
+
+def dau_segments_from_rollup(rollup: DataFrame) -> DataFrame:
+    """The reference's ACTUAL `DAU.sql` shape — a TOTAL / per-segment /
+    per-AB-group UNION ALL stack of daily uniques (`sql_queries/DAU.sql`
+    lines 1-52) — served entirely from the user-day partials.
+
+    Every stack dimension is available at the partial grain: event_type
+    is a grain column, and the AB group is functionally dependent on
+    user_id (also a grain column), so no grain extension is needed —
+    the user-grain partial subsumes every functionally-dependent
+    segment. Exactness per block: TOTAL and AB re-distinct user_id over
+    partials (a user appears once per (day, type)); the EVENT_TYPE
+    block's distinct is a plain COUNT(*) because (day, user, type) rows
+    are unique. Fact-free: the plan scans only the rollup
+    (tests/test_rollups.py plan gate)."""
+    day = F.col("event_date").cast("string").alias("event_date")
+    total = (
+        rollup.groupBy(day)
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .select(
+            "event_date",
+            F.lit("TOTAL").alias("segment_type"),
+            F.lit("ALL").alias("segment_value"),
+            "dau",
+        )
+    )
+    by_type = (
+        rollup.groupBy(day, F.col("event_type").alias("segment_value"))
+        .agg(F.count("*").alias("dau"))
+        .select(
+            "event_date",
+            F.lit("EVENT_TYPE").alias("segment_type"),
+            "segment_value",
+            "dau",
+        )
+    )
+    by_ab = (
+        rollup.groupBy(day, _ab_segment(F.col("user_id")).alias("segment_value"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .select(
+            "event_date",
+            F.lit("AB_GROUP").alias("segment_type"),
+            "segment_value",
+            "dau",
+        )
+    )
+    return total.unionAll(by_type).unionAll(by_ab)
+
+
+def user_week_rollup(day_rollup: DataFrame) -> DataFrame:
+    """(week_start, user_id, event_type) DISTINCT partials derived from
+    the day rollup — the second-level partial that makes WAU serving
+    O(users×weeks) instead of O(users×days) (VERDICT r09 #3: the
+    day-grain rollup compresses events only ~1.2× on a uniform fixture,
+    so a week-level distinct over it barely beats the fact; this grain
+    removes the within-week day multiplicity before serving)."""
+    return day_rollup.select(
+        F.date_trunc("week", F.col("event_date")).cast("date").alias("week_start"),
+        "user_id",
+        "event_type",
+    ).distinct()
+
+
+def maintain_user_week_rollup(
+    spark: SparkSession,
+    day_rollup_path: str,
+    week_rollup_path: str,
+    touched_dates: list[str],
+) -> list[str]:
+    """Cascade maintenance: recompute the week partitions covering
+    ``touched_dates`` from the DAY rollup (never the fact), pruned to
+    exactly those weeks' day partitions. Cost per interval =
+    O(touched weeks × users), idempotent like the day flavor
+    (recompute-and-replace of whole week partitions). Late data is
+    closed by construction at this level too: the source is the
+    committed day rollup, which `maintain_user_day_rollup` has already
+    rewritten from full-day history."""
+    import datetime as _dt
+
+    def _week_of(iso: str) -> _dt.date:
+        d = _dt.date.fromisoformat(iso)
+        return d - _dt.timedelta(days=d.weekday())
+
+    weeks = sorted({_week_of(d).isoformat() for d in touched_dates})
+    if not weeks:
+        return []
+    # explicit day list (weeks × 7) so the day-rollup read prunes to
+    # exactly the touched weeks' partition directories
+    days = [
+        (_dt.date.fromisoformat(w) + _dt.timedelta(days=i)).isoformat()
+        for w in weeks
+        for i in range(7)
+    ]
+    day_rollup = writers.read_table(spark, day_rollup_path).where(
+        F.col("event_date").cast("string").isin(days)
+    )
+    week = user_week_rollup(day_rollup)
+    writers.overwrite_partitions(week, week_rollup_path, ["week_start"])
+    return weeks
+
+
+def wau_from_week_rollup(week_rollup: DataFrame) -> DataFrame:
+    """WAU served from the week-grain partials: distinct users per week
+    over O(users×weeks) rows — the form that wins even when the
+    day-grain compression is ~1× (uniform traffic)."""
+    return week_rollup.groupBy(
+        F.col("week_start").cast("string").alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+
+
+def wau_segments_from_week_rollup(week_rollup: DataFrame) -> DataFrame:
+    """The reference's ACTUAL `WAU.sql` shape (`sql_queries/WAU.sql`):
+    the TOTAL / EVENT_TYPE / AB_GROUP weekly-unique stack plus the
+    week-over-week growth ladder (prev_week_wau via LAG, 2-dp growth
+    pct), served entirely from the week-grain partials.
+
+    Exactness mirrors the DAU stack: (week, user, type) rows are
+    unique, so the EVENT_TYPE distinct is COUNT(*); TOTAL / AB
+    re-distinct user_id. year/week_number derive from week_start (one
+    row per ISO week — the reference groups by the same triple). The
+    growth pct uses the engine-wide floor form
+    ``floor(x*100+0.5)/100`` — identical IEEE ops in both engines,
+    unlike round() tie behavior."""
+    from pyspark.sql import Window
+
+    wk = F.col("week_start").cast("string").alias("week_start")
+    total = (
+        week_rollup.groupBy(wk)
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            "week_start",
+            F.lit("TOTAL").alias("segment_type"),
+            F.lit("ALL").alias("segment_value"),
+            "wau",
+        )
+    )
+    by_type = (
+        week_rollup.groupBy(wk, F.col("event_type").alias("segment_value"))
+        .agg(F.count("*").alias("wau"))
+        .select(
+            "week_start",
+            F.lit("EVENT_TYPE").alias("segment_type"),
+            "segment_value",
+            "wau",
+        )
+    )
+    by_ab = (
+        week_rollup.groupBy(wk, _ab_segment(F.col("user_id")).alias("segment_value"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            "week_start",
+            F.lit("AB_GROUP").alias("segment_type"),
+            "segment_value",
+            "wau",
+        )
+    )
+    stacked = total.unionAll(by_type).unionAll(by_ab)
+    w = Window.partitionBy("segment_type", "segment_value").orderBy("week_start")
+    prev = F.lag("wau").over(w)
+    growth = F.when(
+        prev > 0,
+        F.floor((F.col("wau") - prev) * 10000.0 / prev + F.lit(0.5)) / 100.0,
+    )
+    return stacked.select(
+        "week_start",
+        F.year(F.col("week_start").cast("date")).cast("int").alias("year"),
+        F.weekofyear(F.col("week_start").cast("date")).cast("int").alias("week_number"),
+        "segment_type",
+        "segment_value",
+        "wau",
+        # DOUBLE, not nullable BIGINT: NULL-able int columns promote to
+        # float in pandas on one side of the driver compare but not the
+        # other ('150' vs '150.0') — emit float on BOTH engines.
+        prev.cast("double").alias("prev_week_wau"),
+        growth.alias("week_over_week_growth_pct"),
+    )
 
 
 def daily_value_from_rollup(rollup: DataFrame) -> DataFrame:

@@ -78,22 +78,11 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # the back with evidence for the old behavior): they rank as never-run.
 _FORCE_REVERIFY: frozenset[str] = frozenset(
     {
-        # r09: BPE_ISH_PATTERN's \s replaced with an explicit ASCII
-        # class (Python-re \s was Unicode, JVM/RE2 ASCII-ish — ADVICE
-        # r08); every pattern consumer must re-verify under the new
-        # tokenization.
-        "doc_token_counts",
-        "doc_token_counts_bpe",
-        "doc_ttr_fertility_by_source",
-        # r09: segment-stack serving default flipped GROUPING SETS →
-        # UNION ALL (the measured winner hot+cold through ×300 —
-        # BENCH_NOTES.md). Results are form-invariant, but the driver
-        # evidence should cover the plan actually served.
-        "wau_grouping_sets",
-        "events_per_time_grouping_sets",
-        "daily_engagement_grouping_sets",
-        "pages_views_grouping_sets",
-        "dish_interactions_grouping_sets",
+        # (r09's 8 pins — the ASCII BPE tokenization change and the
+        # UNION ALL serving flip — were all recorded hash-green in
+        # CORRECTNESS_r09.json and cleared: a satisfied pin left in
+        # place would occupy a front-of-window slot every round and
+        # starve the stalest cohort the rotation exists to refresh.)
     }
 )
 

@@ -17,7 +17,8 @@ grid {hot, cold-page-cache} × {sf0.1, ×30, ×300 = 30M events} —
 rewrite targeted). So the DEFAULT form served by the catalog entries is
 ``union_all``; the GROUPING SETS siblings stay first-class behind
 :func:`segment_stack`'s ``form`` parameter — result-identical (pinned
-by ``tests/test_groupingsets_forms.py`` cross-form equivalence and by
+by ``tests/test_plans.py::test_segment_stack_default_form_is_union_all``
+cross-form equivalence and by
 the driver oracle history) and still the right shape where a scan is
 genuinely expensive (remote object storage without page cache, far
 wider stacks than these 2–3 blocks).

@@ -57,6 +57,96 @@ def rollup_wau_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.wau_from_rollup(rollups.user_day_rollup(ev))
 
 
+_AB_SEG_SQL = (
+    "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'control' "
+    "WHEN 1 THEN 'variant_a' ELSE 'variant_b' END"
+)
+
+
+@query(
+    "rollup_dau_segment_serving",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type,
+               user_id, {_AB_SEG_SQL} AS seg
+        FROM events
+    )
+    SELECT event_date, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+           count(DISTINCT user_id) AS dau
+    FROM base GROUP BY event_date
+    UNION ALL
+    SELECT event_date, 'EVENT_TYPE', event_type, count(DISTINCT user_id)
+    FROM base GROUP BY event_date, event_type
+    UNION ALL
+    SELECT event_date, 'AB_GROUP', seg, count(DISTINCT user_id)
+    FROM base GROUP BY event_date, seg
+    """,
+    doc="The reference's ACTUAL DAU.sql shape — the TOTAL / EVENT_TYPE "
+    "/ AB_GROUP UNION ALL stack of daily uniques — served from the "
+    "user-day partial rollup (every stack dimension is in or derivable "
+    "from the partial grain; the EVENT_TYPE distinct is a COUNT(*) of "
+    "grain rows). Oracle is the direct stacked computation over raw "
+    "events — the hash proves the stacked serving loses nothing.",
+    tags=("agg", "rollup", "grouping-sets"),
+)
+def rollup_dau_segment_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return rollups.dau_segments_from_rollup(rollups.user_day_rollup(ev))
+
+
+@query(
+    "rollup_wau_segment_serving",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING)
+                   AS week_start,
+               event_type, user_id, {_AB_SEG_SQL} AS seg
+        FROM events
+    ), stacked AS (
+        SELECT week_start, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+               count(DISTINCT user_id) AS wau
+        FROM base GROUP BY week_start
+        UNION ALL
+        SELECT week_start, 'EVENT_TYPE', event_type, count(DISTINCT user_id)
+        FROM base GROUP BY week_start, event_type
+        UNION ALL
+        SELECT week_start, 'AB_GROUP', seg, count(DISTINCT user_id)
+        FROM base GROUP BY week_start, seg
+    )
+    SELECT week_start,
+           CAST(year(CAST(week_start AS DATE)) AS INT) AS year,
+           CAST(weekofyear(CAST(week_start AS DATE)) AS INT) AS week_number,
+           segment_type, segment_value, wau,
+           CAST(LAG(wau) OVER (PARTITION BY segment_type, segment_value
+                          ORDER BY week_start) AS DOUBLE) AS prev_week_wau,
+           CASE WHEN LAG(wau) OVER (PARTITION BY segment_type, segment_value
+                                    ORDER BY week_start) > 0
+                THEN floor((wau - LAG(wau) OVER (PARTITION BY segment_type,
+                                                 segment_value
+                                                 ORDER BY week_start))
+                           * 10000.0
+                           / LAG(wau) OVER (PARTITION BY segment_type,
+                                            segment_value
+                                            ORDER BY week_start)
+                           + 0.5) / 100.0
+                ELSE NULL END AS week_over_week_growth_pct
+    FROM stacked
+    """,
+    doc="The reference's ACTUAL WAU.sql shape — the weekly TOTAL / "
+    "EVENT_TYPE / AB_GROUP uniques stack plus the week-over-week LAG "
+    "growth ladder — served from the (week_start, user_id, event_type) "
+    "week-grain partials (cascaded from the day rollup, O(users×weeks) "
+    "— the grain that wins even at ~1× day-level compression). Growth "
+    "pct uses the engine-wide floor rounding form. Oracle is the "
+    "direct stacked computation over raw events.",
+    tags=("agg", "rollup", "grouping-sets", "window"),
+)
+def rollup_wau_segment_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = rollups.user_week_rollup(rollups.user_day_rollup(ev))
+    return rollups.wau_segments_from_week_rollup(week)
+
+
 @query(
     "rollup_daily_value_serving",
     oracle="""

@@ -505,6 +505,12 @@ def start_user_day_rollup_stream(
     stream = raw.load(incoming_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # NULL event_id rows can never match the left-anti redelivery
+        # guard below (SQL NULL semantics), so they would re-append on
+        # EVERY replay — silently breaking convergence. Drop them up
+        # front, the same malformed-row discipline as
+        # pipeline/silver.py:106 (a null id marks an unusable record).
+        batch_df = batch_df.where(F.col("event_id").isNotNull())
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
@@ -526,11 +532,12 @@ def start_user_day_rollup_stream(
         if not new_rows.isEmpty():
             writers.append_table(new_rows, events_dir, partition_cols=["event_date"])
         # recompute the touched rollup partitions from the committed
-        # events history of those days (pruned scan) — replay-safe
-        day_events = writers.read_table(sess, events_dir).where(
-            F.col("event_date").isin(touched)
+        # events history of those days (pruned scan) — replay-safe.
+        # touched is derived from the BATCH pre-anti-join so a replay
+        # whose rows all drop out still repairs a crashed overwrite.
+        rollups.maintain_user_day_rollup(
+            sess, batch, rollup_dir, events_path=events_dir, touched_dates=touched
         )
-        rollups.maintain_user_day_rollup(sess, day_events, rollup_dir)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -101,6 +101,166 @@ def test_serving_plan_is_fact_free_and_partition_prunable(spark, events, tmp_pat
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan and "event_date" in pplan, pplan
 
+    # the full DAU.sql segment stack is fact-free too: 3 blocks, all
+    # reading the rollup parquet, zero events scans
+    splan = inspect.simple_plan(rollups.dau_segments_from_rollup(rollup))
+    assert splan.count("Scan parquet") == 3, splan
+    assert "events.parquet" not in splan, splan
+
+
+def test_late_data_closed_by_construction_with_events_path(spark, events, tmp_path):
+    """ADVICE r09: a caller passing ONLY a late-arriving sliver of an
+    old day must not shrink that day's partials when the committed
+    events table is wired in via events_path — the recompute re-reads
+    the full day history itself, no caller union required."""
+    from reciping_data_pipeline_spark.sources import writers
+
+    events_path = os.path.join(tmp_path, "events_tbl")
+    rollup_path = os.path.join(tmp_path, "rollup")
+    ev = events.withColumn("event_date", F.col("ts").cast("date").cast("string"))
+    writers.append_table(ev, events_path, partition_cols=["event_date"])
+    # initial full build
+    rollups.maintain_user_day_rollup(spark, events, rollup_path, events_path=events_path)
+    full = _sorted_rows(rollups.read_user_day_rollup(spark, rollup_path))
+    # a late sliver: ONE event of some existing day, passed alone
+    some_day = events.select(F.col("ts").cast("date").cast("string").alias("d")).first()["d"]
+    sliver = events.where(F.col("ts").cast("date").cast("string") == some_day).limit(1)
+    touched = rollups.maintain_user_day_rollup(
+        spark, sliver, rollup_path, events_path=events_path
+    )
+    assert touched == [some_day]
+    assert _sorted_rows(rollups.read_user_day_rollup(spark, rollup_path)) == full
+    # the no-events_path contract (caller owns the union) would shrink:
+    rollups.maintain_user_day_rollup(spark, sliver, rollup_path)
+    shrunk = rollups.read_user_day_rollup(spark, rollup_path).where(
+        F.col("event_date").cast("string") == some_day
+    )
+    assert shrunk.count() == 1  # documents why events_path exists
+    # repair via the constructed path
+    rollups.maintain_user_day_rollup(spark, sliver, rollup_path, events_path=events_path)
+    assert _sorted_rows(rollups.read_user_day_rollup(spark, rollup_path)) == full
+
+
+def test_dau_segment_stack_matches_direct(spark, events):
+    """The reference DAU.sql stacked shape served from partials equals
+    the direct stacked computation over events."""
+    rollup = rollups.user_day_rollup(events)
+    served = rollups.dau_segments_from_rollup(rollup)
+
+    events.createOrReplaceTempView("ev_seg_test")
+    direct = spark.sql(
+        """
+        WITH base AS (
+            SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type,
+                   user_id,
+                   CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'control'
+                        WHEN 1 THEN 'variant_a' ELSE 'variant_b' END AS seg
+            FROM ev_seg_test
+        )
+        SELECT event_date, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+               count(DISTINCT user_id) AS dau
+        FROM base GROUP BY event_date
+        UNION ALL
+        SELECT event_date, 'EVENT_TYPE', event_type, count(DISTINCT user_id)
+        FROM base GROUP BY event_date, event_type
+        UNION ALL
+        SELECT event_date, 'AB_GROUP', seg, count(DISTINCT user_id)
+        FROM base GROUP BY event_date, seg
+        """
+    )
+    assert _sorted_rows(served) == _sorted_rows(direct)
+
+
+def test_week_rollup_cascade_maintenance_and_serving(spark, events, tmp_path):
+    """The week-grain partial maintained day-by-day through the cascade
+    (day rollup → week rollup, touched-week recompute) equals a one-shot
+    build, WAU served from it equals direct, and the serving plan is
+    fact-free."""
+    day_path = os.path.join(tmp_path, "day_rollup")
+    week_path = os.path.join(tmp_path, "week_rollup")
+    dates = sorted(
+        r["d"]
+        for r in events.select(
+            F.col("ts").cast("date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    for ds in [dates[:1], dates[1:]]:
+        if not ds:
+            continue
+        batch = events.where(F.col("ts").cast("date").cast("string").isin(ds))
+        touched = rollups.maintain_user_day_rollup(spark, batch, day_path)
+        weeks = rollups.maintain_user_week_rollup(spark, day_path, week_path, touched)
+        assert weeks  # every touched day maps to a touched week
+    incremental = spark.read.parquet(week_path)
+    one_shot = rollups.user_week_rollup(rollups.user_day_rollup(events))
+    cols = [F.col(c).cast("string") for c in sorted(one_shot.columns)]
+    assert _sorted_rows(incremental.select(*cols)) == _sorted_rows(
+        one_shot.select(*cols)
+    )
+
+    direct_wau = (
+        events.select(
+            F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias("week_start"),
+            "user_id",
+        )
+        .groupBy("week_start")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    assert _sorted_rows(rollups.wau_from_week_rollup(incremental)) == _sorted_rows(direct_wau)
+
+    plan = inspect.simple_plan(rollups.wau_from_week_rollup(incremental))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "events.parquet" not in plan, plan
+
+
+def test_wau_segment_stack_matches_direct(spark, events):
+    """The reference WAU.sql stacked shape (uniques stack + LAG growth
+    ladder) served from the week-grain partials equals the direct
+    computation over events."""
+    week = rollups.user_week_rollup(rollups.user_day_rollup(events))
+    served = rollups.wau_segments_from_week_rollup(week)
+
+    events.createOrReplaceTempView("ev_wau_seg_test")
+    direct = spark.sql(
+        """
+        WITH base AS (
+            SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING) AS week_start,
+                   event_type, user_id,
+                   CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'control'
+                        WHEN 1 THEN 'variant_a' ELSE 'variant_b' END AS seg
+            FROM ev_wau_seg_test
+        ), stacked AS (
+            SELECT week_start, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+                   count(DISTINCT user_id) AS wau
+            FROM base GROUP BY week_start
+            UNION ALL
+            SELECT week_start, 'EVENT_TYPE', event_type, count(DISTINCT user_id)
+            FROM base GROUP BY week_start, event_type
+            UNION ALL
+            SELECT week_start, 'AB_GROUP', seg, count(DISTINCT user_id)
+            FROM base GROUP BY week_start, seg
+        )
+        SELECT week_start,
+               CAST(year(CAST(week_start AS DATE)) AS INT) AS year,
+               CAST(weekofyear(CAST(week_start AS DATE)) AS INT) AS week_number,
+               segment_type, segment_value, wau,
+               CAST(LAG(wau) OVER (PARTITION BY segment_type, segment_value
+                              ORDER BY week_start) AS DOUBLE) AS prev_week_wau,
+               CASE WHEN LAG(wau) OVER (PARTITION BY segment_type, segment_value
+                                        ORDER BY week_start) > 0
+                    THEN CAST(floor((wau - LAG(wau) OVER (PARTITION BY segment_type,
+                                                     segment_value
+                                                     ORDER BY week_start)) * 10000.0
+                               / LAG(wau) OVER (PARTITION BY segment_type,
+                                                segment_value
+                                                ORDER BY week_start) + 0.5) AS DOUBLE) / 100.0
+                    ELSE NULL END AS week_over_week_growth_pct
+        FROM stacked
+        """
+    )
+    cols = [F.col(c).cast("string") for c in sorted(direct.columns)]
+    assert _sorted_rows(served.select(*cols)) == _sorted_rows(direct.select(*cols))
+
 
 def test_rollup_stream_matches_batch_and_survives_redelivery(spark, tmp_path):
     """Streaming rollup maintenance: same-day events split across
@@ -144,13 +304,17 @@ def test_rollup_stream_matches_batch_and_survives_redelivery(spark, tmp_path):
     q.awaitTermination(120)
 
     # wave 3: re-offers event 1-3 content under a new file (redelivery)
-    # plus one genuinely new event on day 1
+    # plus one genuinely new event on day 1 AND a malformed row with no
+    # event_id — the anti-join can never match NULL (SQL semantics), so
+    # without the up-front isNotNull filter it would re-append on every
+    # replay (ADVICE r09)
     write_wave(
         "w3.jsonl",
         [
             {"event_id": 1, "ts": "2025-09-01T10:00:00", "user_id": 7, "event_type": "click", "value": 1.25},
             {"event_id": 3, "ts": "2025-09-01T12:00:00", "user_id": 7, "event_type": "click", "value": 2.0},
             {"event_id": 5, "ts": "2025-09-01T23:00:00", "user_id": 8, "event_type": "click", "value": 0.75},
+            {"ts": "2025-09-01T23:30:00", "user_id": 9, "event_type": "click", "value": 9.0},
         ],
     )
     q = ingest.start_user_day_rollup_stream(
@@ -159,12 +323,18 @@ def test_rollup_stream_matches_batch_and_survives_redelivery(spark, tmp_path):
     q.awaitTermination(120)
 
     streamed = rollups.read_user_day_rollup(spark, rollup_dir)
-    # the batch truth: one-shot rollup over the 5 unique events
+    # the malformed NULL-id row must be dropped, not committed (and not
+    # re-appended per replay)
+    committed = spark.read.parquet(events_dir)
+    assert committed.where(F.col("event_id").isNull()).count() == 0
+    assert committed.count() == 5
+    # the batch truth: one-shot rollup over the 5 unique well-formed events
     all_events = (
         spark.read.format("json")
         .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
         .option("pathGlobFilter", "*.jsonl")
         .load(str(incoming))
+        .where(F.col("event_id").isNotNull())
         .dropDuplicates(["event_id"])
     )
     batch = rollups.user_day_rollup(all_events)
