@@ -538,7 +538,17 @@ def cosine_near_dup_pairs(
         F.col("nrm").alias("norm_b"),
         *(["blk"] if partition_col else []),
     )
-    joined = a.join(b, on="blk") if partition_col else a.crossJoin(b)
+    if partition_col:
+        # Explicit full-width repartition on the block key: the pair
+        # join's cost is CPU-dense (|cell|^2 dot products) on narrow
+        # shuffle bytes, so AQE's byte-based coalescing collapses it to
+        # a handful of tasks (measured 8/32 cores busy for 8.5 min on
+        # the 400k-vector x100 sweep). A user-specified partition count
+        # is exempt from coalescing and the join reuses the exchange.
+        width = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        joined = a.repartition(width, "blk").join(b.repartition(width, "blk"), on="blk")
+    else:
+        joined = a.crossJoin(b)
     cos = vectors.dot(F.col("vec_a"), F.col("vec_b")) / F.nullif(
         F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
     )

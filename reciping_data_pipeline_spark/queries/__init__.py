@@ -83,6 +83,13 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # CORRECTNESS_r09.json and cleared: a satisfied pin left in
         # place would occupy a front-of-window slot every round and
         # starve the stalest cohort the rotation exists to refresh.)
+        #
+        # r10: cell count switched from a pinned 16 to the operator's
+        # scale-adaptive derivation (the x100 quadratic fix). Output
+        # counts are cell-invariant by contract, but the served plan
+        # changed materially — refresh the driver evidence.
+        "embed_semantic_dedup",
+        "embed_incremental_semantic_dedup",
     }
 )
 

@@ -286,8 +286,15 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding", "label"
     )
     both = emb.unionAll(plants)
+    # n_cells deliberately NOT pinned: the operator derives
+    # ceil(n/1024) cells so within-cell pair work stays linear in the
+    # corpus. The r09 x100 sweep showed why — a fixed 16 cells puts
+    # 25k vectors per cell at 400k rows and the within-cell self-join
+    # goes quadratic (sum(|cell|^2) ~ 1e10 pairs). The planted-count
+    # contract is cell-count-invariant (identical vectors always share
+    # a nearest centroid).
     pairs = similarity.semantic_dedup_pairs(
-        both, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.97
+        both, id_col="vec_id", vec_col="embedding", threshold=0.97
     )
     groups = D.dedup_groups(both, "vec_id", pairs, "id_a", "id_b")
     return groups.agg(
@@ -330,9 +337,14 @@ def embed_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFr
             (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding"
         )
     )
+    # scale-adaptive cells (ceil(|corpus|/1024)): the probe join's
+    # per-cell work is |delta_cell| x |corpus_cell|, so cells must grow
+    # with the corpus for the probe to stay linear (same rationale as
+    # embed_semantic_dedup; the exact-copy contract is cell-invariant).
+    n_cells = similarity.derive_n_cells(corpus_raw.count())
     cent = similarity.fit_spherical_centroids(
-        corpus_raw, vec_col="embedding", id_col="vec_id", n_cells=16,
-        sample=2048, seed=17,
+        corpus_raw, vec_col="embedding", id_col="vec_id", n_cells=n_cells,
+        sample=max(2048, 4 * n_cells), seed=17,
     )
     corpus = similarity.assign_cells(corpus_raw, cent, vec_col="embedding")
     return similarity.incremental_semantic_dedup(

@@ -13,7 +13,10 @@ transforms chosen so the scaled corpus is HONEST about duplicate mass:
   corpus's natural near-dup structure repeats per copy and dup mass
   grows LINEARLY. A bare suffix perturbation (scale_curve's replicas)
   would make every copy a near-dup of every other and inflate dup mass
-  quadratically, which no real crawl does.
+  quadratically, which no real crawl does. The tag is GLUED LETTERS
+  (r10), so letter-run pre-tokenizers (BPE) see a word-form vocabulary
+  that grows ~base_vocab×mult — the Heaps-law shape — instead of
+  collapsing back to the base 1k words.
 - embeddings: ids shift; per-copy pseudo-random noise
   (xxhash64(vec_id, dim, copy)-derived, magnitude ~1.5× the unit norm)
   pushes cross-copy cosine far below any dedup threshold — again
@@ -63,11 +66,22 @@ def _with_copies(df, mult: int):
 
 def scale_documents(spark, sf_dir: str, mult: int):
     docs = _with_copies(load_table(spark, sf_dir, "documents"), mult)
+    # Per-copy tag in LETTERS, glued to the token ("recipeqbdh", digit
+    # i → letter chr('a'+i)), not the old "_c137" form: a digit tag is
+    # invisible to letter-run pre-tokenizers (BPE's [A-Za-z]+ split
+    # "word_c137" back into the same 1k base words at every mult, so
+    # the 5M-doc BPE measurement saw a 1,062-word vocabulary and
+    # exhausted at 1,116 merges — VERDICT r09 #6). Glued letter tags
+    # give the scaled corpus a word-FORM diversity that grows with
+    # mult (~base_vocab × mult distinct letter-words — the Heaps-law
+    # shape a real crawl has) while preserving the properties the
+    # fixtures are built on: tags are constant per copy, so shingles
+    # still never collide across copies and dup mass stays linear.
+    tag = F.concat(
+        F.lit("q"), F.translate(F.col("copy").cast("string"), "0123456789", "abcdefghij")
+    )
     tagged = F.array_join(
-        F.transform(
-            F.split(F.col("text"), " "),
-            lambda t: F.concat(t, F.lit("_c"), F.col("copy").cast("string")),
-        ),
+        F.transform(F.split(F.col("text"), " "), lambda t: F.concat(t, tag)),
         " ",
     )
     text = F.when(F.col("copy") == 0, F.col("text")).otherwise(tagged)
@@ -76,7 +90,7 @@ def scale_documents(spark, sf_dir: str, mult: int):
         text.alias("text"),
         "lang",
         "source",
-        # recompute, don't carry: the _c<copy> tags lengthen every copy>0
+        # recompute, don't carry: the per-copy tags lengthen every copy>0
         # text, and a stale n_chars skews length-weighted queries at
         # scale (ADVICE r08)
         F.length(text).cast("long").alias("n_chars"),
