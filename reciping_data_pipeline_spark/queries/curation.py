@@ -643,8 +643,13 @@ def _user_timeseries_similarity(
     shape AQE cannot split. The grid multiplies shuffle rows by B but
     divides the largest cell by B² — the triangles wedge-join
     discipline applied to pair similarity. Results are identical (the
-    grid only re-keys the same pairs)."""
+    grid only re-keys the same pairs). The fanout is an
+    ``explode(sequence(0, B-1))`` — a generator inside codegen, not a
+    join — so the plan has no nested-loop node at all
+    (``tests/test_plans.py::test_timeseries_similarity_no_global_window``
+    keeps the no-cartesian gate strict)."""
     B = int(pair_buckets)
+    fan = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
@@ -657,18 +662,17 @@ def _user_timeseries_similarity(
     )
     bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(B)).cast("int")
     users = users.withColumn("g", bucket)
-    grid = spark.range(B).select(F.col("id").cast("int").alias("partner_g"))
     dd = daily.join(users.select("user_id", "block", "g"), on="user_id")
     a = dd.select(
         F.col("user_id").alias("user_a"), F.col("block"),
         F.col("d"), F.col("day_value").alias("va"),
         F.col("g").alias("ga"),
-    ).crossJoin(grid.withColumnRenamed("partner_g", "gb"))
+    ).withColumn("gb", fan)
     b = dd.select(
         F.col("user_id").alias("user_b"), F.col("block"),
         F.col("d"), F.col("day_value").alias("vb"),
         F.col("g").alias("gb"),
-    ).crossJoin(grid.withColumnRenamed("partner_g", "ga"))
+    ).withColumn("ga", fan)
     dots = (
         a.join(b, on=["d", "block", "ga", "gb"])
         .where(F.col("user_a") < F.col("user_b"))
@@ -678,11 +682,11 @@ def _user_timeseries_similarity(
     ua = users.select(
         F.col("user_id").alias("user_a"),
         F.col("block"), F.col("norm2").alias("na2"), F.col("g").alias("ga"),
-    ).crossJoin(grid.withColumnRenamed("partner_g", "gb"))
+    ).withColumn("gb", fan)
     ub = users.select(
         F.col("user_id").alias("user_b"), F.col("block"),
         F.col("norm2").alias("nb2"), F.col("g").alias("gb"),
-    ).crossJoin(grid.withColumnRenamed("partner_g", "ga"))
+    ).withColumn("ga", fan)
     pairs = (
         ua.join(ub, on=["block", "ga", "gb"])
         .where(F.col("user_a") < F.col("user_b"))
