@@ -622,7 +622,7 @@ def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _user_timeseries_similarity(
     spark: SparkSession, sf_dir: str, band_width: float = 256.0, k: int = 20,
-    pair_buckets: int = 32,
+    pair_buckets: int | None = None,
 ) -> DataFrame:
     """Blocked time-series similarity.  ``band_width`` trades recall
     (pairs straddling a band boundary are never compared — the
@@ -647,10 +647,21 @@ def _user_timeseries_similarity(
     ``explode(sequence(0, B-1))`` — a generator inside codegen, not a
     join — so the plan has no nested-loop node at all
     (``tests/test_plans.py::test_timeseries_similarity_no_global_window``
-    keeps the no-cartesian gate strict)."""
-    B = int(pair_buckets)
-    fan = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    keeps the no-cartesian gate strict).
+
+    ``pair_buckets=None`` derives B from the event mass (one
+    metadata-cheap count): the grid's B× shuffle fanout only pays for
+    itself once a band can concentrate enough users to stall a task, so
+    small fixtures get B=1 — the bare band join, grid columns constant —
+    and the ×30 stress shape gets the full split (measured: B=32 at
+    sf0.1 costs 2.2× for nothing; B=1 at ×30 stalls one task for 10+
+    minutes)."""
     ev = load_table(spark, sf_dir, "events")
+    if pair_buckets is None:
+        B = max(1, min(64, ev.count() // 250_000))
+    else:
+        B = int(pair_buckets)
+    fan = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))), 4).alias("day_value"))

@@ -232,8 +232,11 @@ def test_semantic_dedup_cells_scale_with_corpus(spark):
     in the corpus instead of quadratic."""
     from reciping_data_pipeline_spark.operators.similarity import derive_n_cells
 
-    assert derive_n_cells(500, 1024) == 1
-    assert derive_n_cells(10_000, 1024) == 10
+    # small corpora floor at min_cells (fit is trivial there and more
+    # cells strictly reduce the quadratic within-cell pair term)
+    assert derive_n_cells(500, 1024) == 16
+    assert derive_n_cells(10_000, 1024) == 16
+    assert derive_n_cells(500, 1024, min_cells=1) == 1
     assert derive_n_cells(10_000_000, 1024) == 9766
     # 10x the corpus -> 10x the cells (expected cell size constant).
     assert derive_n_cells(10_240_000, 1024) * 10 == derive_n_cells(102_400_000, 1024)
