@@ -571,7 +571,10 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     users AS (
         SELECT user_id,
                round(sum(day_value * day_value), 4) AS norm2,
-               CAST(floor(round(sum(day_value), 4) / 256.0) AS BIGINT) AS block
+               CAST(floor(round(sum(day_value), 4)
+                    / (256.0 / GREATEST(1, LEAST(64,
+                         (SELECT count(*) FROM events) // 250000))))
+                    AS BIGINT) AS block
         FROM daily GROUP BY user_id
     ),
     dd AS (
@@ -604,9 +607,11 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distributed time-series similarity search (EDBT'19/REPOSE "
     "family), per-block exact: users are blocked into deterministic "
-    "fixed-width bands of total activity (band width is a parameter; "
-    "a power of two, so the floor-divide is exact FP and engine-"
-    "portable), and Euclidean distance over the zero-filled daily "
+    "bands of total activity whose width scale-adapts from the event "
+    "count (identical IEEE arithmetic on both engines, so banding "
+    "agrees exactly; occupancy stays ~constant so pair work stays "
+    "linear in the corpus), and Euclidean distance over the zero-"
+    "filled daily "
     "series is computed SPARSELY as sqrt(|a|^2 + |b|^2 - 2ab): "
     "per-user norms from one aggregation, cross terms from a "
     "day-keyed equi-join on active days only. No global ntile window "
@@ -649,25 +654,33 @@ def _user_timeseries_similarity(
     (``tests/test_plans.py::test_timeseries_similarity_no_global_window``
     keeps the no-cartesian gate strict).
 
-    ``pair_buckets=None`` derives B from the event mass (one
-    metadata-cheap count): the grid's B× shuffle fanout only pays for
-    itself once a band can concentrate enough users to stall a task, so
-    small fixtures get B=1 — the bare band join, grid columns constant —
-    and the ×30 stress shape gets the full split (measured: B=32 at
-    sf0.1 costs 2.2× for nothing; B=1 at ×30 stalls one task for 10+
-    minutes)."""
+    Both the band width and B scale-adapt from ONE event count,
+    deterministically reproducible in the SQL oracle
+    (``scale = clamp(n_events // 250k, 1, 64)``): fixed-width value
+    bands collapse at scale — band occupancy grows linearly with the
+    data, so within-band pair work grows QUADRATICALLY (at ×30 the
+    256-wide bands held 129M pairs / 3.07B day-dot terms; width/12
+    holds 11.6M / ~0.3B). Dividing the width by ``scale`` keeps expected
+    band occupancy roughly constant, which keeps total pair work linear
+    in the corpus — the same discipline as derive_n_cells for semantic
+    dedup. The divided width is no longer a power of two, but both
+    engines compute ``floor(round(s,4) / (256.0/scale))`` over identical
+    doubles with identical IEEE ops, so banding still agrees exactly.
+    The grid's B× shuffle fanout only pays once a band can stall a task,
+    so small fixtures get scale=1 — width 256, B=1, the bare band join —
+    and stress shapes get the full split (measured: B=32 at sf0.1 costs
+    2.2× for nothing; B=1 at ×30 stalls one task for 10+ minutes)."""
     ev = load_table(spark, sf_dir, "events")
-    if pair_buckets is None:
-        B = max(1, min(64, ev.count() // 250_000))
-    else:
-        B = int(pair_buckets)
+    scale = max(1, min(64, ev.count() // 250_000))
+    B = scale if pair_buckets is None else int(pair_buckets)
+    width = float(band_width) / scale
     fan = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))), 4).alias("day_value"))
     users = daily.groupBy("user_id").agg(
         F.round(F.sum(F.col("day_value") * F.col("day_value")), 4).alias("norm2"),
-        F.floor(F.round(F.sum("day_value"), 4) / F.lit(float(band_width)))
+        F.floor(F.round(F.sum("day_value"), 4) / F.lit(width))
         .cast("bigint")
         .alias("block"),
     )
@@ -684,8 +697,17 @@ def _user_timeseries_similarity(
         F.col("d"), F.col("day_value").alias("vb"),
         F.col("g").alias("gb"),
     ).withColumn("ga", fan)
+    # Explicit full-width repartition before both pair joins: their
+    # cost is CPU-dense pair expansion on narrow shuffle bytes, so
+    # AQE's byte-based coalescing collapses them to one task (measured
+    # at ×30: a single task ground for 18+ minutes on ~1B day-dot
+    # terms while 31 cores idled). A user-specified partition count is
+    # exempt from coalescing and the joins reuse the exchange — the
+    # cosine_near_dup_pairs discipline (operators/similarity.py).
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    jk = ["d", "block", "ga", "gb"]
     dots = (
-        a.join(b, on=["d", "block", "ga", "gb"])
+        a.repartition(width, *jk).join(b.repartition(width, *jk), on=jk)
         .where(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(F.round(F.sum(F.col("va") * F.col("vb")), 4).alias("dot"))
@@ -698,8 +720,9 @@ def _user_timeseries_similarity(
         F.col("user_id").alias("user_b"), F.col("block"),
         F.col("norm2").alias("nb2"), F.col("g").alias("gb"),
     ).withColumn("ga", fan)
+    pk = ["block", "ga", "gb"]
     pairs = (
-        ua.join(ub, on=["block", "ga", "gb"])
+        ua.repartition(width, *pk).join(ub.repartition(width, *pk), on=pk)
         .where(F.col("user_a") < F.col("user_b"))
         .select("user_a", "user_b", "na2", "nb2")
     )

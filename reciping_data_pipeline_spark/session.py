@@ -64,7 +64,12 @@ def get_spark(
         # footer statistics instead of scanning pages (exact; free).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] puts all executor threads in the driver JVM: 8g was
+        # 250 MB/core — far under any real executor's per-core memory —
+        # and 32 concurrent partial-agg hash maps OOMed the ×30 pair
+        # sweeps. 48g ≈ 1.5 GB/core, the shape a production executor
+        # actually gets (lazily committed via -Xmx; env-overridable).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The testdata events table stores TIMESTAMP(NANOS) parquet,
