@@ -931,11 +931,16 @@ def doc_ttr_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-25 tokens with estimated counts from ONE pass with O(tracked) "
     "state per partition and mergeable partials — the scale path when "
     "the vocabulary no longer fits a token-keyed exact aggregation "
-    "(the exact twin is doc_vocab_topk). Tracking 10x the requested k "
-    "keeps the head of a Zipfian stream EXACT — same items, exact "
-    "counts — which since r06 is driver-hashed against the exact "
-    "top-25 in DuckDB (boundary counts at rank 25/26 verified distinct "
-    "at sf0.001/0.01/0.1, so the selected set is deterministic).",
+    "(the exact twin is doc_vocab_topk). This build's approx_top_k is "
+    "FAIL-LOUD on overflow: once distinct items exceed maxItemsTracked "
+    "it returns an empty result rather than silently approximating "
+    "(observed at x30 when the Heaps-law fixture pushed 930 distinct "
+    "tokens past the old 250), so tracked state is set to 100k — a few "
+    "MB per partition sketch, head-EXACT for any vocabulary under it, "
+    "and an empty result (not wrong counts) beyond it, where the exact "
+    "twin is the right tool. Driver-hashed against the exact top-25 in "
+    "DuckDB (boundary counts at rank 25/26 verified distinct at "
+    "sf0.001/0.01/0.1, so the selected set is deterministic).",
     tags=("text", "vocab", "approx"),
 )
 def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +948,7 @@ def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFram
     toks = T.tokens(F.trim(F.col("text")))
     return (
         docs.select(F.explode(toks).alias("token"))
-        .agg(F.expr("approx_top_k(token, 25, 250)").alias("tk"))
+        .agg(F.expr("approx_top_k(token, 25, 100000)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("token"),

@@ -78,10 +78,11 @@ def test_wau_sketch_rollup_merge_accuracy(spark):
 
 
 def test_vocab_heavy_hitters_head_is_exact(spark):
-    """approx_top_k's contract at 10x tracking headroom on a Zipfian
-    token stream: the reported top-25 must BE the exact top-25 (same
-    items, exact counts) — the sketch only degrades below the tracked
-    horizon."""
+    """approx_top_k's contract with tracking headroom above the
+    vocabulary (100k tracked; this build's sketch is fail-loud — EMPTY,
+    never wrong — once distinct items exceed the tracked horizon): the
+    reported top-25 must BE the exact top-25 (same items, exact
+    counts)."""
     from reciping_data_pipeline_spark.queries import all_queries
 
     reg = all_queries()
