@@ -408,16 +408,32 @@ def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.001
     ),
-    edges AS (
+    -- MATERIALIZED: the recursive term below references edges every
+    -- round, and DuckDB inlines plain CTEs — re-running the shingle
+    -- self-join 24 times (measured ~67 s/round at x30). Materializing
+    -- pins the pair computation to once.
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ),
-    reach(v, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    -- Round-indexed neighbor-min label propagation, O(V) rows per
+    -- round, NOT the full transitive closure: at this query's loose
+    -- 0.001 threshold components are huge and closure state is
+    -- sum(|component|^2) — the x30 sweep ground for 25+ minutes on
+    -- billions of (v, reachable) rows. l_i(v) = min vertex within i+1
+    -- hops; 24 rounds cover eccentricity <= 25 (measured fixpoint at
+    -- x30: 7 rounds), and the final min over rounds is the component
+    -- min by monotonicity.
+    lab(i, v, l) AS (
+        SELECT 0, src, least(src, min(dst)) FROM edges GROUP BY src
+        UNION ALL
+        SELECT i + 1, v, l FROM (
+            SELECT lab.i AS i, e.dst AS v, min(least(lab.l, e.dst)) AS l
+            FROM lab JOIN edges e ON lab.v = e.src
+            GROUP BY lab.i, e.dst
+        ) WHERE i < 24
     ),
-    comp AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v)
+    comp AS (SELECT v AS id, min(l) AS component FROM lab GROUP BY v)
     SELECT d.doc_id AS id,
            coalesce(c.component, d.doc_id) AS component,
            (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
