@@ -446,7 +446,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_returning_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue_lost
+           floor(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5)
+               / 100.0 AS revenue_lost
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -457,7 +459,11 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="TPC-H Q10 shape: 3-way fact join + filtered top-k by aggregated "
-    "measure (SURVEY §2.3 J6, §2.6 O2; custkey tiebreak for determinism).",
+    "measure (SURVEY §2.3 J6, §2.6 O2; custkey tiebreak for determinism). "
+    "The money sum quantizes addends to the exact 1e-4 grid and sums "
+    "BIGINT (order-invariant): at x30 the plain double sum landed on a "
+    "cent boundary and Spark's partition-order accumulation rounded a "
+    "different way than DuckDB's scan order.",
     tags=("join", "agg", "topk", "bench"),
 )
 def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +477,15 @@ def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(rev), 2).alias("revenue_lost"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.floor(rev * 10000 + F.lit(0.5)).cast("long")) / 100.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("revenue_lost")
+        )
         .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
         .limit(20)
     )
