@@ -110,9 +110,20 @@ def derive_n_cells(
     fit is trivial while extra cells strictly SHRINK the quadratic
     within-cell pair term, so a bare ceil() derivation is a small-corpus
     pessimization (measured 2.4× on the 2k-vector bench fixture when the
-    derived count dropped to 3 from the previously-pinned 16). Output
-    group counts are cell-invariant — identical vectors always share a
-    nearest centroid — so the floor affects cost only."""
+    derived count dropped to 3 from the previously-pinned 16).
+
+    Scope of the cost-only claim (ADVICE r10): EXACT duplicates are
+    cell-invariant — identical vectors always share a nearest centroid —
+    so for exact-copy workloads (this repo's planted-dup verification
+    contract) the floor affects cost only. General NEAR-dups
+    (cosine >= threshold, not identical) can straddle the extra cell
+    boundaries a floored count introduces on a tiny corpus: a 500-row
+    corpus that a bare ceil() would scan as ONE exact-quadratic cell
+    (recall 1 for all near-dups) gets 16 cells and the method's usual
+    boundary recall trade-off. Callers needing exhaustive near-dup
+    recall on a sub-``min_cells×target`` corpus should pass
+    ``n_cells=1`` explicitly — at that size the quadratic scan is cheap
+    by definition."""
     return max(int(min_cells), 1, -(-int(n_rows) // int(target_cell_size)))
 
 

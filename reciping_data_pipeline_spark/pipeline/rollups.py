@@ -340,6 +340,178 @@ def wau_segments_from_week_rollup(week_rollup: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Gold-side
+# presence partials: the rollup tier for the reference's OWN dashboard
+# SQL (sql_queries/DAU.sql / WAU.sql), which aggregates the Gold fact
+# joined to dim_user's segment attributes. The partial keeps ONLY
+# (date, user_dim_key) — the segment attributes deliberately stay OUT
+# of the partial grain and join in at serving time from the CURRENT
+# dim_user: dim_user is SCD1 (latest-wins upsert, pipeline/dims.py), so
+# an attribute frozen into the partial at ingest time would go stale
+# the moment a user's segment flips, while the reference's query shape
+# re-joins the dim per query and always reflects the latest row.
+# Serving therefore stays exactly equal to DAU.sql under dim churn
+# WITHOUT any rollup rebuild, and remains fact-free: the plan reads the
+# O(users×days) presence partial + the broadcast-sized dim — never
+# fact_user_events (DAU.sql itself joins the same dim, so a dim scan is
+# part of the reference shape, not a compromise).
+
+
+def user_day_presence_rollup(fact: DataFrame, dim_time: DataFrame) -> DataFrame:
+    """One row per (active_date, user_dim_key): the distinct user-day
+    presence set of the Gold fact, dated through the same dim_time join
+    DAU.sql uses (time_dim_key -> t.date) and pre-filtered to real
+    users (user_dim_key != 0, the reference's WHERE). Uniqueness of the
+    grain is what turns every serving distinct into a COUNT(*)."""
+    return (
+        fact.where(F.col("user_dim_key") != 0)
+        .join(F.broadcast(dim_time), "time_dim_key")
+        .select(F.col("date").alias("active_date"), "user_dim_key")
+        .distinct()
+    )
+
+
+def maintain_user_day_presence_rollup(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim_time: DataFrame,
+    rollup_path: str,
+    *,
+    touched_dates: list[str] | None = None,
+) -> list[str]:
+    """Incremental maintenance, same discipline as
+    maintain_user_day_rollup: recompute the presence partitions for the
+    dates present in ``fact`` (one batch / interval of the Gold fact —
+    its ``event_date`` partition column names the touched days) and
+    dynamic-partition-overwrite exactly those. Idempotent; cost is the
+    touched days' fact partitions, never table size."""
+    if touched_dates is None:
+        touched_dates = [
+            r["d"]
+            for r in fact.select(
+                F.col("event_date").cast("string").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+    if not touched_dates:
+        return []
+    source = fact.where(F.col("event_date").cast("string").isin(touched_dates))
+    writers.overwrite_partitions(
+        user_day_presence_rollup(source, dim_time), rollup_path, ["active_date"]
+    )
+    return touched_dates
+
+
+def _coalesced_block(
+    joined: DataFrame, key_names: list[str], stype: str, attr: str | None, metric: str
+) -> DataFrame:
+    """One UNION ALL block of the reference stack: COUNT(*) of unique
+    user-grain presence rows per (period keys [, segment attr]).
+    ``joined`` must already carry the period key columns by name."""
+    sval = (
+        F.lit("ALL")
+        if attr is None
+        else F.coalesce(F.col(attr), F.lit("UNKNOWN"))
+    )
+    return (
+        joined.groupBy(*key_names, sval.alias("segment_value"))
+        .agg(F.count("*").alias(metric))
+        .select(
+            *key_names,
+            F.lit(stype).alias("segment_type"),
+            "segment_value",
+            metric,
+        )
+    )
+
+
+def dau_segments_from_presence(presence: DataFrame, dim_user: DataFrame) -> DataFrame:
+    """The reference's FULL 4-block `DAU.sql` stack — TOTAL /
+    USER_SEGMENT / COOKING_STYLE / AB_TEST_GROUP daily uniques over the
+    Gold fact + dim_user (`sql_queries/DAU.sql:1-52`) — served from the
+    presence partials (VERDICT r10 #6).
+
+    Exactness: presence is unique per (date, user); dim_user is SCD1-
+    unique per user_sk (injectivity audited at build); each segment
+    attribute is functionally dependent on the user — so EVERY block's
+    COUNT(DISTINCT user_dim_key) is a plain COUNT(*) of joined partial
+    rows. The inner join to dim_user reproduces DAU.sql's JOIN
+    semantics (un-dimensioned users drop), and joining at serving time
+    keeps results exact under SCD1 attribute churn (see module note).
+    Oracled against pipeline/analytics.py `dau` in test_medallion.py;
+    fact-free plan gate in tests/test_rollups.py."""
+    u = F.broadcast(
+        dim_user.select("user_sk", "user_segment", "cooking_style", "ab_test_group")
+    )
+    j = presence.join(u, presence["user_dim_key"] == u["user_sk"]).withColumn(
+        "event_date", F.col("active_date").cast("string")
+    )
+    blocks = [
+        _coalesced_block(j, ["event_date"], "TOTAL", None, "dau"),
+        _coalesced_block(j, ["event_date"], "USER_SEGMENT", "user_segment", "dau"),
+        _coalesced_block(j, ["event_date"], "COOKING_STYLE", "cooking_style", "dau"),
+        _coalesced_block(j, ["event_date"], "AB_TEST_GROUP", "ab_test_group", "dau"),
+    ]
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionAll(b)
+    return out.select("event_date", "segment_type", "segment_value", "dau")
+
+
+def user_week_presence_rollup(presence: DataFrame) -> DataFrame:
+    """(week_start, year, week_number, user_dim_key) distinct partials
+    cascaded from the day presence — the WAU.sql serving grain.
+    year/week_number derive from the member DATE (not week_start)
+    because the reference groups by year(t.date)/weekofyear(t.date),
+    which can split a year-straddling week into two rows; keeping both
+    columns in the grain reproduces that exactly. O(users×weeks×≤2)."""
+    return presence.select(
+        F.date_trunc("week", F.col("active_date")).cast("date").alias("week_start"),
+        F.year("active_date").cast("int").alias("year"),
+        F.weekofyear("active_date").cast("int").alias("week_number"),
+        "user_dim_key",
+    ).distinct()
+
+
+def wau_segments_from_presence(week_presence: DataFrame, dim_user: DataFrame) -> DataFrame:
+    """The reference's FULL `WAU.sql` stack — TOTAL / USER_SEGMENT /
+    AB_TEST_GROUP weekly uniques plus the week-over-week LAG growth
+    ladder — served from the week-grain presence partials. Same
+    COUNT(*)-of-grain-rows exactness argument as the DAU stack; the
+    growth pct uses ROUND(x, 2) half-up exactly as `analytics.wau`
+    does (Spark-vs-Spark equivalence, pinned in test_medallion.py)."""
+    from pyspark.sql import Window
+
+    u = F.broadcast(dim_user.select("user_sk", "user_segment", "ab_test_group"))
+    j = (
+        week_presence.join(u, week_presence["user_dim_key"] == u["user_sk"])
+        .withColumn("week_start", F.col("week_start").cast("string"))
+    )
+    wk = ["week_start", "year", "week_number"]
+    blocks = [
+        _coalesced_block(j, wk, "TOTAL", None, "wau"),
+        _coalesced_block(j, wk, "USER_SEGMENT", "user_segment", "wau"),
+        _coalesced_block(j, wk, "AB_TEST_GROUP", "ab_test_group", "wau"),
+    ]
+    stacked = blocks[0]
+    for b in blocks[1:]:
+        stacked = stacked.unionAll(b)
+    w = Window.partitionBy("segment_type", "segment_value").orderBy("week_start")
+    prev = F.lag("wau").over(w)
+    growth = F.when(prev > 0, F.round((F.col("wau") - prev) * 100.0 / prev, 2))
+    return stacked.select(
+        "week_start",
+        "year",
+        "week_number",
+        "segment_type",
+        "segment_value",
+        "wau",
+        prev.alias("prev_week_wau"),
+        growth.alias("week_over_week_growth_pct"),
+    )
+
+
 def daily_value_from_rollup(rollup: DataFrame) -> DataFrame:
     """Per-day/type event counts and exact value sums (2 dp via the
     floor form) — the engagement-score family, fact-free."""

@@ -935,12 +935,18 @@ def doc_ttr_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FAIL-LOUD on overflow: once distinct items exceed maxItemsTracked "
     "it returns an empty result rather than silently approximating "
     "(observed at x30 when the Heaps-law fixture pushed 930 distinct "
-    "tokens past the old 250), so tracked state is set to 100k — a few "
-    "MB per partition sketch, head-EXACT for any vocabulary under it, "
-    "and an empty result (not wrong counts) beyond it, where the exact "
-    "twin is the right tool. Driver-hashed against the exact top-25 in "
-    "DuckDB (boundary counts at rank 25/26 verified distinct at "
-    "sf0.001/0.01/0.1, so the selected set is deterministic).",
+    "tokens past the old 250), so tracked state is 1M — tens of MB per "
+    "partition sketch, head-EXACT for any vocabulary under it (the "
+    "Heaps-law x100 fixture's ~106k forms included), and an empty "
+    "result (not wrong counts) beyond it, where the exact twin is the "
+    "right tool. The k-cut is made TIE-DETERMINISTIC (VERDICT r10 #4) "
+    "by over-fetching the sketch head (2048 >> 25) and applying the "
+    "oracle's own total order (count DESC, token ASC) before the LIMIT "
+    "— the replicated scale fixtures tie every per-copy word form "
+    "(mult equal-count tokens per base word) across the 25-cut, where "
+    "the sketch's internal tie order is unspecified; the over-fetch "
+    "covers the boundary tie group as long as < ~20 base-word groups "
+    "straddle the cut (mult <= ~2000 on these fixtures).",
     tags=("text", "vocab", "approx"),
 )
 def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,12 +954,14 @@ def doc_vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFram
     toks = T.tokens(F.trim(F.col("text")))
     return (
         docs.select(F.explode(toks).alias("token"))
-        .agg(F.expr("approx_top_k(token, 25, 100000)").alias("tk"))
+        .agg(F.expr("approx_top_k(token, 2048, 1000000)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("token"),
             F.col("e.count").cast("bigint").alias("est_count"),
         )
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(25)
     )
 
 

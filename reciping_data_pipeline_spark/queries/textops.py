@@ -423,7 +423,13 @@ def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- billions of (v, reachable) rows. l_i(v) = min vertex within i+1
     -- hops; 24 rounds cover eccentricity <= 25 (measured fixpoint at
     -- x30: 7 rounds), and the final min over rounds is the component
-    -- min by monotonicity.
+    -- min by monotonicity. Round 25 exists ONLY as a convergence
+    -- sentinel (ADVICE r10): l_i is pointwise nonincreasing in i, so
+    -- per-vertex min(l | i<=24) = l_24 and min(l) = l_25; if they
+    -- differ anywhere the bound was too small for this data and the
+    -- oracle FAILS LOUD via error() instead of silently emitting a
+    -- non-converged component id (l_25 = l_24 everywhere implies
+    -- l_26 = f(l_25) = f(l_24) = l_25 — a true fixpoint).
     lab(i, v, l) AS (
         SELECT 0, src, least(src, min(dst)) FROM edges GROUP BY src
         UNION ALL
@@ -431,9 +437,15 @@ def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT lab.i AS i, e.dst AS v, min(least(lab.l, e.dst)) AS l
             FROM lab JOIN edges e ON lab.v = e.src
             GROUP BY lab.i, e.dst
-        ) WHERE i < 24
+        ) WHERE i < 25
     ),
-    comp AS (SELECT v AS id, min(l) AS component FROM lab GROUP BY v)
+    comp AS (
+        SELECT v AS id,
+               CASE WHEN min(l) FILTER (WHERE i <= 24) = min(l) THEN min(l)
+                    ELSE error('doc_dedup_groups oracle: min-label propagation not converged within 25 rounds — raise the round cap')
+               END AS component
+        FROM lab GROUP BY v
+    )
     SELECT d.doc_id AS id,
            coalesce(c.component, d.doc_id) AS component,
            (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from reciping_data_pipeline_spark.functions import vectors as V
 from reciping_data_pipeline_spark.operators import similarity
 from reciping_data_pipeline_spark.queries import query
-from reciping_data_pipeline_spark.tables import load_table
+from reciping_data_pipeline_spark.tables import load_table, table_row_count
 
 _DIM = 64
 
@@ -286,15 +286,20 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding", "label"
     )
     both = emb.unionAll(plants)
-    # n_cells deliberately NOT pinned: the operator derives
-    # ceil(n/1024) cells so within-cell pair work stays linear in the
-    # corpus. The r09 x100 sweep showed why — a fixed 16 cells puts
-    # 25k vectors per cell at 400k rows and the within-cell self-join
-    # goes quadratic (sum(|cell|^2) ~ 1e10 pairs). The planted-count
-    # contract is cell-count-invariant (identical vectors always share
-    # a nearest centroid).
+    # n_cells deliberately NOT pinned: ceil(n/1024) cells keep the
+    # within-cell pair work linear in the corpus. The r09 x100 sweep
+    # showed why — a fixed 16 cells puts 25k vectors per cell at 400k
+    # rows and the within-cell self-join goes quadratic (sum(|cell|^2)
+    # ~ 1e10 pairs). The planted-count contract is cell-count-invariant
+    # (identical vectors always share a nearest centroid). n comes from
+    # committed parquet footer stats (|both| = exactly 2x the table),
+    # not a count() job — VERDICT r10 #2.
+    n_cells = similarity.derive_n_cells(
+        2 * table_row_count(spark, sf_dir, "embeddings")
+    )
     pairs = similarity.semantic_dedup_pairs(
-        both, id_col="vec_id", vec_col="embedding", threshold=0.97
+        both, id_col="vec_id", vec_col="embedding", threshold=0.97,
+        n_cells=n_cells, sample=max(2048, 4 * n_cells),
     )
     groups = D.dedup_groups(both, "vec_id", pairs, "id_a", "id_b")
     return groups.agg(
@@ -341,7 +346,11 @@ def embed_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     # per-cell work is |delta_cell| x |corpus_cell|, so cells must grow
     # with the corpus for the probe to stay linear (same rationale as
     # embed_semantic_dedup; the exact-copy contract is cell-invariant).
-    n_cells = similarity.derive_n_cells(corpus_raw.count())
+    # |corpus| = the even-id half of the table, derived from committed
+    # footer stats (ceil(n/2) — exact on these fixtures whose ids are
+    # 0..n-1 per copy block) instead of a filtered count() job.
+    n_emb = table_row_count(spark, sf_dir, "embeddings")
+    n_cells = similarity.derive_n_cells(-(-n_emb // 2))
     cent = similarity.fit_spherical_centroids(
         corpus_raw, vec_col="embedding", id_col="vec_id", n_cells=n_cells,
         sample=max(2048, 4 * n_cells), seed=17,

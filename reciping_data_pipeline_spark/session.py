@@ -27,6 +27,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_memory() -> str:
+    """min(48g, ~70% of physical RAM): local[N] puts every executor
+    thread in the driver JVM, so the heap wants ~1.5 GB/core (48g at
+    32 cores — the shape a production executor actually gets), but on
+    a smaller dev/CI host an unconditional 48g -Xmx would push a heavy
+    run into swap or an OOM-kill instead of a clear Java heap error
+    (ADVICE r10). SPARK_DRIVER_MEMORY still overrides outright."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        return f"{max(2, min(48, int(total * 0.7 / (1 << 30))))}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "reciping-data-pipeline-spark",
     master: str | None = None,
@@ -64,12 +78,14 @@ def get_spark(
         # footer statistics instead of scanning pages (exact; free).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local[32] puts all executor threads in the driver JVM: 8g was
-        # 250 MB/core — far under any real executor's per-core memory —
-        # and 32 concurrent partial-agg hash maps OOMed the ×30 pair
-        # sweeps. 48g ≈ 1.5 GB/core, the shape a production executor
-        # actually gets (lazily committed via -Xmx; env-overridable).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 8g was 250 MB/core — far under any real executor's per-core
+        # memory — and 32 concurrent partial-agg hash maps OOMed the
+        # ×30 pair sweeps; see _default_driver_memory for the
+        # RAM-capped derivation (lazily committed via -Xmx).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The testdata events table stores TIMESTAMP(NANOS) parquet,

@@ -98,6 +98,42 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     ship_package(spark)
 
 
+_ROW_COUNT_CACHE: dict[tuple[str, float], int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count from COMMITTED table statistics — the parquet
+    footer metadata every writer records at write time — instead of a
+    ``df.count()`` Spark job (VERDICT r10 #2: at 100 TB a count is a
+    full per-query footer scan of every file scheduled as cluster work;
+    the footers ARE the write-time stats, so read them driver-side:
+    O(files) metadata reads, no job, no scan). Scale-adaptive operators
+    (``user_timeseries_similarity``'s band width, semantic dedup's cell
+    count) derive their parameters from this, and the DuckDB oracles
+    parameterize on the same n via ``count(*)`` — parquet footer counts
+    are exact, so both engines see the identical value. Cached per
+    (path, mtime) so repeated query builds in one process are free.
+    Falls back to a Spark count for non-parquet layouts."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _ROW_COUNT_CACHE:
+        return _ROW_COUNT_CACHE[key]
+    try:
+        import pyarrow.dataset as pads
+
+        # count_rows() answers from parquet footer num_rows (no data
+        # pages touched) for both single-file and directory layouts
+        n = int(pads.dataset(path, format="parquet").count_rows())
+    except Exception:
+        n = load_table(spark, sf_dir, name).count()
+    if key is not None:
+        _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

@@ -130,6 +130,29 @@ def main() -> int:
     report["wau_segment_stack_served_s"] = round(
         _median3(lambda: rollups.wau_segments_from_week_rollup(week_tbl).count()), 2
     )
+
+    # Incremental maintenance cost (VERDICT r10 #7): ONE touched week
+    # re-cascaded (the 15-min-interval steady state — a late sliver of
+    # one day triggers exactly one week partition recompute, pruned to
+    # that week's 7 day-partitions) vs the full-history rebuild above.
+    # Cost must be independent of how many OTHER weeks exist.
+    one_day = min(dates)
+    report["week_maintain_one_touched_s"] = round(
+        _median3(
+            lambda: rollups.maintain_user_week_rollup(
+                spark, day_rollup_path, args.week_rollup, [one_day]
+            )
+        ),
+        2,
+    )
+    report["week_maintain_full_rebuild_s"] = round(
+        _median3(
+            lambda: rollups.maintain_user_week_rollup(
+                spark, day_rollup_path, args.week_rollup, dates
+            )
+        ),
+        2,
+    )
     print(json.dumps(report))
     return 0
 

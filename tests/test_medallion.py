@@ -177,3 +177,89 @@ def test_partition_scan_slo(spark, warehouse):
     )
     fpf = " ".join(plan_inspect.partition_filters(fact_day))
     assert "event_date" in fpf, fpf
+
+
+def test_dau_4block_rollup_serving_matches_analytics(spark, warehouse):
+    """VERDICT r10 #6: the reference's FULL 4-block DAU.sql stack
+    (TOTAL / USER_SEGMENT / COOKING_STYLE / AB_TEST_GROUP) served from
+    the (active_date, user_dim_key) presence partials + a serving-time
+    dim_user join equals pipeline/analytics.py `dau` over the fact."""
+    from reciping_data_pipeline_spark.pipeline import rollups
+
+    wh = warehouse["warehouse"]
+    analytics.register_gold_views(spark, wh)
+    expected = analytics.run(spark, "dau")
+    fact = gold.read_fact(spark, wh)
+    dim_time = spark.read.parquet(os.path.join(wh, "dim_time"))
+    dim_user = spark.read.parquet(os.path.join(wh, "dim_user"))
+    presence = rollups.user_day_presence_rollup(fact, dim_time)
+    served = rollups.dau_segments_from_presence(presence, dim_user)
+    cols = sorted(expected.columns)
+    assert sorted(map(str, served.select(*cols).collect())) == sorted(
+        map(str, expected.select(*cols).collect())
+    )
+
+
+def test_wau_3block_rollup_serving_matches_analytics(spark, warehouse):
+    """The reference's WAU.sql stack (uniques blocks + LAG growth
+    ladder) served from the week-grain presence partials equals
+    pipeline/analytics.py `wau` over the fact."""
+    from reciping_data_pipeline_spark.pipeline import rollups
+
+    wh = warehouse["warehouse"]
+    analytics.register_gold_views(spark, wh)
+    expected = analytics.run(spark, "wau")
+    fact = gold.read_fact(spark, wh)
+    dim_time = spark.read.parquet(os.path.join(wh, "dim_time"))
+    dim_user = spark.read.parquet(os.path.join(wh, "dim_user"))
+    week = rollups.user_week_presence_rollup(
+        rollups.user_day_presence_rollup(fact, dim_time)
+    )
+    served = rollups.wau_segments_from_presence(week, dim_user)
+    cols = sorted(expected.columns)
+    assert sorted(map(str, served.select(*cols).collect())) == sorted(
+        map(str, expected.select(*cols).collect())
+    )
+
+
+def test_presence_rollup_maintenance_and_fact_free_plan(spark, warehouse, tmp_path):
+    """Incremental presence maintenance (per-day batches, dynamic
+    partition overwrite) converges to the one-shot partial; the 4-block
+    serving plan over the WRITTEN partial reads presence + dim_user
+    parquet only — never fact_user_events (the fact-free gate)."""
+    from reciping_data_pipeline_spark.pipeline import rollups
+    from reciping_data_pipeline_spark.plans import inspect as plan_inspect
+
+    wh = warehouse["warehouse"]
+    fact = gold.read_fact(spark, wh)
+    dim_time = spark.read.parquet(os.path.join(wh, "dim_time"))
+    dim_user = spark.read.parquet(os.path.join(wh, "dim_user"))
+    path = os.path.join(tmp_path, "presence")
+    days = sorted(
+        r["d"] for r in fact.select(
+            F.col("event_date").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) >= 2
+    for d in days:  # one interval per day, the incremental cadence
+        batch = fact.where(F.col("event_date").cast("string") == d)
+        assert rollups.maintain_user_day_presence_rollup(
+            spark, batch, dim_time, path
+        ) == [d]
+    written = spark.read.parquet(path)
+    one_shot = rollups.user_day_presence_rollup(fact, dim_time)
+    cols = [F.col(c).cast("string") for c in sorted(one_shot.columns)]
+    assert sorted(map(str, written.select(*cols).collect())) == sorted(
+        map(str, one_shot.select(*cols).collect())
+    )
+    # idempotent re-run of one day's interval
+    batch = fact.where(F.col("event_date").cast("string") == days[0])
+    rollups.maintain_user_day_presence_rollup(spark, batch, dim_time, path)
+    assert spark.read.parquet(path).count() == written.count()
+
+    served = rollups.dau_segments_from_presence(
+        spark.read.parquet(path), dim_user
+    )
+    plan = plan_inspect.simple_plan(served)
+    assert "fact_user_events" not in plan, plan
+    assert "dim_time" not in plan, plan  # date lives IN the partial
