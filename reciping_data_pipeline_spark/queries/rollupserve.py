@@ -171,3 +171,61 @@ def rollup_wau_segment_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_daily_value_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return rollups.daily_value_from_rollup(rollups.user_day_rollup(ev))
+
+
+@query(
+    "rolling_actives_sketch_serving",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT CAST(days.d AS VARCHAR) AS serve_date,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d_exact,
+           true AS est_within_5pct
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    doc="Rolling 7-day active users served from the HLL sketch partial "
+    "(pipeline/sketch_rollups.py): each day's user sketch fans out to "
+    "the serving days it contributes to (explode(sequence) — NOT a "
+    "partitionBy-less ordered window, which would collapse to one "
+    "task) and a keyed hll_union_agg merges O(window) few-KB binaries "
+    "per serving day. This is the regime exact partials cannot "
+    "pre-aggregate (overlapping-window uniques don't sum) and where "
+    "re-scanning raw events per dashboard day is a 100 TB non-starter. "
+    "Driver-checkable via the wau_sketch_rollup contract: the output "
+    "carries the EXACT rolling distinct (computed from the fact) plus "
+    "a flag that the sketch estimate lands within 5% of it (lgK=12 "
+    "standard error 1.6%) — hash-green unless the fanout-union merge "
+    "drifts.",
+    tags=("approx", "sketch", "rollup", "window"),
+)
+def rolling_actives_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.pipeline import sketch_rollups as sr
+
+    window_days = 7
+    ev = load_table(spark, sf_dir, "events")
+    est = sr.rolling_actives_est(sr.day_sketch_rollup(ev), window_days=window_days)
+
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("serve_date")).distinct()
+    exact = (
+        du.withColumn(
+            "offset", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+        )
+        .select(F.date_add("d", F.col("offset")).alias("serve_date"), "user_id")
+        .join(F.broadcast(days), "serve_date", "left_semi")
+        .groupBy(F.col("serve_date").cast("string").alias("serve_date"))
+        .agg(F.count_distinct("user_id").cast("long").alias("active_7d_exact"))
+    )
+    return exact.join(est, "serve_date").select(
+        "serve_date",
+        "active_7d_exact",
+        (
+            F.abs(F.col("active_users_est") - F.col("active_7d_exact"))
+            <= 0.05 * F.col("active_7d_exact")
+        ).alias("est_within_5pct"),
+    )

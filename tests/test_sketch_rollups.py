@@ -1,0 +1,228 @@
+"""HLL sketch partials (pipeline/sketch_rollups.py): merge exactness
+(serving from per-day sketches == sketching the raw span), estimate
+error within the configured sketch's published bound, idempotent
+touched-day maintenance, and a fact-free serving plan. These serving
+queries are approximate by design, so the contract is planted-property
+(no cross-engine hash oracle — DuckDB's HLL is a different
+implementation); see the module docstring for the regime they cover."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from reciping_data_pipeline_spark.pipeline import sketch_rollups as sr
+from reciping_data_pipeline_spark.plans import inspect
+from reciping_data_pipeline_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+#: 3σ of the DataSketches HLL relative standard error for lg_k.
+def _tol(lg_k: int) -> float:
+    return 3 * 1.04 / math.sqrt(2**lg_k)
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def _sorted_rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def test_merge_exactness_week_union_equals_raw_sketch(spark, events):
+    """The load-bearing property: unioning the week's per-day sketches
+    yields the SAME estimate as one sketch over the week's raw users —
+    partials lose nothing beyond the sketch's own error."""
+    rollup = sr.day_sketch_rollup(events)
+    served = {
+        r["week_start"]: r["wau_est"]
+        for r in sr.wau_est_from_sketch(rollup).collect()
+    }
+    # one-shot sketch over the raw week
+    one_shot = {
+        r["week_start"]: r["est"]
+        for r in events.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias(
+                "week_start"
+            )
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(sr.DEFAULT_LG_K))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert served.keys() == one_shot.keys()
+    for wk, est in served.items():
+        assert est == pytest.approx(one_shot[wk], rel=1e-9), wk
+
+
+def test_estimates_within_sketch_error_of_exact(spark, events):
+    rollup = sr.day_sketch_rollup(events)
+    tol = _tol(sr.DEFAULT_LG_K)
+
+    exact_dau = {
+        (r["event_date"],): r["dau"]
+        for r in events.groupBy(
+            F.col("ts").cast("date").cast("string").alias("event_date")
+        )
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    for r in sr.dau_est_from_sketch(rollup).collect():
+        exact = exact_dau[(r["event_date"],)]
+        assert abs(r["dau_est"] - exact) <= max(1.0, tol * exact), r
+
+    exact_wau = {
+        r["week_start"]: r["wau"]
+        for r in events.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias(
+                "week_start"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .collect()
+    }
+    for r in sr.wau_est_from_sketch(rollup).collect():
+        exact = exact_wau[r["week_start"]]
+        assert abs(r["wau_est"] - exact) <= max(1.0, tol * exact), r
+
+
+def test_event_counts_are_exact_and_range_uniques_bounded(spark, events):
+    rollup = sr.day_sketch_rollup(events)
+    served = {
+        r["event_date"]: r["event_count"]
+        for r in sr.dau_est_from_sketch(rollup).collect()
+    }
+    exact = {
+        r["event_date"]: r["n"]
+        for r in events.groupBy(
+            F.col("ts").cast("date").cast("string").alias("event_date")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert served == exact  # counts ride the sketch rollup exactly
+
+    dates = sorted(exact)
+    start, end = dates[0], dates[min(2, len(dates) - 1)]
+    est = sr.range_uniques_est(rollup, start, end).collect()[0]["uniques_est"]
+    truth = (
+        events.where(F.col("ts").cast("date").cast("string").between(start, end))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - truth) <= max(1.0, _tol(sr.DEFAULT_LG_K) * truth)
+
+
+def test_rolling_actives_matches_direct_window_sketch(spark, events):
+    """The rolling 28-day curve from fanout-union must equal, per
+    serving day, a one-shot sketch over that day's raw trailing window
+    (merge exactness again, now across overlapping windows), and track
+    the exact rolling distinct within tolerance."""
+    window = 7  # fixture spans few days; a 7-day window exercises overlap
+    rollup = sr.day_sketch_rollup(events)
+    served = {
+        r["serve_date"]: r["active_users_est"]
+        for r in sr.rolling_actives_est(rollup, window_days=window).collect()
+    }
+    days = [
+        r["d"]
+        for r in events.select(
+            F.col("ts").cast("date").cast("string").alias("d")
+        )
+        .distinct()
+        .collect()
+    ]
+    tol = _tol(sr.DEFAULT_LG_K)
+    for d in days:
+        lo = F.date_sub(F.lit(d).cast("date"), window - 1)
+        in_win = events.where(
+            (F.col("ts").cast("date") >= lo) & (F.col("ts").cast("date") <= F.lit(d))
+        )
+        one_shot = in_win.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(sr.DEFAULT_LG_K))
+            ).alias("est")
+        ).collect()[0]["est"]
+        truth = in_win.select("user_id").distinct().count()
+        assert served[d] == pytest.approx(one_shot, rel=1e-9), d
+        assert abs(served[d] - truth) <= max(1.0, tol * truth), d
+
+
+def test_maintenance_incremental_equals_full_and_idempotent(spark, events, tmp_path):
+    path = os.path.join(tmp_path, "sketch_rollup")
+    dates = sorted(
+        r["d"]
+        for r in events.select(
+            F.col("ts").cast("date").cast("string").alias("d")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(dates) >= 2
+    for ds in (dates[:1], dates[1:]):
+        touched = sr.maintain_day_sketch_rollup(
+            spark,
+            events.where(F.col("ts").cast("date").cast("string").isin(ds)),
+            path,
+        )
+        assert sorted(touched) == sorted(ds)
+    incremental = sr.read_day_sketch_rollup(spark, path)
+    full = sr.day_sketch_rollup(events)
+    # sketch binaries for identical input sets are identical, so the
+    # whole-table comparison can be exact — on ESTIMATES (the binary's
+    # column order inside the row is stable but compare semantically)
+    def _canon(df):
+        return _sorted_rows(
+            df.select(
+                F.col("event_date").cast("string"),
+                "event_type",
+                F.hll_sketch_estimate("user_hll").alias("est"),
+                "n_events",
+            )
+        )
+
+    assert _canon(incremental) == _canon(full)
+
+    # re-delivering one day's interval must change nothing
+    replay_day = dates[0]
+    before = _canon(incremental)
+    sr.maintain_day_sketch_rollup(
+        spark,
+        events.where(F.col("ts").cast("date").cast("string") == replay_day),
+        path,
+    )
+    assert _canon(sr.read_day_sketch_rollup(spark, path)) == before
+
+    # late sliver repair: maintenance with events_path re-reads the
+    # committed table for the touched day, not just the sliver
+    sliver = events.where(
+        F.col("ts").cast("date").cast("string") == replay_day
+    ).limit(1)
+    events_path = os.path.join(tmp_path, "events_committed")
+    events.write.mode("overwrite").parquet(events_path)
+    sr.maintain_day_sketch_rollup(spark, sliver, path, events_path=events_path)
+    assert _canon(sr.read_day_sketch_rollup(spark, path)) == before
+
+
+def test_serving_plan_is_fact_free_and_has_no_global_window(spark, events, tmp_path):
+    path = os.path.join(tmp_path, "sketch_rollup")
+    sr.maintain_day_sketch_rollup(spark, events, path)
+    rollup = sr.read_day_sketch_rollup(spark, path)
+    for df in (
+        sr.dau_est_from_sketch(rollup),
+        sr.wau_est_from_sketch(rollup),
+        sr.rolling_actives_est(rollup, window_days=7),
+    ):
+        plan = inspect.simple_plan(df)
+        assert "events.parquet" not in plan, plan  # fact never scanned
+        assert "Window" not in plan, plan  # fanout-union, not a global window
+        inspect.assert_no_cartesian(df)
