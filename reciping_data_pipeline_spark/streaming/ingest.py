@@ -470,9 +470,15 @@ def start_user_day_rollup_stream(
     *,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    sketch_rollup_dir: str | None = None,
 ) -> StreamingQuery:
     """Events JSONL stream → idempotent date-partitioned events table →
     incremental user-day rollup (`pipeline/rollups.py`), per micro-batch.
+    ``sketch_rollup_dir`` additionally maintains the HLL sketch partial
+    (`pipeline/sketch_rollups.py`) from the same touched-dates set —
+    sketches are NOT additive under replay, so the recompute-from-
+    committed-events discipline below is exactly what makes the
+    streaming flavor convergent for them too.
 
     Exactly-once WITHOUT a commit marker: the events append is an
     event_id anti-join against the already-committed rows of exactly
@@ -538,6 +544,16 @@ def start_user_day_rollup_stream(
         rollups.maintain_user_day_rollup(
             sess, batch, rollup_dir, events_path=events_dir, touched_dates=touched
         )
+        if sketch_rollup_dir is not None:
+            from reciping_data_pipeline_spark.pipeline import sketch_rollups
+
+            sketch_rollups.maintain_day_sketch_rollup(
+                sess,
+                batch,
+                sketch_rollup_dir,
+                events_path=events_dir,
+                touched_dates=touched,
+            )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

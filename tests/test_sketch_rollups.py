@@ -226,3 +226,83 @@ def test_serving_plan_is_fact_free_and_has_no_global_window(spark, events, tmp_p
         assert "events.parquet" not in plan, plan  # fact never scanned
         assert "Window" not in plan, plan  # fanout-union, not a global window
         inspect.assert_no_cartesian(df)
+
+
+def test_sketch_rollup_stream_matches_batch_and_survives_redelivery(spark, tmp_path):
+    """Streaming sketch maintenance piggybacks the exact-rollup stream's
+    touched-dates recompute: same-day events split across micro-batches
+    must merge into one day sketch, and a redelivery replay (including
+    a NULL-id malformed row) must converge to exactly the one-shot
+    batch sketch rollup over the unique events."""
+    import json as _json
+
+    from reciping_data_pipeline_spark.streaming import ingest
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    events_dir = str(tmp_path / "events_tbl")
+    rollup_dir = str(tmp_path / "rollup")
+    sketch_dir = str(tmp_path / "sketch_rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, rows):
+        with open(incoming / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_wave(
+        "w1.jsonl",
+        [
+            {"event_id": 1, "ts": "2025-09-01T10:00:00", "user_id": 7, "event_type": "click", "value": 1.25},
+            {"event_id": 2, "ts": "2025-09-01T11:00:00", "user_id": 8, "event_type": "view", "value": 0.5},
+        ],
+    )
+    write_wave(
+        "w2.jsonl",
+        [
+            {"event_id": 3, "ts": "2025-09-01T12:00:00", "user_id": 7, "event_type": "click", "value": 2.0},
+            {"event_id": 4, "ts": "2025-09-02T09:00:00", "user_id": 9, "event_type": "click", "value": 3.0},
+        ],
+    )
+    q = ingest.start_user_day_rollup_stream(
+        spark, str(incoming), events_dir, rollup_dir, ckpt,
+        max_files_per_trigger=1, sketch_rollup_dir=sketch_dir,
+    )
+    q.awaitTermination(120)
+
+    # redelivery of events 1+3 plus a new event and a NULL-id row
+    write_wave(
+        "w3.jsonl",
+        [
+            {"event_id": 1, "ts": "2025-09-01T10:00:00", "user_id": 7, "event_type": "click", "value": 1.25},
+            {"event_id": 3, "ts": "2025-09-01T12:00:00", "user_id": 7, "event_type": "click", "value": 2.0},
+            {"event_id": 5, "ts": "2025-09-01T23:00:00", "user_id": 8, "event_type": "click", "value": 0.75},
+            {"ts": "2025-09-01T23:30:00", "user_id": 9, "event_type": "click", "value": 9.0},
+        ],
+    )
+    q = ingest.start_user_day_rollup_stream(
+        spark, str(incoming), events_dir, rollup_dir, ckpt,
+        max_files_per_trigger=1, sketch_rollup_dir=sketch_dir,
+    )
+    q.awaitTermination(120)
+
+    def _canon(df):
+        return _sorted_rows(
+            df.select(
+                F.col("event_date").cast("string"),
+                "event_type",
+                F.hll_sketch_estimate("user_hll").alias("est"),
+                "n_events",
+            )
+        )
+
+    streamed = sr.read_day_sketch_rollup(spark, sketch_dir)
+    all_events = (
+        spark.read.format("json")
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("pathGlobFilter", "*.jsonl")
+        .load(str(incoming))
+        .where(F.col("event_id").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
+    assert _canon(streamed) == _canon(sr.day_sketch_rollup(all_events))
