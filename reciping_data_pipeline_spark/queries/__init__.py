@@ -90,6 +90,14 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # changed materially — refresh the driver evidence.
         "embed_semantic_dedup",
         "embed_incremental_semantic_dedup",
+        # r11: rounding-form changes found by the x100 full-catalog
+        # sweep — order_cube's revenue moved to the 1e-4 BIGINT grid
+        # (double sum-order divergence on the grand-total row at 15M
+        # orders) and order_value_percentile_rank's 6-dp coarsening
+        # moved to floor(x*1e6+0.5) (engine round() tie divergence on
+        # k/n ratios). Values on boundary cases shift at every SF.
+        "order_cube",
+        "order_value_percentile_rank",
     }
 )
 

@@ -65,18 +65,32 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
            count(*) AS order_count,
-           round(sum(o_totalprice), 2) AS revenue
+           floor(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 / 100.0 + 0.5) / 100.0 AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="All 2^2 grouping combinations in one shuffle via CUBE.",
+    doc="All 2^2 grouping combinations in one shuffle via CUBE. The "
+    "money sum quantizes addends to the exact 1e-4 BIGINT grid "
+    "(engine-wide sum-then-floor rule): at x100 (15M orders) the "
+    "plain double sum's partition-order accumulation crossed a 2-dp "
+    "rounding boundary vs DuckDB's scan order on the grand-total row.",
     tags=("agg", "cube"),
 )
 def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("order_count"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+                )
+                / 100.0
+                + F.lit(0.5)
+            )
+            / 100.0
+        ).alias("revenue"),
     ).select(
         F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
         F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
@@ -513,8 +527,8 @@ def event_type_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
@@ -522,7 +536,10 @@ def event_type_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its priority class (unique o_orderkey tie-break makes ranks "
     "deterministic). One sort per priority partition services both "
     "functions; at 100 TB the partition key keeps window state "
-    "executor-local.",
+    "executor-local. 6-dp coarsening uses floor(x*1e6+0.5) on both "
+    "engines: k/n ratios at x100 partition sizes produce systematic "
+    ".xxxxxx5 ties where Spark's decimal HALF_UP and DuckDB's "
+    "binary-value round() disagree on identical doubles.",
     tags=("window", "rank"),
 )
 def order_value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,8 +548,12 @@ def order_value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+            "cume"
+        ),
     )
 
 
