@@ -98,6 +98,14 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # k/n ratios). Values on boundary cases shift at every SF.
         "order_cube",
         "order_value_percentile_rank",
+        # r11: same grid rule applied to the other at-risk-magnitude
+        # money sums (sum magnitude ≥ ~1e11 puts the double's ulp at
+        # the cent boundary) — order_segment_breakdown failed at x100,
+        # the rest were one boundary away.
+        "order_segment_breakdown",
+        "pricing_summary",
+        "revenue_by_nation",
+        "monthly_revenue_growth",
     }
 )
 

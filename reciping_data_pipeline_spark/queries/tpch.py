@@ -26,9 +26,13 @@ from reciping_data_pipeline_spark.tables import load_table
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                                                                       AS sum_base_price,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                          AS BIGINT)) / 100.0 + 0.5) / 100.0           AS sum_disc_price,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 1000000 + 0.5) AS BIGINT)) / 10000.0 + 0.5) / 100.0
+                                                                       AS sum_charge,
            round(avg(l_quantity), 4)                                   AS avg_qty,
            round(avg(l_extendedprice), 4)                              AS avg_price,
            round(avg(l_discount), 4)                                   AS avg_disc,
@@ -37,7 +41,15 @@ from reciping_data_pipeline_spark.tables import load_table
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1-shaped scan+filter+agg (SURVEY §2.4 A1/A5; pushdown P5/P6).",
+    doc="TPC-H Q1-shaped scan+filter+agg (SURVEY §2.4 A1/A5; pushdown P5/P6). "
+    "Money sums use the engine-wide exact-grid BIGINT form (1e-2 for the "
+    "2-dp base price, 1e-4 for disc_price, 1e-6 for charge — each grid "
+    "captures its expression's full decimal width exactly): at ~10M "
+    "addends per group the double sum's magnitude (~4e11) has ulp "
+    "comparable to the cent boundary, so partition-order vs scan-order "
+    "accumulation is a coin flip away from a 2-dp mismatch. Quantity "
+    "sums are integer-valued doubles (exact to 2^53) and averages stay "
+    "at addend magnitude — both safe as-is.",
     tags=("agg", "filter", "bench"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +60,32 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                / 100.0
+            ).alias("sum_base_price"),
+            (
+                F.floor(
+                    F.sum(F.floor(disc_price * 10000 + F.lit(0.5)).cast("long"))
+                    / 100.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("sum_disc_price"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            disc_price * (1 + F.col("l_tax")) * 1000000 + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    / 10000.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -63,7 +98,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5)
+               / 100.0 AS revenue,
            count(DISTINCT o.o_custkey) AS unique_customers
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -88,7 +125,19 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                            + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    / 100.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("revenue"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
     )
@@ -170,12 +219,13 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
         SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS order_month,
-               round(sum(o_totalprice), 2) AS revenue
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
         FROM orders GROUP BY 1
     )
     SELECT order_month, revenue,
-           round(prev_revenue, 2) AS prev_revenue,
-           round(100.0 * (revenue - prev_revenue) / nullif(prev_revenue, 0), 4) AS growth_pct
+           prev_revenue,
+           floor(100.0 * (revenue - prev_revenue) / nullif(prev_revenue, 0)
+                 * 10000 + 0.5) / 10000.0 AS growth_pct
     FROM (
         SELECT order_month, revenue,
                lag(revenue) OVER (ORDER BY order_month) AS prev_revenue
@@ -192,7 +242,12 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between Spark and DuckDB, breaking stringified value-hash compare.
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            / 100.0
+        ).alias("revenue")
+    )
     w = Window.orderBy("order_month")
     prev = F.lag("revenue").over(w)
     # First month dropped: no prior period means NULL outputs, which
@@ -203,9 +258,16 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "order_month",
             "revenue",
-            F.round(F.col("_prev"), 2).alias("prev_revenue"),
-            F.round(
-                100.0 * (F.col("revenue") - F.col("_prev")) / F.nullif(F.col("_prev"), F.lit(0)), 4
+            F.col("_prev").alias("prev_revenue"),
+            (
+                F.floor(
+                    100.0
+                    * (F.col("revenue") - F.col("_prev"))
+                    / F.nullif(F.col("_prev"), F.lit(0))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
             ).alias("growth_pct"),
         )
     )
@@ -248,7 +310,8 @@ def priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'TOTAL' END AS segment_type,
            coalesce(o_orderstatus, o_orderpriority, 'TOTAL') AS segment_value,
            count(*) AS order_count,
-           round(sum(o_totalprice), 2) AS total_price
+           floor(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 / 100.0 + 0.5) / 100.0 AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -265,7 +328,8 @@ def order_segment_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'TOTAL' END AS segment_type,
                coalesce(o_orderstatus, o_orderpriority, 'TOTAL') AS segment_value,
                count(*) AS order_count,
-               round(sum(o_totalprice), 2) AS total_price
+               floor(sum(CAST(floor(o_totalprice * 10000 + 0.5D) AS BIGINT))
+                 / 100.0D + 0.5D) / 100.0D AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
