@@ -106,6 +106,7 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "pricing_summary",
         "revenue_by_nation",
         "monthly_revenue_growth",
+        "part_type_margin_by_year",
     }
 )
 

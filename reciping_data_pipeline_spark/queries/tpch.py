@@ -677,8 +677,10 @@ def region_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_type AS part_type,
            CAST(year(o.o_orderdate) AS INT) AS order_year,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - p.p_retailprice * l.l_quantity * 0.8), 2) AS margin_proxy
+           floor(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                                 - p.p_retailprice * l.l_quantity * 0.8)
+                                * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5)
+               / 100.0 AS margin_proxy
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN part p   ON l.l_partkey = p.p_partkey
@@ -687,7 +689,10 @@ def region_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q9 shape (product profit by year): discounted revenue minus "
     "a retail-price-derived cost proxy (the schema carries no "
     "ps_supplycost), grouped by part type and order year — fact-to-fact "
-    "join on orderkey plus a broadcast part dim.",
+    "join on orderkey plus a broadcast part dim. The margin sum uses the "
+    "engine-wide 1e-4 exact-grid BIGINT form (per-row margin doubles are "
+    "bit-identical across engines; only the SUM's accumulation order "
+    "differs — x100 landed a group on a cent boundary).",
     tags=("join", "agg", "tpch"),
 )
 def part_type_margin_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +708,12 @@ def part_type_margin_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("part_type"), F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(margin), 2).alias("margin_proxy"),
+            (
+                F.floor(
+                    F.sum(F.floor(margin * 10000 + F.lit(0.5)).cast("long")) / 100.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("margin_proxy"),
         )
     )
