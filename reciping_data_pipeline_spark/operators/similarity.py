@@ -530,6 +530,7 @@ def cosine_near_dup_pairs(
     partition_col: str | None = None,
     threshold: float = 0.95,
     round_dp: int = 6,
+    sub_buckets: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -537,6 +538,20 @@ def cosine_near_dup_pairs(
     label), the self-join is confined within partitions — the blocked
     formulation that survives 100 TB. Without it this is the exact
     quadratic baseline for small inputs / oracle checks.
+
+    ``sub_buckets`` (G) spreads each block's quadratic pair work over a
+    triangular G×G bucket grid — the SAME output set, enumerated as
+    G(G+1)/2 independent cells per block instead of one task per block.
+    This is the low-cardinality-block fix: with B fixed blocks (e.g. 10
+    class labels), block size grows linearly with the corpus and the
+    per-block self-join quadratically, while hash partitioning caps
+    parallelism at B tasks — the ×100 sweep measured 5/32 cores busy
+    for >50 min at 200k vectors. Callers with MANY small blocks
+    (semantic dedup's scale-adaptive cells) should keep G=1: the grid's
+    (G+1)-way row fanout only pays for itself when blocks are few and
+    fat. Exactness: a cross-bucket pair lands in exactly one (i<j)
+    cell and is id-normalized there; a same-bucket pair appears in its
+    (g,g) cell in both orders and the id_a<id_b filter keeps one.
     """
     # Norms are computed ONCE per vector before the pair join (the
     # naive per-pair norm recomputation measured ~2.5x slower at
@@ -559,6 +574,78 @@ def cosine_near_dup_pairs(
         F.col("nrm").alias("norm_b"),
         *(["blk"] if partition_col else []),
     )
+    if partition_col and sub_buckets > 1:
+        # Triangular bucket grid: row → sub-bucket g = hash(id) mod G;
+        # A-side fans to cells (g, j) for j ≥ g, B-side to (i, g) for
+        # i ≤ g, cogroup on (blk, ci, cj). Per-row fanout is G+1 copies
+        # total across both sides (narrow rows), in exchange for
+        # blocks×G(G+1)/2 independent cells instead of blocks tasks.
+        # Each cell's |i|×|j| cosine matrix is ONE vectorized numpy
+        # matmul in an Arrow-cogrouped kernel — the pair loop is the
+        # hot path where the interpreted JVM higher-order dot (an array
+        # allocation per pair via zip_with) measured ~275 core-minutes
+        # for 2B pairs at x100; BLAS does the same flops in seconds.
+        # The ulp-level sum-order difference between BLAS and the
+        # fold-order dot is harmless at this magnitude: cosine ∈ [-1,1]
+        # has ulp ~2e-16 against a 10^-round_dp grid, unlike the 1e12-
+        # magnitude money sums where ulp meets the grid (tpch.py).
+        G = int(sub_buckets)
+        width = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        ga = F.pmod(F.xxhash64(F.col("id_a")), F.lit(G)).cast("int")
+        gb = F.pmod(F.xxhash64(F.col("id_b")), F.lit(G)).cast("int")
+        a_f = a.withColumn("ci", ga).withColumn(
+            "cj", F.explode(F.sequence(F.col("ci"), F.lit(G - 1)))
+        )
+        b_f = b.withColumn("cj", gb).withColumn(
+            "ci", F.explode(F.sequence(F.lit(0), F.col("cj")))
+        )
+        scale = float(10**round_dp)
+        thr = float(threshold)
+
+        def cell_pairs(key, left, right):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                }
+            )
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            same_cell = key[1] == key[2]
+            va = np.asarray(left["vec_a"].tolist(), dtype=np.float64)
+            vb = np.asarray(right["vec_b"].tolist(), dtype=np.float64)
+            na = left["norm_a"].to_numpy(dtype=np.float64)
+            nb = right["norm_b"].to_numpy(dtype=np.float64)
+            ida = left["id_a"].to_numpy(dtype=np.int64)
+            idb = right["id_b"].to_numpy(dtype=np.int64)
+            denom = np.outer(na, nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_m = (va @ vb.T) / denom
+            cos_m = np.floor(cos_m * scale + 0.5) / scale
+            mask = cos_m >= thr  # NaN (zero-norm) compares False
+            if same_cell:
+                mask &= ida[:, None] < idb[None, :]
+            ii, jj = np.nonzero(mask)
+            if len(ii) == 0:
+                return empty
+            lo = np.minimum(ida[ii], idb[jj])
+            hi = np.maximum(ida[ii], idb[jj])
+            return pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine_sim": cos_m[ii, jj]}
+            )
+
+        return (
+            a_f.repartition(width, "blk", "ci", "cj")
+            .groupBy("blk", "ci", "cj")
+            .cogroup(
+                b_f.repartition(width, "blk", "ci", "cj").groupBy("blk", "ci", "cj")
+            )
+            .applyInPandas(cell_pairs, "id_a long, id_b long, cosine_sim double")
+        )
     if partition_col:
         # Explicit full-width repartition on the block key: the pair
         # join's cost is CPU-dense (|cell|^2 dot products) on narrow

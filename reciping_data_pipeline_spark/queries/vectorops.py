@@ -100,13 +100,22 @@ def embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Blocked cosine near-dup pairs (block = label): the partition-confined "
     "self-join that scales — shuffle on block key only. Threshold 0.25 sits "
-    "above the random-fixture p99 so output is small but non-trivial.",
+    "above the random-fixture p99 so output is small but non-trivial. "
+    "Labels are a FIXED 10-value set, so block size grows linearly with "
+    "the corpus and the per-block pair work quadratically while hash "
+    "partitioning caps parallelism at 10 tasks (x100 measured 5/32 cores "
+    "for >50 min at 200k vectors): the entry derives a triangular "
+    "sub-bucket grid G from committed footer stats (G=1 below 40k rows — "
+    "small fixtures keep the ungridded plan; output set is G-invariant "
+    "by construction, so the oracle is unchanged).",
     tags=("vector", "dedup", "bench"),
 )
 def embed_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(spark, sf_dir, "embeddings")
+    sub = max(1, -(-n // 40_000))  # ceil; 200k vectors -> G=5
     return similarity.cosine_near_dup_pairs(
-        emb, partition_col="label", threshold=0.25, round_dp=4
+        emb, partition_col="label", threshold=0.25, round_dp=4, sub_buckets=sub
     )
 
 
