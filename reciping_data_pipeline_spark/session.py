@@ -87,6 +87,14 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
         )
         .config("spark.ui.enabled", "false")
+        # oracle comparisons collect full result sets; scaled-fixture
+        # sweeps legitimately produce multi-GB results (x100
+        # embed_near_dup_blocked: ~20M pairs = 1.07 GB serialized hit
+        # the 1g default mid-sweep). Sized well under the driver heap.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "8g"),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The testdata events table stores TIMESTAMP(NANOS) parquet,
         # which Spark refuses by default; read as long and convert in
