@@ -313,11 +313,24 @@ def main() -> None:
     }
     # The driver keeps only the LAST ~2000 chars of stdout; BENCH_r06
     # shipped with parsed=null because the full payload straddled that
-    # tail. Persist everything to a committed file, then print ONE
-    # compact final line guaranteed to fit the driver's tail. If even
-    # the per-query map would overflow, it degrades to a pointer.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json")
+    # tail. Persist everything to a file, then print ONE compact final
+    # line guaranteed to fit the driver's tail. If even the per-query
+    # map would overflow, it degrades to a pointer.
+    #
+    # Two files (VERDICT r11): `BENCH_FULL_latest.json` is a gitignored
+    # moving pointer (every run — builder or driver — overwrites it,
+    # which used to leave a committed file perpetually dirty), and a
+    # run-stamped `BENCH_FULL_run_<utc>.json` (also ignored) that no
+    # later run can overwrite. The artifact of record is the builder's
+    # chosen stamped payload committed as `BENCH_FULL_r<N>.json` at
+    # round close — immutable under driver re-runs.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL_latest.json")
     with open(full_path, "w") as f:
+        json.dump(full_payload, f, indent=1)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    stamped_path = os.path.join(here, f"BENCH_FULL_run_{stamp}.json")
+    with open(stamped_path, "w") as f:
         json.dump(full_payload, f, indent=1)
     compact = {
         "metric": "catalog_bench_suite",

@@ -552,7 +552,27 @@ def cosine_near_dup_pairs(
     fat. Exactness: a cross-bucket pair lands in exactly one (i<j)
     cell and is id-normalized there; a same-bucket pair appears in its
     (g,g) cell in both orders and the id_a<id_b filter keeps one.
+
+    Rounding contract: EVERY path — G=1 JVM, G>1 Arrow kernel, and the
+    catalog oracle (queries/vectorops.py) — coarsens the cosine on the
+    identical ``floor(x * 10^round_dp + 0.5) / 10^round_dp`` grid
+    (the engine-wide rule; Spark's F.round is decimal HALF_UP and
+    diverges from the kernel's floor form exactly on .5-ties, which
+    would make the output set G-dependent — ADVICE r11).
+
+    ``sub_buckets > 1`` requires an integral ``id_col`` (the Arrow
+    kernel's cell schema and min/max id normalization are int64); a
+    string or fractional id fails fast here rather than silently
+    changing the output contract with G.
     """
+    if sub_buckets > 1:
+        id_type = df.schema[id_col].dataType.typeName()
+        if id_type not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"cosine_near_dup_pairs(sub_buckets={sub_buckets}) requires an "
+                f"integral id column (int64 kernel schema); {id_col!r} is "
+                f"{id_type}. Use sub_buckets=1 or map ids to integers first."
+            )
     # Norms are computed ONCE per vector before the pair join (the
     # naive per-pair norm recomputation measured ~2.5x slower at
     # sf0.1). dot/(norm_a*norm_b) is bit-identical either way.
@@ -660,9 +680,13 @@ def cosine_near_dup_pairs(
     cos = vectors.dot(F.col("vec_a"), F.col("vec_b")) / F.nullif(
         F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
     )
+    # floor grid, NOT F.round: identical IEEE ops to the G>1 kernel's
+    # np.floor(cos*scale+0.5)/scale, so the output set is G-invariant
+    # on .5-ties too (see docstring rounding contract).
+    grid = float(10**round_dp)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cos, round_dp))
+        .withColumn("cosine_sim", F.floor(cos * grid + F.lit(0.5)) / grid)
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -120,6 +120,106 @@ def maintain_day_sketch_rollup(
     return touched_dates
 
 
+def day_segment_sketch_rollup(
+    events: DataFrame,
+    *,
+    segment_col: str = "segment",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Segment-sliced sketch partial (VERDICT r11 #5): one row per
+    (event_date, event_type, segment) — the reference's dashboards
+    slice every distinct-count by a segment attribute
+    (sql_queries/DAU.sql:15-52), so the partial carries the segment in
+    its grain and EVERY block of the TOTAL / EVENT_TYPE / segment
+    UNION ALL stack is served by `hll_union_agg` across the complement
+    dimensions. Still O(days × types × segments) few-KB rows —
+    dashboard-sized at any fact scale. ``segment_col`` must be a
+    column already on ``events`` (computed from user attributes or a
+    dim join at build time; lowest-cardinality slicer first if you
+    extend the grain)."""
+    return events.groupBy(
+        F.col("ts").cast("date").alias("event_date"),
+        "event_type",
+        F.col(segment_col).alias("segment"),
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("user_hll"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def maintain_day_segment_sketch_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    *,
+    segment_col: str = "segment",
+    touched_dates: list[str] | None = None,
+    lg_k: int = DEFAULT_LG_K,
+) -> list[str]:
+    """Touched-day recompute-and-replace for the segment-sliced
+    partial — the same idempotent discipline as
+    `maintain_day_sketch_rollup` (sketches are not additive under
+    re-delivery). ``events`` must already carry ``segment_col``, and
+    the segment derivation must be DETERMINISTIC across calls (derive
+    it from user attributes / the same dim snapshot at every call
+    site); for late-sliver repair, pass the committed events table
+    filtered to the touched days — prepared the same way — as
+    ``events``."""
+    if touched_dates is None:
+        touched_dates = [
+            r["d"]
+            for r in events.select(
+                F.col("ts").cast("date").cast("string").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+    if not touched_dates:
+        return []
+    source = events.where(
+        F.col("ts").cast("date").cast("string").isin(touched_dates)
+    )
+    writers.overwrite_partitions(
+        day_segment_sketch_rollup(source, segment_col=segment_col, lg_k=lg_k),
+        rollup_path,
+        ["event_date"],
+    )
+    return touched_dates
+
+
+def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
+    """The reference DAU.sql UNION ALL stack — TOTAL / EVENT_TYPE /
+    AB_GROUP daily uniques — served APPROXIMATELY from the
+    segment-sliced sketch partial: each block is a keyed
+    `hll_union_agg` over the complement grain dimensions (cross-segment
+    unions are lossless w.r.t. sketch state — the merge-exactness
+    contract), so the whole stack reads O(days × types × segments)
+    KB-rows and never the fact. This is the regime where even the
+    exact presence partial (O(users × days), pipeline/rollups.py) is
+    itself big; accuracy is the sketch's published RSE."""
+    day = F.col("event_date").cast("string").alias("event_date")
+    est = F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias("dau_est")
+
+    def _block(stype: str, sval: F.Column, *keys: F.Column) -> DataFrame:
+        return (
+            rollup.groupBy(day, *keys)
+            .agg(est)
+            .select(
+                "event_date",
+                F.lit(stype).alias("segment_type"),
+                sval.alias("segment_value"),
+                "dau_est",
+            )
+        )
+
+    total = _block("TOTAL", F.lit("ALL"))
+    by_type = _block(
+        "EVENT_TYPE", F.col("event_type"), F.col("event_type")
+    )
+    by_seg = _block("AB_GROUP", F.col("segment"), F.col("segment"))
+    return total.unionAll(by_type).unionAll(by_seg)
+
+
 def read_day_sketch_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     return writers.read_table(spark, rollup_path)
 

@@ -78,35 +78,21 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
 # the back with evidence for the old behavior): they rank as never-run.
 _FORCE_REVERIFY: frozenset[str] = frozenset(
     {
-        # (r09's 8 pins — the ASCII BPE tokenization change and the
-        # UNION ALL serving flip — were all recorded hash-green in
-        # CORRECTNESS_r09.json and cleared: a satisfied pin left in
-        # place would occupy a front-of-window slot every round and
-        # starve the stalest cohort the rotation exists to refresh.)
+        # (Satisfied pins are CLEARED at each round's close-out — a
+        # satisfied pin left in place occupies a front-of-window slot
+        # every round and starves the stalest cohort the rotation
+        # exists to refresh. r09's 8 pins cleared after
+        # CORRECTNESS_r09.json; r10's 2 embed pins and r11's 7
+        # money/rank grid pins all recorded hash-green in
+        # CORRECTNESS_r11.json and cleared for r12 — VERDICT r11 #3.)
         #
-        # r10: cell count switched from a pinned 16 to the operator's
-        # scale-adaptive derivation (the x100 quadratic fix). Output
-        # counts are cell-invariant by contract, but the served plan
-        # changed materially — refresh the driver evidence.
-        "embed_semantic_dedup",
-        "embed_incremental_semantic_dedup",
-        # r11: rounding-form changes found by the x100 full-catalog
-        # sweep — order_cube's revenue moved to the 1e-4 BIGINT grid
-        # (double sum-order divergence on the grand-total row at 15M
-        # orders) and order_value_percentile_rank's 6-dp coarsening
-        # moved to floor(x*1e6+0.5) (engine round() tie divergence on
-        # k/n ratios). Values on boundary cases shift at every SF.
-        "order_cube",
-        "order_value_percentile_rank",
-        # r11: same grid rule applied to the other at-risk-magnitude
-        # money sums (sum magnitude ≥ ~1e11 puts the double's ulp at
-        # the cent boundary) — order_segment_breakdown failed at x100,
-        # the rest were one boundary away.
-        "order_segment_breakdown",
-        "pricing_summary",
-        "revenue_by_nation",
-        "monthly_revenue_growth",
-        "part_type_margin_by_year",
+        # r12: embed_near_dup_blocked's rounding contract unified to
+        # the floor(x*1e4+0.5) grid on BOTH the G=1 JVM path and the
+        # DuckDB oracle (ADVICE r11: the G=1 path used F.round
+        # HALF_UP while the G>1 kernel used the floor grid — a
+        # .5-tie at round_dp could differ by G). Boundary values can
+        # shift at any SF — refresh the driver evidence.
+        "embed_near_dup_blocked",
     }
 )
 

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from reciping_data_pipeline_spark.queries import query
 
-_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "medallion_inventory_fixture_v1")
+# v2 (r12): 9 days instead of 2 — two full ISO weeks plus the late-
+# event tail, so the WAU presence-serving row exercises a REAL
+# week-over-week LAG ladder (a single-week fixture makes every
+# prev_week_wau NULL and the growth column untestable).
+_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "medallion_inventory_fixture_v2")
 _STAGING = os.path.join(_FIXTURE_DIR, "staging")
 _MASTER = os.path.join(_FIXTURE_DIR, "masters", "recipes.parquet")
 
@@ -50,7 +54,7 @@ def _ensure_fixture() -> None:
 
     tmp = f"{_FIXTURE_DIR}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    datagen.generate_fixture(tmp, seed=23, n_users=200, n_days=2, start=datetime(2025, 9, 1))
+    datagen.generate_fixture(tmp, seed=23, n_users=200, n_days=9, start=datetime(2025, 9, 1))
     with open(os.path.join(tmp, _SENTINEL), "w", encoding="utf-8"):
         pass
     # Sweep any incomplete dir from a crashed run, then move the
@@ -120,7 +124,7 @@ UNION ALL SELECT 'join_success_event_dim_key', rate_event FROM rates
     "medallion_e2e_inventory",
     oracle=_ORACLE,
     doc="Full bronze→silver→gold build + idempotent incremental "
-    "re-delivery on a seeded 2-day fixture; returns the end-state "
+    "re-delivery on a seeded 9-day fixture; returns the end-state "
     "per-layer row inventory and join-success rates, hash-matched "
     "against DuckDB's independent recomputation from the raw staging "
     "JSONL (pipeline/*; SURVEY §3 entry points A+B).",
@@ -139,14 +143,14 @@ def medallion_e2e_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             _STAGING,
             wh,
             _MASTER,
-            datetime(2025, 9, 3),
-            time_dim_range=("2025-09-01 00:00:00", "2025-09-03 23:00:00"),
+            datetime(2025, 9, 10),
+            time_dim_range=("2025-09-01 00:00:00", "2025-09-10 23:00:00"),
         )
         # Idempotent re-delivery: one interval spanning the whole fixture
         # re-offers every staging file; the bronze source_file anti-join
         # must make it a no-op, leaving end-state counts unchanged.
         runner.incremental_run(
-            spark, _STAGING, wh, datetime(2025, 9, 1), datetime(2025, 9, 3)
+            spark, _STAGING, wh, datetime(2025, 9, 1), datetime(2025, 9, 10)
         )
         from reciping_data_pipeline_spark.pipeline import bronze
 
@@ -169,3 +173,229 @@ def medallion_e2e_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double").select(
         "metric", F.round("value", 4).alias("value")
     )
+
+
+# Gold-shape presence serving (VERDICT r11 #6): the reference's FULL
+# 4-block DAU.sql stack (sql_queries/DAU.sql:1-52) served FACT-FREE
+# from the (active_date, user_dim_key) presence partial + broadcast
+# dim_user (pipeline/rollups.py dau_segments_from_presence). The
+# equality-vs-analytics and fact-free plan gates live in
+# tests/test_medallion.py / test_rollups.py; this row adds DRIVER
+# evidence with a genuinely independent oracle: DuckDB recomputes the
+# stack straight from the raw staging JSONL — parse (ignore_errors ≡
+# from_json→null), event_id dedup, presence = distinct (KST date,
+# user_id, anonymous_id) over rows where BOTH ids are non-null (the
+# fact's plain-equality dim_user join ⇒ user_dim_key != 0 exactly
+# then), and the per-user segment attributes extracted from the
+# context JSON. `attrs` uses DISTINCT, not latest-wins: the fixture
+# generates attributes once per user (datagen.generate_users), so
+# SCD1's pick is attribute-identical — and if that invariant ever
+# breaks, DISTINCT fans the join out and the row-count check fails
+# LOUDLY instead of silently diverging from latest-wins.
+_DAU_PRESENCE_ORACLE = f"""
+WITH raw AS (
+    SELECT * FROM read_ndjson_auto('{_STAGING}/**/*.jsonl', ignore_errors=true)
+),
+silver AS (
+    SELECT DISTINCT ON (event_id) * FROM raw WHERE event_id IS NOT NULL
+),
+pres AS (
+    SELECT DISTINCT CAST("date" AS VARCHAR) AS event_date, user_id, anonymous_id
+    FROM silver
+    WHERE user_id IS NOT NULL AND anonymous_id IS NOT NULL
+),
+attrs AS (
+    SELECT DISTINCT user_id, anonymous_id,
+           json_extract_string(context, '$.user_segment')  AS user_segment,
+           json_extract_string(context, '$.cooking_style') AS cooking_style,
+           json_extract_string(context, '$.ab_test.group') AS ab_test_group
+    FROM silver
+    WHERE user_id IS NOT NULL AND anonymous_id IS NOT NULL
+),
+j AS (
+    SELECT p.event_date, a.user_segment, a.cooking_style, a.ab_test_group
+    FROM pres p JOIN attrs a USING (user_id, anonymous_id)
+)
+SELECT event_date, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+       count(*) AS dau
+FROM j GROUP BY event_date
+UNION ALL
+SELECT event_date, 'USER_SEGMENT', coalesce(user_segment, 'UNKNOWN'), count(*)
+FROM j GROUP BY 1, 3
+UNION ALL
+SELECT event_date, 'COOKING_STYLE', coalesce(cooking_style, 'UNKNOWN'), count(*)
+FROM j GROUP BY 1, 3
+UNION ALL
+SELECT event_date, 'AB_TEST_GROUP', coalesce(ab_test_group, 'UNKNOWN'), count(*)
+FROM j GROUP BY 1, 3
+"""
+
+
+@query(
+    "medallion_dau_presence_serving",
+    oracle=_DAU_PRESENCE_ORACLE,
+    doc="The reference's FULL 4-block DAU.sql stack (TOTAL / "
+    "USER_SEGMENT / COOKING_STYLE / AB_TEST_GROUP daily uniques over "
+    "the Gold fact + dim_user) served from the (active_date, "
+    "user_dim_key) presence partial — the fact is scanned once at "
+    "partial build, never at serving (plan gate in tests/"
+    "test_rollups.py). Spark runs the real medallion build on the "
+    "seeded fixture, derives the presence rollup, and serves the "
+    "stack; DuckDB recomputes it independently from the raw staging "
+    "JSONL (sql_queries/DAU.sql; pipeline/rollups.py "
+    "dau_segments_from_presence; VERDICT r11 #6).",
+    tags=("pipeline", "rollup", "grouping-sets"),
+)
+def medallion_dau_presence_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.pipeline import dims as dims_mod
+    from reciping_data_pipeline_spark.pipeline import gold, rollups, runner
+
+    _ensure_fixture()
+    wh = tempfile.mkdtemp(prefix="medallion_presence_wh_")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark,
+            _STAGING,
+            wh,
+            _MASTER,
+            datetime(2025, 9, 10),
+            # starts a day EARLY: the fixture's late events (arrival
+            # minus 26 h) date to 2025-08-31, and presence is dated
+            # through the inner dim_time join — a calendar that starts
+            # at the staging window start would silently drop them.
+            time_dim_range=("2025-08-30 00:00:00", "2025-09-10 23:00:00"),
+        )
+        fact = gold.read_fact(spark, wh)
+        dim_time = dims_mod.read_dim(spark, wh, "dim_time")
+        dim_user = dims_mod.read_dim(spark, wh, "dim_user")
+        presence = rollups.user_day_presence_rollup(fact, dim_time)
+        served = rollups.dau_segments_from_presence(presence, dim_user).select(
+            "event_date",
+            "segment_type",
+            "segment_value",
+            F.col("dau").cast("long").alias("dau"),
+        )
+        # materialize before the warehouse is deleted (the driver
+        # collects the returned frame after this function exits)
+        served = served.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        shutil.rmtree(wh, ignore_errors=True)
+    return served
+
+
+# WAU.sql gold-shape serving: same independent-oracle discipline as the
+# DAU row. year/week_number derive from the MEMBER date (not
+# week_start) exactly as the reference groups by year(t.date) /
+# weekofyear(t.date); prev/growth via LAG over (segment_type,
+# segment_value) ordered by week_start. prev_week_wau is CAST AS
+# DOUBLE on both engines (nullable BIGINT promotes to float on one
+# side of the driver compare but not the other). round() (not the
+# floor form) mirrors pipeline/rollups.wau_segments_from_presence,
+# whose contract is equality with analytics.wau; at fixture
+# cardinalities (counts <= 200) every 3-decimal tie is binary-exact,
+# where Spark HALF_UP and DuckDB's binary rounding agree.
+_WAU_PRESENCE_ORACLE = f"""
+WITH raw AS (
+    SELECT * FROM read_ndjson_auto('{_STAGING}/**/*.jsonl', ignore_errors=true)
+),
+silver AS (
+    SELECT DISTINCT ON (event_id) * FROM raw WHERE event_id IS NOT NULL
+),
+pres AS (
+    SELECT DISTINCT
+           CAST(CAST(date_trunc('week', "date") AS DATE) AS VARCHAR) AS week_start,
+           CAST(year("date") AS INT) AS year,
+           CAST(weekofyear("date") AS INT) AS week_number,
+           user_id, anonymous_id
+    FROM silver
+    WHERE user_id IS NOT NULL AND anonymous_id IS NOT NULL
+),
+attrs AS (
+    SELECT DISTINCT user_id, anonymous_id,
+           json_extract_string(context, '$.user_segment')  AS user_segment,
+           json_extract_string(context, '$.ab_test.group') AS ab_test_group
+    FROM silver
+    WHERE user_id IS NOT NULL AND anonymous_id IS NOT NULL
+),
+j AS (
+    SELECT p.week_start, p.year, p.week_number, a.user_segment, a.ab_test_group
+    FROM pres p JOIN attrs a USING (user_id, anonymous_id)
+),
+stacked AS (
+    SELECT week_start, year, week_number,
+           'TOTAL' AS segment_type, 'ALL' AS segment_value, count(*) AS wau
+    FROM j GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT week_start, year, week_number,
+           'USER_SEGMENT', coalesce(user_segment, 'UNKNOWN'), count(*)
+    FROM j GROUP BY 1, 2, 3, 5
+    UNION ALL
+    SELECT week_start, year, week_number,
+           'AB_TEST_GROUP', coalesce(ab_test_group, 'UNKNOWN'), count(*)
+    FROM j GROUP BY 1, 2, 3, 5
+)
+SELECT week_start, year, week_number, segment_type, segment_value, wau,
+       CAST(LAG(wau) OVER w AS DOUBLE) AS prev_week_wau,
+       CASE WHEN LAG(wau) OVER w > 0
+            THEN round((wau - LAG(wau) OVER w) * 100.0 / LAG(wau) OVER w, 2)
+            ELSE NULL END AS week_over_week_growth_pct
+FROM stacked
+WINDOW w AS (PARTITION BY segment_type, segment_value ORDER BY week_start)
+"""
+
+
+@query(
+    "medallion_wau_presence_serving",
+    oracle=_WAU_PRESENCE_ORACLE,
+    doc="The reference's FULL WAU.sql stack (TOTAL / USER_SEGMENT / "
+    "AB_TEST_GROUP weekly uniques + the week-over-week LAG growth "
+    "ladder over Gold fact + dim_user) served from the week-grain "
+    "presence partials cascaded from the day presence "
+    "(pipeline/rollups.py user_week_presence_rollup + "
+    "wau_segments_from_presence) — O(users × weeks) rows, fact-free "
+    "at serving. The 9-day fixture spans two full ISO weeks plus the "
+    "late-event tail week, so prev/growth are real values, not all "
+    "NULL. DuckDB recomputes independently from the raw staging JSONL "
+    "(sql_queries/WAU.sql; VERDICT r11 #6).",
+    tags=("pipeline", "rollup", "grouping-sets", "window"),
+)
+def medallion_wau_presence_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reciping_data_pipeline_spark.pipeline import dims as dims_mod
+    from reciping_data_pipeline_spark.pipeline import gold, rollups, runner
+
+    _ensure_fixture()
+    wh = tempfile.mkdtemp(prefix="medallion_wau_presence_wh_")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        runner.bulk_backfill(
+            spark,
+            _STAGING,
+            wh,
+            _MASTER,
+            datetime(2025, 9, 10),
+            time_dim_range=("2025-08-30 00:00:00", "2025-09-10 23:00:00"),
+        )
+        fact = gold.read_fact(spark, wh)
+        dim_time = dims_mod.read_dim(spark, wh, "dim_time")
+        dim_user = dims_mod.read_dim(spark, wh, "dim_user")
+        presence = rollups.user_day_presence_rollup(fact, dim_time)
+        week = rollups.user_week_presence_rollup(presence)
+        served = rollups.wau_segments_from_presence(week, dim_user).select(
+            "week_start",
+            "year",
+            "week_number",
+            "segment_type",
+            "segment_value",
+            F.col("wau").cast("long").alias("wau"),
+            F.col("prev_week_wau").cast("double").alias("prev_week_wau"),
+            "week_over_week_growth_pct",
+        )
+        served = served.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        shutil.rmtree(wh, ignore_errors=True)
+    return served

@@ -174,6 +174,105 @@ def rollup_daily_value_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dau_segment_sketch_serving",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date, event_type,
+               user_id, {_AB_SEG_SQL} AS seg
+        FROM events
+    ),
+    stacked AS (
+        SELECT event_date, 'TOTAL' AS segment_type, 'ALL' AS segment_value,
+               count(DISTINCT user_id) AS dau_exact
+        FROM base GROUP BY event_date
+        UNION ALL
+        SELECT event_date, 'EVENT_TYPE', event_type, count(DISTINCT user_id)
+        FROM base GROUP BY event_date, event_type
+        UNION ALL
+        SELECT event_date, 'AB_GROUP', seg, count(DISTINCT user_id)
+        FROM base GROUP BY event_date, seg
+    )
+    SELECT event_date, segment_type, segment_value, dau_exact,
+           true AS est_within_5pct
+    FROM stacked
+    """,
+    doc="The reference DAU.sql segment stack (TOTAL / EVENT_TYPE / "
+    "AB_GROUP daily uniques) served APPROXIMATELY from the "
+    "segment-sliced HLL sketch partial "
+    "(pipeline/sketch_rollups.py day_segment_sketch_rollup — one "
+    "sketch per (event_date, event_type, segment), O(days × types × "
+    "segments) KB-rows): every stack block is a keyed hll_union_agg "
+    "across the complement dimensions, fact never re-scanned at "
+    "serving time (plan-gated in tests/test_sketch_rollups.py). This "
+    "is the regime where even the exact presence partial "
+    "(O(users × days)) is big. Driver-checkable via the exact-control "
+    "contract (same as rolling_actives_sketch_serving): the output "
+    "carries the EXACT stacked distincts plus a flag that the sketch "
+    "estimate lands within 5% of each (lgK=12 standard error 1.6%) — "
+    "hash-green unless the sliced build or cross-segment merge drifts.",
+    tags=("approx", "sketch", "rollup", "grouping-sets"),
+)
+def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from reciping_data_pipeline_spark.pipeline import rollups
+    from reciping_data_pipeline_spark.pipeline import sketch_rollups as sr
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = rollups._ab_segment(F.col("user_id"))
+    rollup = sr.day_segment_sketch_rollup(ev.withColumn("segment", seg))
+    est = sr.dau_segments_est_from_sketch(rollup)
+
+    base = ev.select(
+        F.col("ts").cast("date").cast("string").alias("event_date"),
+        "event_type",
+        "user_id",
+        seg.alias("seg"),
+    )
+    dx = F.count_distinct("user_id").cast("long").alias("dau_exact")
+    exact = (
+        base.groupBy("event_date")
+        .agg(dx)
+        .select(
+            "event_date",
+            F.lit("TOTAL").alias("segment_type"),
+            F.lit("ALL").alias("segment_value"),
+            "dau_exact",
+        )
+        .unionAll(
+            base.groupBy("event_date", F.col("event_type").alias("segment_value"))
+            .agg(dx)
+            .select(
+                "event_date",
+                F.lit("EVENT_TYPE").alias("segment_type"),
+                "segment_value",
+                "dau_exact",
+            )
+        )
+        .unionAll(
+            base.groupBy("event_date", F.col("seg").alias("segment_value"))
+            .agg(dx)
+            .select(
+                "event_date",
+                F.lit("AB_GROUP").alias("segment_type"),
+                "segment_value",
+                "dau_exact",
+            )
+        )
+    )
+    return exact.join(est, ["event_date", "segment_type", "segment_value"]).select(
+        "event_date",
+        "segment_type",
+        "segment_value",
+        "dau_exact",
+        (
+            F.abs(F.col("dau_est") - F.col("dau_exact"))
+            <= 0.05 * F.col("dau_exact")
+        ).alias("est_within_5pct"),
+    )
+
+
+@query(
     "rolling_actives_sketch_serving",
     oracle="""
     WITH du AS (

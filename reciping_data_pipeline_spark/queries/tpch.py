@@ -75,12 +75,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0
             ).alias("sum_disc_price"),
             (
+                # decimal(38,0) sum, not long: the 1e-6-grid addends are
+                # ~1e11 units each, so a group's int64 sum has only ~20x
+                # headroom past x100 (6e18 max vs ~4e17 measured) and
+                # Spark's non-ANSI long SUM would WRAP silently where
+                # DuckDB promotes to HUGEINT — a silent cross-engine
+                # divergence on the stated >x100 trajectory (ADVICE
+                # r11). decimal(38,0) sums exactly to 1e38; the final
+                # /1e4 division casts to double on both engines from
+                # the SAME exact integer. The 1e-2/1e-4 grids keep long
+                # sums: their addends are 1e4x smaller (>=2000x
+                # headroom at x100, overflow at ~x200k).
                 F.floor(
                     F.sum(
                         F.floor(
                             disc_price * (1 + F.col("l_tax")) * 1000000 + F.lit(0.5)
-                        ).cast("long")
-                    )
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
                     / 10000.0
                     + F.lit(0.5)
                 )

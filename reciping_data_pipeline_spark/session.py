@@ -41,6 +41,19 @@ def _default_driver_memory() -> str:
         return "8g"
 
 
+def _default_max_result_size(driver_memory: str) -> str:
+    """min(8g, half the resolved driver heap): a fixed 8g default can
+    EXCEED the heap on a small host (the memory derivation floors at
+    2g), turning an oversized collect into a driver OOM that kills the
+    whole sweep instead of the clean maxResultSize abort (ADVICE r11).
+    Halving keeps headroom for the collect's deserialized copy."""
+    try:
+        gb = int(driver_memory.rstrip("gG"))
+    except ValueError:
+        return "8g"
+    return f"{max(1, min(8, gb // 2))}g"
+
+
 def get_spark(
     app_name: str = "reciping-data-pipeline-spark",
     master: str | None = None,
@@ -90,10 +103,16 @@ def get_spark(
         # oracle comparisons collect full result sets; scaled-fixture
         # sweeps legitimately produce multi-GB results (x100
         # embed_near_dup_blocked: ~20M pairs = 1.07 GB serialized hit
-        # the 1g default mid-sweep). Sized well under the driver heap.
+        # the 1g default mid-sweep). Derived from the resolved driver
+        # memory so it stays under the heap on small hosts too.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "8g"),
+            os.environ.get(
+                "SPARK_DRIVER_MAX_RESULT_SIZE",
+                _default_max_result_size(
+                    os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory())
+                ),
+            ),
         )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The testdata events table stores TIMESTAMP(NANOS) parquet,

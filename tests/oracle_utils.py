@@ -108,15 +108,69 @@ def _values_equal(a, b) -> bool:
 def compare_to_oracle(
     spark_df: DataFrame, con: duckdb.DuckDBPyConnection, oracle_sql: str, name: str = "query"
 ) -> None:
+    import os
+    import sys
+    import time
+
+    trace = os.environ.get("SPARK_GRAFT_COMPARE_TRACE") == "1"
+
+    def _t(label: str, t0: float) -> float:
+        if trace:
+            print(f"    [{name}] {label}: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        return time.perf_counter()
+
+    t = time.perf_counter()
     assert_dtype_parity(spark_df, con, oracle_sql, name)
-    got = _canon(spark_df.toPandas())
-    want = _canon(con.execute(oracle_sql).fetchdf())
+    t = _t("dtype_parity", t)
+    got = spark_df.toPandas()
+    t = _t(f"spark toPandas ({len(got)} rows)", t)
+    got = _canon(got)
+    t = _t("canon(spark)", t)
+    # Materialize via CTAS, then fetch from the temp table: DuckDB's
+    # python execute() returns a STREAMING result whose fetchdf runs
+    # effectively single-threaded — on the x100 embed_near_dup_blocked
+    # oracle (2B pairs scanned, 54M rows out) the direct fetchdf ran
+    # >30 min where CTAS (parallel sink) + table fetch is ~38 s.
+    con.execute("CREATE OR REPLACE TEMP TABLE __oracle_result AS " + oracle_sql)
+    want = con.execute("SELECT * FROM __oracle_result").fetchdf()
+    con.execute("DROP TABLE __oracle_result")
+    t = _t(f"oracle fetchdf ({len(want)} rows)", t)
+    want = _canon(want)
+    t = _t("canon(oracle)", t)
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    import numpy as np
+
     for col in got.columns:
-        ga, wa = got[col].tolist(), want[col].tolist()
+        gs, ws = got[col], want[col]
+        # Vectorized fast path for machine-numeric columns — exact ==
+        # plus NaN==NaN, identical semantics to _values_equal but ~100x
+        # faster (the r12 x100 embed_near_dup_blocked compare is 54M
+        # rows x 3 cols x 2 engines; the row-at-a-time loop alone took
+        # ~30 min). Object/string columns keep the python loop.
+        if (
+            pd.api.types.is_numeric_dtype(gs)
+            and pd.api.types.is_numeric_dtype(ws)
+            and not pd.api.types.is_object_dtype(gs)
+            and not pd.api.types.is_object_dtype(ws)
+        ):
+            ga = gs.to_numpy()
+            wa = ws.to_numpy()
+            if pd.api.types.is_float_dtype(gs) and pd.api.types.is_float_dtype(ws):
+                ok = (ga == wa) | (np.isnan(ga) & np.isnan(wa))
+            else:
+                ok = ga == wa
+            if not bool(np.all(ok)):
+                idx = np.nonzero(~np.asarray(ok))[0][:5]
+                bad = [(int(i), ga[i], wa[i]) for i in idx]
+                raise AssertionError(
+                    f"{name}: column {col!r} first mismatches {bad}"
+                )
+            continue
+        ga, wa = gs.tolist(), ws.tolist()
         bad = [
             (i, x, y) for i, (x, y) in enumerate(zip(ga, wa)) if not _values_equal(x, y)
         ]

@@ -280,6 +280,59 @@ def test_pq_multiblock_matches_single_block(clustered_vectors):
     assert rows(one) == rows(many)
 
 
+def test_cosine_near_dup_sub_buckets_invariant(clustered_vectors, spark):
+    """The triangular G×G sub-bucket grid (the low-cardinality-block
+    parallelism fix) is a pure re-enumeration: for G in {2, 5} the
+    Arrow-matmul kernel must return EXACTLY the G=1 JVM plan's row set
+    — same pairs, same floor-grid cosines — on a fixture that exercises
+    same-cell and cross-cell pairs plus a zero-norm vector per block
+    (ADVICE r11: the grid path previously had no committed test)."""
+    zeros = spark.createDataFrame(
+        [(9000, [0.0] * 64), (9001, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    df = clustered_vectors.union(zeros).withColumn(
+        "label", (F.col("vec_id") % 2).cast("int")
+    )
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", partition_col="label", threshold=0.9
+    )
+    rows = lambda d: {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in d.collect()}  # noqa: E731
+    base = rows(similarity.cosine_near_dup_pairs(df, sub_buckets=1, **kw))
+    assert len(base) > 50  # dense enough to populate every grid cell class
+    assert not any(9000 in p[:2] or 9001 in p[:2] for p in base)  # zero-norm dropped
+    for g in (2, 5):
+        got = rows(similarity.cosine_near_dup_pairs(df, sub_buckets=g, **kw))
+        # the fixture must exercise BOTH kernel branches: pairs whose
+        # ids hash to the same sub-bucket (the (g,g) diagonal dedup)
+        # and pairs straddling two sub-buckets (the (i<j) cells)
+        cell = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id", F.pmod(F.xxhash64("vec_id"), F.lit(g)).cast("int").alias("c")
+            ).collect()
+        }
+        same = {p for p in got if cell[p[0]] == cell[p[1]]}
+        assert same and (got - same), f"G={g} fixture missed a cell class"
+        assert got == base, f"G={g} diverged from G=1"
+
+
+def test_cosine_near_dup_sub_buckets_rejects_non_integral_id(clustered_vectors):
+    """sub_buckets>1 hardcodes an int64 kernel schema; a string id must
+    fail fast instead of silently changing the output contract with G
+    (ADVICE r11)."""
+    df = clustered_vectors.select(
+        F.col("vec_id").cast("string").alias("vec_id"),
+        "embedding",
+        F.lit(0).alias("label"),
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        similarity.cosine_near_dup_pairs(
+            df, id_col="vec_id", vec_col="embedding",
+            partition_col="label", sub_buckets=2,
+        )
+
+
 def test_semantic_dedup_finds_planted_dups(clustered_vectors, spark):
     """SemDeDup: exact planted duplicates (identical vectors, new ids)
     always share a k-means cell, so recall on them is 1; nothing below

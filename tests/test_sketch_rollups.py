@@ -157,6 +157,91 @@ def test_rolling_actives_matches_direct_window_sketch(spark, events):
         assert abs(served[d] - truth) <= max(1.0, tol * truth), d
 
 
+def test_segment_stack_merge_exactness_and_error(spark, events):
+    """Segment-sliced tier (VERDICT r11 #5): every block of the
+    TOTAL / EVENT_TYPE / AB_GROUP stack served from the
+    (date, type, segment) partial must equal the one-shot sketch over
+    that block's raw users (cross-segment union is lossless w.r.t.
+    sketch state) and track the exact distinct within the bound."""
+    from reciping_data_pipeline_spark.pipeline import rollups
+
+    seg = rollups._ab_segment(F.col("user_id"))
+    rollup = sr.day_segment_sketch_rollup(events.withColumn("segment", seg))
+    served = {
+        (r["event_date"], r["segment_type"], r["segment_value"]): r["dau_est"]
+        for r in sr.dau_segments_est_from_sketch(rollup).collect()
+    }
+    day = F.col("ts").cast("date").cast("string").alias("event_date")
+    one_sketch = F.hll_sketch_estimate(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(sr.DEFAULT_LG_K))
+    ).alias("est")
+    dx = F.count_distinct("user_id").alias("exact")
+    blocks = {
+        "TOTAL": events.groupBy(day).agg(one_sketch, dx).withColumn(
+            "segment_value", F.lit("ALL")
+        ),
+        "EVENT_TYPE": events.groupBy(
+            day, F.col("event_type").alias("segment_value")
+        ).agg(one_sketch, dx),
+        "AB_GROUP": events.groupBy(day, seg.alias("segment_value")).agg(
+            one_sketch, dx
+        ),
+    }
+    tol = _tol(sr.DEFAULT_LG_K)
+    n_checked = 0
+    for stype, df in blocks.items():
+        for r in df.collect():
+            key = (r["event_date"], stype, r["segment_value"])
+            assert served[key] == pytest.approx(r["est"], rel=1e-9), key
+            assert abs(served[key] - r["exact"]) <= max(1.0, tol * r["exact"]), key
+            n_checked += 1
+    assert n_checked == len(served)
+
+
+def test_segment_sketch_maintenance_idempotent(spark, events, tmp_path):
+    """Touched-day recompute for the segment-sliced partial: two-wave
+    build == full build, and re-delivering a day changes nothing."""
+    from reciping_data_pipeline_spark.pipeline import rollups
+
+    seg = rollups._ab_segment(F.col("user_id"))
+    ev = events.withColumn("segment", seg)
+    path = os.path.join(tmp_path, "seg_sketch_rollup")
+    dates = sorted(
+        r["d"]
+        for r in ev.select(F.col("ts").cast("date").cast("string").alias("d"))
+        .distinct()
+        .collect()
+    )
+    for ds in (dates[:1], dates[1:]):
+        touched = sr.maintain_day_segment_sketch_rollup(
+            spark, ev.where(F.col("ts").cast("date").cast("string").isin(ds)), path
+        )
+        assert sorted(touched) == sorted(ds)
+
+    def _canon(df):
+        return _sorted_rows(
+            df.select(
+                F.col("event_date").cast("string"),
+                "event_type",
+                "segment",
+                F.hll_sketch_estimate("user_hll").alias("est"),
+                "n_events",
+            )
+        )
+
+    incremental = sr.read_day_sketch_rollup(spark, path)
+    assert _canon(incremental) == _canon(
+        sr.day_segment_sketch_rollup(ev)
+    )
+    before = _canon(incremental)
+    sr.maintain_day_segment_sketch_rollup(
+        spark,
+        ev.where(F.col("ts").cast("date").cast("string") == dates[0]),
+        path,
+    )
+    assert _canon(sr.read_day_sketch_rollup(spark, path)) == before
+
+
 def test_maintenance_incremental_equals_full_and_idempotent(spark, events, tmp_path):
     path = os.path.join(tmp_path, "sketch_rollup")
     dates = sorted(
@@ -214,13 +299,23 @@ def test_maintenance_incremental_equals_full_and_idempotent(spark, events, tmp_p
 
 
 def test_serving_plan_is_fact_free_and_has_no_global_window(spark, events, tmp_path):
+    from reciping_data_pipeline_spark.pipeline import rollups
+
     path = os.path.join(tmp_path, "sketch_rollup")
     sr.maintain_day_sketch_rollup(spark, events, path)
     rollup = sr.read_day_sketch_rollup(spark, path)
+    seg_path = os.path.join(tmp_path, "seg_sketch_rollup")
+    sr.maintain_day_segment_sketch_rollup(
+        spark,
+        events.withColumn("segment", rollups._ab_segment(F.col("user_id"))),
+        seg_path,
+    )
+    seg_rollup = sr.read_day_sketch_rollup(spark, seg_path)
     for df in (
         sr.dau_est_from_sketch(rollup),
         sr.wau_est_from_sketch(rollup),
         sr.rolling_actives_est(rollup, window_days=7),
+        sr.dau_segments_est_from_sketch(seg_rollup),
     ):
         plan = inspect.simple_plan(df)
         assert "events.parquet" not in plan, plan  # fact never scanned
