@@ -220,6 +220,51 @@ def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
     return total.unionAll(by_type).unionAll(by_seg)
 
 
+def retention_est_from_sketch(
+    rollup: DataFrame, *, offsets: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """Estimated k-day retention — |active(d) ∩ active(d+k)| per cohort
+    day — served from the day sketches via inclusion–exclusion:
+    |A∩B| = est(A) + est(B) − est(A ∪ B), the scalar `hll_union` of the
+    two day sketches. This is the dashboard shape HLL cannot serve
+    directly (sketches union, they don't intersect), and the one the
+    exact partial can't pre-aggregate either (every (d, k) pair is a
+    different distinct-intersection). Cost: O(days × offsets) sketch
+    pairs, each a few-KB union — fact never touched.
+
+    Error contract: each term carries the sketch's RSE, so the
+    ABSOLUTE error scales with |A ∪ B| — the relative error on the
+    intersection is ≈ RSE × |A∪B|/|A∩B| and degrades when cohorts
+    barely overlap. Fine for retention curves (overlap is the whole
+    point); do NOT use it to estimate near-disjoint intersections.
+    Day sketches collapse the rollup's type slices with one
+    `hll_union_agg` first (lossless merge)."""
+    day = rollup.groupBy(F.col("event_date")).agg(
+        F.hll_union_agg("user_hll").alias("day_hll")
+    )
+    a = day.select(
+        F.col("event_date").alias("cohort_date"),
+        F.col("day_hll").alias("hll_a"),
+        F.explode(F.array(*[F.lit(k) for k in offsets])).alias("offset_days"),
+    ).withColumn("ret_date", F.date_add("cohort_date", F.col("offset_days")))
+    b = day.select(
+        F.col("event_date").alias("ret_date"), F.col("day_hll").alias("hll_b")
+    )
+    est = F.hll_sketch_estimate
+    return (
+        a.join(b, "ret_date")  # cohorts whose d+k has no data drop (no-row)
+        .select(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            "offset_days",
+            (
+                est("hll_a")
+                + est("hll_b")
+                - est(F.hll_union("hll_a", "hll_b"))
+            ).alias("retained_est"),
+        )
+    )
+
+
 def read_day_sketch_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     return writers.read_table(spark, rollup_path)
 

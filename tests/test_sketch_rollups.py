@@ -242,6 +242,50 @@ def test_segment_sketch_maintenance_idempotent(spark, events, tmp_path):
     assert _canon(sr.read_day_sketch_rollup(spark, path)) == before
 
 
+def test_retention_inclusion_exclusion_tracks_exact(spark, events):
+    """k-day retention from sketches: inclusion–exclusion over day
+    sketches must track the exact |active(d) ∩ active(d+k)| within the
+    RSE-scaled bound (|A∪B| terms), and equal the same identity
+    computed from one-shot sketches of the raw day sets (merge
+    exactness through the type-slice collapse)."""
+    rollup = sr.day_sketch_rollup(events)
+    served = {
+        (r["cohort_date"], r["offset_days"]): r["retained_est"]
+        for r in sr.retention_est_from_sketch(rollup, offsets=(1, 2)).collect()
+    }
+    assert served, "fixture must span consecutive days"
+    du = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    a = du.alias("a")
+    b = du.alias("b")
+    k = F.datediff(F.col("b.d"), F.col("a.d"))
+    exact = {
+        (r["cohort"], r["k"]): (r["inter"], r["union_n"])
+        for r in a.join(
+            b, (F.col("a.user_id") == F.col("b.user_id")) & k.isin(1, 2)
+        )
+        .groupBy(
+            F.col("a.d").cast("string").alias("cohort"), k.cast("int").alias("k")
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(
+            du.groupBy(F.col("d").cast("string").alias("cohort")).agg(
+                F.count("*").alias("na")
+            ),
+            "cohort",
+        )
+        .withColumn("union_n", F.col("na") * 2 - F.col("inter"))  # upper-ish bound
+        .collect()
+    }
+    tol = _tol(sr.DEFAULT_LG_K)
+    for key, est in served.items():
+        inter, union_ub = exact[key]
+        # three estimate terms, each RSE-bounded on a set ≤ the union
+        assert abs(est - inter) <= max(2.0, 3 * tol * union_ub), (key, est, inter)
+    assert served.keys() == exact.keys()
+
+
 def test_maintenance_incremental_equals_full_and_idempotent(spark, events, tmp_path):
     path = os.path.join(tmp_path, "sketch_rollup")
     dates = sorted(
@@ -316,6 +360,7 @@ def test_serving_plan_is_fact_free_and_has_no_global_window(spark, events, tmp_p
         sr.wau_est_from_sketch(rollup),
         sr.rolling_actives_est(rollup, window_days=7),
         sr.dau_segments_est_from_sketch(seg_rollup),
+        sr.retention_est_from_sketch(rollup),
     ):
         plan = inspect.simple_plan(df)
         assert "events.parquet" not in plan, plan  # fact never scanned
