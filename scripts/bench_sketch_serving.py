@@ -105,6 +105,45 @@ def main() -> int:
     report["range_direct_s"] = round(_median3(lambda: range_direct().count()), 2)
     report["range_served_s"] = round(_median3(lambda: range_served().count()), 2)
 
+    # k-day retention (r12): |active(d) ∩ active(d+k)| — sketches
+    # can't intersect, so serving goes through inclusion–exclusion;
+    # the direct path is a user-keyed self-join of the day-distinct
+    # set. Accuracy (max rel err over every (cohort, k) cell) printed
+    # beside the speedup, as always.
+    def retention_direct():
+        du = events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+        a, b = du.alias("a"), du.alias("b")
+        k = F.datediff(F.col("b.d"), F.col("a.d"))
+        return (
+            a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & k.isin(1, 7))
+            .groupBy(
+                F.col("a.d").cast("string").alias("cohort_date"),
+                k.cast("int").alias("offset_days"),
+            )
+            .agg(F.count("*").alias("retained"))
+        )
+
+    def retention_served():
+        return sr.retention_est_from_sketch(rollup, offsets=(1, 7))
+
+    rexact = {
+        (r["cohort_date"], r["offset_days"]): r["retained"]
+        for r in retention_direct().collect()
+    }
+    rest = {
+        (r["cohort_date"], r["offset_days"]): r["retained_est"]
+        for r in retention_served().collect()
+    }
+    assert rest.keys() == rexact.keys()
+    report["retention_max_rel_err"] = round(
+        max(abs(rest[p] - rexact[p]) / max(rexact[p], 1) for p in rexact), 5
+    )
+    report["retention_direct_s"] = round(_median3(lambda: retention_direct().count()), 2)
+    report["retention_served_s"] = round(_median3(lambda: retention_served().count()), 2)
+    report["retention_speedup"] = round(
+        report["retention_direct_s"] / max(report["retention_served_s"], 1e-9), 1
+    )
+
     # maintenance: one touched day vs full rebuild
     one_day = dates[0]
     one_batch = events.where(F.to_date("ts").cast("string") == one_day)
