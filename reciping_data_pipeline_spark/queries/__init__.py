@@ -86,13 +86,15 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # money/rank grid pins all recorded hash-green in
         # CORRECTNESS_r11.json and cleared for r12 — VERDICT r11 #3.)
         #
-        # r12: embed_near_dup_blocked's rounding contract unified to
-        # the floor(x*1e4+0.5) grid on BOTH the G=1 JVM path and the
-        # DuckDB oracle (ADVICE r11: the G=1 path used F.round
-        # HALF_UP while the G>1 kernel used the floor grid — a
-        # .5-tie at round_dp could differ by G). Boundary values can
-        # shift at any SF — refresh the driver evidence.
-        "embed_near_dup_blocked",
+        # (r12's embed_near_dup_blocked pin — the unified floor-grid
+        # rounding contract — recorded hash-green in
+        # CORRECTNESS_r12.json and cleared for r13, per VERDICT r12 #1.)
+        #
+        # r13: retention_sketch_serving's flag contract changed from a
+        # fixed 5 % to the operator's own err_bound column (schema +
+        # semantics change — the oracle column is now
+        # est_within_bound); refresh the driver evidence.
+        "retention_sketch_serving",
     }
 )
 

@@ -343,7 +343,8 @@ SELECT week_start, year, week_number, segment_type, segment_value, wau,
             THEN round((wau - LAG(wau) OVER w) * 100.0 / LAG(wau) OVER w, 2)
             ELSE NULL END AS week_over_week_growth_pct
 FROM stacked
-WINDOW w AS (PARTITION BY segment_type, segment_value ORDER BY week_start)
+WINDOW w AS (PARTITION BY segment_type, segment_value
+             ORDER BY week_start, year, week_number)
 """
 
 

@@ -46,12 +46,20 @@ def _default_max_result_size(driver_memory: str) -> str:
     EXCEED the heap on a small host (the memory derivation floors at
     2g), turning an oversized collect into a driver OOM that kills the
     whole sweep instead of the clean maxResultSize abort (ADVICE r11).
-    Halving keeps headroom for the collect's deserialized copy."""
+    Halving keeps headroom for the collect's deserialized copy.
+    Accepts any JVM memory suffix (k/m/g/t) — a user-supplied
+    SPARK_DRIVER_MEMORY=4096m must not fall back to the fixed 8g this
+    derivation exists to avoid (ADVICE r12)."""
+    _scale = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    s = driver_memory.strip().lower()
     try:
-        gb = int(driver_memory.rstrip("gG"))
+        if s and s[-1] in _scale:
+            gb = float(s[:-1]) * _scale[s[-1]]
+        else:  # bare number = bytes, per JVM -Xmx semantics
+            gb = float(s) / (1 << 30)
     except ValueError:
         return "8g"
-    return f"{max(1, min(8, gb // 2))}g"
+    return f"{max(1, min(8, int(gb) // 2))}g"
 
 
 def get_spark(

@@ -134,7 +134,12 @@ def main() -> int:
         (r["cohort_date"], r["offset_days"]): r["retained_est"]
         for r in retention_served().collect()
     }
-    assert rest.keys() == rexact.keys()
+    # The served side emits a row for every (cohort, d+k) pair where
+    # BOTH days have activity; the exact self-join emits one only when
+    # the intersection is non-empty — a zero-overlap pair is a served
+    # row with no exact twin, not a bug (ADVICE r12). Err measured over
+    # the exact keys only.
+    assert rexact.keys() <= rest.keys(), sorted(rexact.keys() - rest.keys())
     report["retention_max_rel_err"] = round(
         max(abs(rest[p] - rexact[p]) / max(rexact[p], 1) for p in rexact), 5
     )

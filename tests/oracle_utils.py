@@ -151,8 +151,15 @@ def compare_to_oracle(
         # faster (the r12 x100 embed_near_dup_blocked compare is 54M
         # rows x 3 cols x 2 engines; the row-at-a-time loop alone took
         # ~30 min). Object/string columns keep the python loop.
+        # Gate on ACTUAL numpy dtypes: pandas nullable extension dtypes
+        # (Int64/boolean/Float64) are "numeric" but .to_numpy() yields
+        # object arrays holding pd.NA, where == propagates NA and
+        # np.all can raise/misreport — those take the python loop,
+        # which handles NA via _values_equal (ADVICE r12).
         if (
-            pd.api.types.is_numeric_dtype(gs)
+            isinstance(gs.dtype, np.dtype)
+            and isinstance(ws.dtype, np.dtype)
+            and pd.api.types.is_numeric_dtype(gs)
             and pd.api.types.is_numeric_dtype(ws)
             and not pd.api.types.is_object_dtype(gs)
             and not pd.api.types.is_object_dtype(ws)

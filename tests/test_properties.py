@@ -646,3 +646,20 @@ def test_lindley_reflection_identity(deltas):
     via_identity = [p - min(0.0, m) for p, m in zip(pfx, runmin)]
     for a, c in zip(direct, via_identity):
         assert math.isclose(a, c, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_max_result_size_parses_all_jvm_memory_suffixes():
+    """ADVICE r12: a valid SPARK_DRIVER_MEMORY like '4096m' must derive
+    half-the-heap, not fall back to the fixed 8g the derivation exists
+    to avoid on small hosts. All JVM suffixes (k/m/g/t, either case)
+    and bare-byte values parse; only garbage falls back."""
+    from reciping_data_pipeline_spark.session import _default_max_result_size as f
+
+    assert f("4096m") == "2g"
+    assert f("2048M") == "1g"
+    assert f("8G") == "4g"
+    assert f("48g") == "8g"  # capped
+    assert f("1t") == "8g"  # capped
+    assert f("2g") == "1g"  # floored at 1g
+    assert f(str(16 * (1 << 30))) == "8g"  # bare bytes
+    assert f("not-a-size") == "8g"  # fallback only for garbage
