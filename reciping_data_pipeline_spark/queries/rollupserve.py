@@ -268,6 +268,114 @@ def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wau_segment_sketch_serving",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING)
+                   AS week_start,
+               event_type, user_id, {_AB_SEG_SQL} AS seg
+        FROM events
+    ),
+    stacked AS (
+        SELECT week_start,
+               CASE WHEN grouping(event_type) = 0 THEN 'EVENT_TYPE'
+                    WHEN grouping(seg) = 0 THEN 'AB_GROUP'
+                    ELSE 'TOTAL' END AS segment_type,
+               coalesce(event_type, seg, 'ALL') AS segment_value,
+               count(DISTINCT user_id) AS wau_exact
+        FROM base
+        GROUP BY GROUPING SETS ((week_start), (week_start, event_type),
+                                (week_start, seg))
+    )
+    SELECT week_start, segment_type, segment_value,
+           CAST(wau_exact AS BIGINT) AS wau_exact,
+           CAST(LAG(wau_exact) OVER w AS DOUBLE) AS prev_week_wau_exact,
+           true AS est_within_5pct,
+           true AS prev_est_within_5pct
+    FROM stacked
+    WINDOW w AS (PARTITION BY segment_type, segment_value ORDER BY week_start)
+    """,
+    doc="The reference WAU.sql segment stack (TOTAL / EVENT_TYPE / "
+    "AB_GROUP weekly uniques + the week-over-week LAG ladder) served "
+    "APPROXIMATELY from the day-grain segment-sliced HLL sketch "
+    "partial — the WAU analogue of dau_segment_sketch_serving "
+    "(VERDICT r12 #2): every stack block unions the week's "
+    "(day × type × segment) sketches across the complement dimensions "
+    "(pipeline/sketch_rollups.py wau_segments_est_from_sketch), "
+    "O(days × types × segments) KB-rows read, fact never re-scanned "
+    "at serving (plan-gated in tests/test_sketch_rollups.py). "
+    "Exact-control contract: output carries the exact stacked WAU and "
+    "its exact LAG (one GROUPING SETS pass + window, oracle-verified "
+    "value-for-value) plus flags that the sketch estimate AND its "
+    "lagged estimate each land within 5% (lgK=12, 3σ ≈ 4.9%) — "
+    "hash-green unless the week-grain union or the estimate ladder "
+    "drifts.",
+    tags=("approx", "sketch", "rollup", "grouping-sets", "window"),
+)
+def wau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from reciping_data_pipeline_spark.pipeline import rollups
+    from reciping_data_pipeline_spark.pipeline import sketch_rollups as sr
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = rollups._ab_segment(F.col("user_id"))
+    rollup = sr.day_segment_sketch_rollup(ev.withColumn("segment", seg))
+    est = sr.wau_segments_est_from_sketch(rollup).select(
+        "week_start", "segment_type", "segment_value", "wau_est", "prev_week_wau_est"
+    )
+
+    base = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias(
+            "week_start"
+        ),
+        "event_type",
+        "user_id",
+        seg.alias("seg"),
+    )
+    # Same one-pass GROUPING SETS exact control as the DAU row.
+    stacked = (
+        base.groupingSets(
+            [["week_start"], ["week_start", "event_type"], ["week_start", "seg"]],
+            "week_start",
+            "event_type",
+            "seg",
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("wau_exact"))
+        .select(
+            "week_start",
+            F.when(F.col("event_type").isNotNull(), F.lit("EVENT_TYPE"))
+            .when(F.col("seg").isNotNull(), F.lit("AB_GROUP"))
+            .otherwise(F.lit("TOTAL"))
+            .alias("segment_type"),
+            F.coalesce("event_type", "seg", F.lit("ALL")).alias("segment_value"),
+            "wau_exact",
+        )
+    )
+    w = Window.partitionBy("segment_type", "segment_value").orderBy("week_start")
+    exact = stacked.withColumn(
+        "prev_week_wau_exact", F.lag("wau_exact").over(w).cast("double")
+    )
+    pe, pex = F.col("prev_week_wau_est"), F.col("prev_week_wau_exact")
+    return exact.join(est, ["week_start", "segment_type", "segment_value"]).select(
+        "week_start",
+        "segment_type",
+        "segment_value",
+        "wau_exact",
+        "prev_week_wau_exact",
+        (
+            F.abs(F.col("wau_est") - F.col("wau_exact"))
+            <= 0.05 * F.col("wau_exact")
+        ).alias("est_within_5pct"),
+        # first week per partition: both LAGs NULL on both engines
+        F.when(pex.isNull() & pe.isNull(), F.lit(True))
+        .otherwise(F.abs(pe - pex) <= 0.05 * pex)
+        .alias("prev_est_within_5pct"),
+    )
+
+
+@query(
     "retention_sketch_serving",
     oracle="""
     WITH du AS (
