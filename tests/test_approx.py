@@ -63,7 +63,7 @@ def test_wau_sketch_rollup_merge_accuracy(spark):
     beyond HLL's native error (the whole point of the mergeable
     pattern is answering range queries from pre-aggregated sketches)."""
     rows = REGISTRY["wau_sketch_rollup"].fn(spark, SF_SMOKE).collect()
-    got = {r["week_start"]: (r["wau_exact"], r["est_within_5pct"]) for r in rows}
+    got = {r["week_start"]: (r["wau_exact"], r["est_within_bound"]) for r in rows}
     exact = {
         r["week_start"]: r["wau"]
         for r in load_table(spark, SF_SMOKE, "events")
