@@ -675,161 +675,282 @@ def session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "purchase_multitouch_attribution",
     oracle="""
-    WITH p AS (
-        SELECT event_id, user_id, ts, value FROM events
-        WHERE event_type = 'purchase'
+    WITH rel AS (
+        SELECT user_id, ts, event_type, event_id, value FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
     ),
-    t AS (
-        SELECT user_id, ts, event_type FROM events
-        WHERE event_type IN ('view', 'click')
+    marks AS (
+        -- touch rows carry (v, c) flags; each purchase contributes TWO
+        -- marker rows reading the running touch counts at ts
+        -- (sign +1) and ts - 7d (sign -1). kind=0 sorts markers BEFORE
+        -- touches at equal t: the upper boundary is strict (tts < pts)
+        -- and the lower is inclusive (tts >= pts-7d excluded from the
+        -- subtracted prefix) on both ends.
+        SELECT user_id, ts AS t, 1 AS kind,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+               NULL AS event_id, NULL AS value, 0 AS sign
+        FROM rel WHERE event_type != 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, 0, event_id, value, 1
+        FROM rel WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts - INTERVAL 7 DAY, 0, 0, 0, event_id, NULL, -1
+        FROM rel WHERE event_type = 'purchase'
     ),
-    touches AS (
-        SELECT p.event_id, p.value, t.event_type
-        FROM p JOIN t
-          ON p.user_id = t.user_id
-         AND t.ts < p.ts
-         AND t.ts >= p.ts - INTERVAL 7 DAY
+    cum AS (
+        SELECT *, sum(v) OVER w AS cumv, sum(c) OVER w AS cumc
+        FROM marks
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, kind
+                     ROWS UNBOUNDED PRECEDING)
     ),
     per AS (
-        SELECT event_id, value, event_type,
-               count(*) OVER (PARTITION BY event_id) AS n
-        FROM touches
+        SELECT event_id, max(value) AS value,
+               sum(sign * cumv) AS n_view, sum(sign * cumc) AS n_click
+        FROM cum WHERE event_id IS NOT NULL
+        GROUP BY event_id
+    ),
+    per2 AS (
+        SELECT n_view, n_click,
+               -- per-touch credits quantized to 1e-8 integer units and
+               -- summed as integers (exact, order-invariant): a raw
+               -- double sum accumulates in different orders on Spark
+               -- partitions vs this scan and can flip the 4-dp floor.
+               CAST(floor(value / (n_view + n_click) * 100000000.0 + 0.5)
+                    AS BIGINT) AS credit_q
+        FROM per WHERE n_view + n_click > 0
+    ),
+    stacked AS (
+        SELECT 'view' AS touch_type, n_view AS k, credit_q
+        FROM per2 WHERE n_view > 0
+        UNION ALL
+        SELECT 'click', n_click, credit_q FROM per2 WHERE n_click > 0
     )
-    SELECT event_type AS touch_type,
-           CAST(count(*) AS BIGINT) AS n_touches,
-           -- per-touch credits quantized to 1e-8 integer units and
-           -- summed as integers (exact, order-invariant): a raw double
-           -- sum accumulates in different orders on Spark partitions vs
-           -- this scan and can flip the 4-dp floor by one ulp.
-           floor(CAST(sum(CAST(floor(value / n * 100000000.0 + 0.5)
-                               AS BIGINT)) AS DOUBLE)
+    SELECT touch_type,
+           CAST(sum(k) AS BIGINT) AS n_touches,
+           floor(CAST(sum(CAST(k AS BIGINT) * credit_q) AS DOUBLE)
                  / 10000.0 + 0.5) / 10000.0 AS attributed_value
-    FROM per
-    GROUP BY event_type
+    FROM stacked
+    GROUP BY touch_type
     """,
     doc="Multi-touch (linear) revenue attribution: every purchase's "
     "value splits equally across the user's view/click touches in the "
     "trailing 7 days — the complement of the as-of join's last-touch "
-    "model (purchase_asof_last_view). The touch expansion is a "
-    "user-keyed equi-join with a residual time-range predicate "
-    "(per-user cardinality bounded, never a time cross-join); the "
-    "per-purchase touch count is a purchase-partitioned window over "
-    "the already-matched pairs. Fractional credits floor-rounded at "
-    "4dp after the final aggregation.",
+    "model (purchase_asof_last_view). NOT the naive purchases×touches "
+    "user join: that shape is quadratic per user and died on the "
+    "×300-zipf fixture (4.96e11 pairs, 2.4e11 from the single top "
+    "user — r13 skew sweep). Instead each purchase reads running "
+    "per-user touch counts at its two window boundaries (two marker "
+    "rows through one user-keyed ORDER BY ts running sum — O(n log n) "
+    "per user), then per-type credit totals are count×credit products "
+    "— bit-identical to the pair form since every pair of one "
+    "purchase carries the same quantized credit. Fractional credits "
+    "quantized to 1e-8 integer units, floor-rounded at 4dp after the "
+    "final aggregation.",
     tags=("clickstream", "attribution", "join", "window", "bench"),
 )
 def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    rel = ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    touch = rel.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c"),
+        F.lit(None).cast("string").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("sign"),
     )
-    t = ev.where(F.col("event_type").isin("view", "click")).select(
-        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("touch_type")
+    p = rel.where(F.col("event_type") == "purchase")
+    upper = p.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(0).alias("v"),
+        F.lit(0).alias("c"),
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(1).alias("sign"),
     )
-    touches = p.join(t, "user_id").where(
-        (F.col("tts") < F.col("pts"))
-        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    lower = p.select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(0).alias("v"),
+        F.lit(0).alias("c"),
+        F.col("event_id").cast("string").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(-1).alias("sign"),
     )
-    w = Window.partitionBy("event_id")
-    per = touches.withColumn("n", F.count("*").over(w))
-    # credits quantized to 1e-8 units, summed as BIGINT — exact and
-    # order-invariant, so the 4-dp floor is bit-identical regardless of
-    # partition/shuffle order (doubles sum in nondeterministic order).
-    return per.groupBy("touch_type").agg(
-        F.count("*").cast("long").alias("n_touches"),
-        (
-            F.floor(
-                F.sum(
-                    F.floor(F.col("value") / F.col("n") * 100000000.0 + 0.5)
-                ).cast("double")
-                / 10000.0
-                + 0.5
+    # one user-keyed running sum; markers (kind=0) sort before touches
+    # at equal t so both window boundaries get the strict/inclusive
+    # semantics of the pair form (tts < pts, tts >= pts - 7d). Linear
+    # in per-user events — survives the zipf top user where the
+    # purchases×touches join is quadratic.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        touch.unionAll(upper)
+        .unionAll(lower)
+        .select(
+            "*",
+            F.sum("v").over(w).alias("cumv"),
+            F.sum("c").over(w).alias("cumc"),
+        )
+        .where(F.col("event_id").isNotNull())
+    )
+    per = cum.groupBy("event_id").agg(
+        F.max("value").alias("value"),
+        F.sum(F.col("sign") * F.col("cumv")).alias("n_view"),
+        F.sum(F.col("sign") * F.col("cumc")).alias("n_click"),
+    )
+    per = per.where((F.col("n_view") + F.col("n_click")) > 0).select(
+        "n_view",
+        "n_click",
+        F.floor(
+            F.col("value") / (F.col("n_view") + F.col("n_click")) * 100000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("credit_q"),
+    )
+    stacked = per.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("touch_type"), F.col("n_view").alias("k")
+                ),
+                F.struct(
+                    F.lit("click").alias("touch_type"), F.col("n_click").alias("k")
+                ),
             )
-            / 10000.0
-        ).alias("attributed_value"),
+        ).alias("s"),
+        "credit_q",
+    ).select("s.touch_type", "s.k", "credit_q")
+    return (
+        stacked.where(F.col("k") > 0)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("k").cast("long").alias("n_touches"),
+            (
+                F.floor(
+                    F.sum(F.col("k") * F.col("credit_q")).cast("double") / 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("attributed_value"),
+        )
     )
 
 
 @query(
     "funnel_within_hour",
     oracle="""
-    WITH v AS (
-        SELECT event_id, user_id, ts AS vts FROM events WHERE event_type = 'view'
+    WITH rel AS (
+        -- kind orders same-ts rows so every hop's strict > holds:
+        -- purchases(0) before clicks(1) before views(2); a row's
+        -- "following" frame then never contains an equal-ts event it
+        -- must not match.
+        SELECT user_id, ts AS t,
+               CASE event_type WHEN 'purchase' THEN 0
+                               WHEN 'click' THEN 1 ELSE 2 END AS kind,
+               event_id
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
     ),
-    c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
-    p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
-    s2 AS (
-        SELECT v.event_id, v.user_id, v.vts, min(c.cts) AS first_click
-        FROM v JOIN c
-          ON v.user_id = c.user_id
-         AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
-        GROUP BY v.event_id, v.user_id, v.vts
+    np AS (
+        SELECT *,
+               coalesce(
+                   min(CASE WHEN kind = 0 THEN t END)
+                       OVER (PARTITION BY user_id ORDER BY t, kind
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING),
+                   TIMESTAMP '9999-01-01') AS next_purchase
+        FROM rel
     ),
-    s3 AS (
-        SELECT s2.event_id
-        FROM s2 JOIN p
-          ON s2.user_id = p.user_id
-         AND p.pts > s2.first_click
-         AND p.pts <= s2.first_click + INTERVAL 1 HOUR
-        GROUP BY s2.event_id
+    fc AS (
+        SELECT *,
+               min(CASE WHEN kind = 1
+                        THEN struct_pack(ct := t, np := next_purchase) END)
+                   OVER (PARTITION BY user_id ORDER BY t, kind
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS first_click
+        FROM np
     )
-    SELECT CAST(CAST(v.vts AS DATE) AS VARCHAR) AS day,
+    SELECT CAST(CAST(t AS DATE) AS VARCHAR) AS day,
            CAST(count(*) AS BIGINT) AS n_views,
-           CAST(count(s2.event_id) AS BIGINT) AS n_clicked_1h,
-           CAST(count(s3.event_id) AS BIGINT) AS n_purchased_1h
-    FROM v
-    LEFT JOIN s2 ON v.event_id = s2.event_id
-    LEFT JOIN s3 ON v.event_id = s3.event_id
-    GROUP BY CAST(v.vts AS DATE)
+           CAST(count(*) FILTER (
+               WHERE first_click.ct <= t + INTERVAL 1 HOUR
+           ) AS BIGINT) AS n_clicked_1h,
+           CAST(count(*) FILTER (
+               WHERE first_click.ct <= t + INTERVAL 1 HOUR
+                 AND first_click.np <= first_click.ct + INTERVAL 1 HOUR
+           ) AS BIGINT) AS n_purchased_1h
+    FROM fc
+    WHERE kind = 2
+    GROUP BY CAST(t AS DATE)
     """,
     doc="Time-constrained ordered funnel: view -> first click within "
     "1 hour -> purchase within 1 hour of THAT click, reported per "
-    "view-day. The day-granular strict funnel can't express this — "
-    "each hop is an as-of-style earliest-match (user-keyed equi-join "
-    "with a residual time-range predicate + min aggregation), chained "
-    "twice, so the time clock restarts at the matched step the way "
-    "product analytics define conversion windows. Per-user bounded "
-    "join fan-out; exact integer/timestamp arithmetic end to end.",
-    tags=("clickstream", "funnel", "asof", "join", "bench"),
+    "view-day. NOT the naive per-hop user join (views×clicks then "
+    "×purchases — quadratic per user; the shape that died on the "
+    "×300-zipf fixture, r13 skew sweep). Instead one per-user ordered "
+    "pass: every row carries its next-purchase time (min-over-"
+    "following window), then every view picks its first following "
+    "click WITH that click's next-purchase via a lexicographic "
+    "struct-min over the same window — O(n log n) per user, "
+    "same-timestamp strictness encoded in the sort kind. The time "
+    "clock restarts at the matched step the way product analytics "
+    "define conversion windows.",
+    tags=("clickstream", "funnel", "asof", "window", "bench"),
 )
 def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").select(
-        "event_id", "user_id", F.col("ts").alias("vts")
+    rel = ev.where(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+        .alias("kind"),
     )
-    c = ev.where(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("cts")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts")
+    # sentinel instead of NULL: struct comparison must stay total
+    np = rel.withColumn(
+        "next_purchase",
+        F.coalesce(
+            F.min(F.when(F.col("kind") == 0, F.col("t"))).over(wf),
+            F.lit("9999-01-01").cast("timestamp"),
+        ),
     )
-    s2 = (
-        v.join(c, "user_id")
-        .where(
-            (F.col("cts") > F.col("vts"))
-            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("event_id", "user_id", "vts")
-        .agg(F.min("cts").alias("first_click"))
+    fc = np.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                F.col("kind") == 1,
+                F.struct(F.col("t").alias("ct"), F.col("next_purchase").alias("np")),
+            )
+        ).over(wf),
     )
-    s3 = (
-        s2.join(p, "user_id")
-        .where(
-            (F.col("pts") > F.col("first_click"))
-            & (F.col("pts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("event_id")
-        .agg(F.count("*").alias("_n"))
-        .select("event_id")
+    clicked = F.col("first_click.ct") <= F.col("t") + F.expr("INTERVAL 1 HOUR")
+    purchased = clicked & (
+        F.col("first_click.np")
+        <= F.col("first_click.ct") + F.expr("INTERVAL 1 HOUR")
     )
     return (
-        v.join(s2.select("event_id", F.lit(1).alias("hit2")), "event_id", "left")
-        .join(s3.select("event_id", F.lit(1).alias("hit3")), "event_id", "left")
-        .groupBy(F.col("vts").cast("date").cast("string").alias("day"))
+        fc.where(F.col("kind") == 2)
+        .groupBy(F.col("t").cast("date").cast("string").alias("day"))
         .agg(
             F.count("*").cast("long").alias("n_views"),
-            F.count("hit2").cast("long").alias("n_clicked_1h"),
-            F.count("hit3").cast("long").alias("n_purchased_1h"),
+            F.count_if(clicked).cast("long").alias("n_clicked_1h"),
+            F.count_if(purchased).cast("long").alias("n_purchased_1h"),
         )
     )
 

@@ -195,22 +195,33 @@ def order_ship_latency_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "purchase_asof_last_view",
     oracle="""
-    WITH purchases AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-    ), views AS (
-        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    WITH rel AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_purchase,
+               CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+               event_id
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+        -- views sort before purchases at equal ts (<= semantics);
+        -- max() skips NULLs, carrying the latest view time forward
+        SELECT *, max(view_ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, is_purchase
+                       ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        FROM rel
     )
-    SELECT p.event_id, p.user_id,
-           CAST(max(v.view_ts) AS STRING) AS last_view_ts
-    FROM purchases p
-    LEFT JOIN views v ON v.user_id = p.user_id AND v.view_ts <= p.ts
-    GROUP BY p.event_id, p.user_id
+    SELECT event_id, user_id, CAST(last_view_ts AS STRING) AS last_view_ts
+    FROM c WHERE is_purchase = 1
     """,
     doc="As-of (backward) join: each purchase paired with the user's "
     "latest preceding view. Spark formulation is the union + "
     "last(ignoreNulls) window — ONE sort per user partition, no "
-    "pair-wise join blowup; the oracle states the same semantics "
-    "relationally. (SURVEY §2.3: no as-of joins in reference.)",
+    "pair-wise join blowup; the oracle uses the same carried-forward "
+    "window form (its old purchases×views LEFT JOIN was quadratic per "
+    "user and ground to a halt on the ×300-zipf fixture — r13 skew "
+    "sweep; old-vs-new oracle equivalence verified value-for-value at "
+    "sf0.01). (SURVEY §2.3: no as-of joins in reference.)",
     tags=("join", "asof", "window", "bench"),
 )
 def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
