@@ -917,10 +917,16 @@ def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .alias("kind"),
     )
+    # The "strictly after me in (t, kind) order" frame, expressed as a
+    # GROWING frame over the REVERSED sort: Spark evaluates
+    # UNBOUNDED FOLLOWING frames by rescanning the remainder of the
+    # partition per row — O(n²), which hung for >13 min on the ×300
+    # zipf top user (~2.5M rows) — while UNBOUNDED PRECEDING frames
+    # accumulate incrementally in O(n).
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("t", "kind")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     # sentinel instead of NULL: struct comparison must stay total
     np = rel.withColumn(
