@@ -39,6 +39,12 @@ def main() -> int:
 
     spark = get_spark(app_name="driver_sim", shuffle_partitions=args.partitions)
     con = duckdb.connect()
+    # Cap DuckDB and let it SPILL: its default memory limit (80% of
+    # host RAM) ignores the multi-GB Spark JVM sharing the box, and a
+    # 30M-row window-sort oracle then drives the host into allocation
+    # failure (×300-zipf sweep, r13: DuckDB OOM + driver MemoryError).
+    con.execute("SET memory_limit='20GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_sim_spill'")
     for name in TABLE_NAMES:
         path = os.path.join(args.sf, f"{name}.parquet")
         if os.path.isdir(path):
