@@ -73,3 +73,140 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2).collect()
+
+
+def test_multitouch_window_form_equals_pair_join_form(spark):
+    """r13 skew rewrite pin: the boundary-marker running-sum form of
+    purchase_multitouch_attribution must stay bit-identical to the
+    naive purchases×touches pair join it replaced (the pair join is
+    quadratic per user — 4.96e11 pairs at ×300-zipf — but remains the
+    cleanest executable statement of the semantics at tiny SF)."""
+    from pyspark.sql import Window
+
+    from reciping_data_pipeline_spark.queries import all_queries
+    from reciping_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["touch_type"]: (r["n_touches"], r["attributed_value"])
+        for r in all_queries()["purchase_multitouch_attribution"]
+        .fn(spark, sf)
+        .collect()
+    }
+    ev = load_table(spark, sf, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("touch_type")
+    )
+    touches = p.join(t, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    per = touches.withColumn("n", F.count("*").over(Window.partitionBy("event_id")))
+    want = {
+        r["touch_type"]: (r["n_touches"], r["attributed_value"])
+        for r in per.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("value") / F.col("n") * 100000000.0 + 0.5)
+                    ).cast("double")
+                    / 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("attributed_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_funnel_window_form_equals_pair_join_form(spark):
+    """r13 skew rewrite pin: the reversed-sort growing-frame funnel
+    must equal the per-hop pair-join form (quadratic per user) it
+    replaced, including same-timestamp strictness at every hop."""
+    from reciping_data_pipeline_spark.queries import all_queries
+    from reciping_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day"]: (r["n_views"], r["n_clicked_1h"], r["n_purchased_1h"])
+        for r in all_queries()["funnel_within_hour"].fn(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    s2 = (
+        v.join(c, "user_id")
+        .where(
+            (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_id", "user_id", "vts")
+        .agg(F.min("cts").alias("first_click"))
+    )
+    s3 = (
+        s2.join(p, "user_id")
+        .where(
+            (F.col("pts") > F.col("first_click"))
+            & (F.col("pts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("_n"))
+        .select("event_id")
+    )
+    want = {
+        r["day"]: (r["n_views"], r["n_clicked_1h"], r["n_purchased_1h"])
+        for r in v.join(
+            s2.select("event_id", F.lit(1).alias("hit2")), "event_id", "left"
+        )
+        .join(s3.select("event_id", F.lit(1).alias("hit3")), "event_id", "left")
+        .groupBy(F.col("vts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_views"),
+            F.count("hit2").cast("long").alias("n_clicked_1h"),
+            F.count("hit3").cast("long").alias("n_purchased_1h"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_no_unbounded_following_frames_in_package():
+    """Spark evaluates UNBOUNDED FOLLOWING window frames by re-scanning
+    the partition remainder for every row — O(n²) per partition, a
+    13-minute hang on the ×300-zipf top user (r13). Growing frames
+    over the reversed sort are the O(n) equivalent; the only allowed
+    use is the ENTIRE-partition frame (unboundedPreceding →
+    unboundedFollowing), which Spark computes once per partition."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reciping_data_pipeline_spark",
+    )
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                src = f.read()
+            for m in re.finditer(r"rowsBetween\(([^)]*unboundedFollowing)\)", src):
+                if "unboundedPreceding" not in m.group(1):
+                    offenders.append((path, m.group(0)))
+    assert not offenders, offenders
