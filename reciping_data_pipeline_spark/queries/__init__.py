@@ -102,6 +102,12 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "wau_segment_sketch_serving",
         "rolling_actives_sketch_serving",
         "wau_sketch_rollup",
+        # r13: user_timeseries_similarity rewritten to series-
+        # fingerprint dedup + heads expansion (×300-uniform clone
+        # pileup exhausted executor disk); output proven equal to the
+        # old form at sf0.01/0.1, but the engine AND oracle both
+        # changed — refresh the driver evidence.
+        "user_timeseries_similarity",
     }
 )
 

@@ -563,13 +563,22 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_timeseries_similarity",
     oracle="""
-    WITH daily AS (
+    WITH daily AS MATERIALIZED (
         SELECT user_id, CAST(ts AS DATE) AS d,
                round(sum(coalesce(value, 0)), 4) AS day_value
         FROM events GROUP BY 1, 2
     ),
-    users AS (
+    ufp AS MATERIALIZED (
+        -- per-engine order-independent multiset fingerprint of the
+        -- day series (never compared across engines — DuckDB's hash
+        -- differs from Spark's xxhash64; an ORDERED string_agg is not
+        -- an option: DuckDB ordered aggregates allocate sort blocks
+        -- per group and 450k groups OOM'd a 20 GB limit)
         SELECT user_id,
+               count(*) || '/' ||
+               bit_xor(hash(d || ':' || day_value)) || '/' ||
+               sum(hash(d || ':' || day_value) % 2147483647) || '/' ||
+               round(sum(day_value), 4) AS fp,
                round(sum(day_value * day_value), 4) AS norm2,
                CAST(floor(round(sum(day_value), 4)
                     / (256.0 / GREATEST(1, LEAST(64,
@@ -577,31 +586,47 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS block
         FROM daily GROUP BY user_id
     ),
-    dd AS (
-        SELECT dy.user_id, dy.d, dy.day_value, u.block
-        FROM daily dy JOIN users u ON dy.user_id = u.user_id
+    grp AS MATERIALIZED (
+        SELECT fp, min(norm2) AS norm2, min(block) AS block,
+               count(*) AS m,
+               (list_sort(list(user_id)))[1:21] AS heads,
+               min(user_id) AS rep
+        FROM ufp GROUP BY fp
+    ),
+    rep_daily AS (
+        SELECT g.fp, g.block, d.d, d.day_value
+        FROM grp g JOIN daily d ON d.user_id = g.rep
     ),
     dots AS (
-        SELECT a.user_id AS user_a, b.user_id AS user_b,
+        SELECT a.fp AS fpa, b.fp AS fpb,
                round(sum(a.day_value * b.day_value), 4) AS dot
-        FROM dd a JOIN dd b
-          ON a.d = b.d AND a.block = b.block AND a.user_id < b.user_id
+        FROM rep_daily a JOIN rep_daily b
+          ON a.d = b.d AND a.block = b.block AND a.fp < b.fp
         GROUP BY 1, 2
     ),
-    dists AS (
-        SELECT p.user_a, p.user_b,
+    hx AS MATERIALIZED (SELECT fp, unnest(heads) AS x FROM grp),
+    cross_pairs AS (
+        SELECT a.fp AS fpa, b.fp AS fpb,
                round(sqrt(greatest(
-                   p.na2 + p.nb2 - 2 * coalesce(t.dot, 0), 0)), 4) AS dist
-        FROM (
-            SELECT a.user_id AS user_a, b.user_id AS user_b,
-                   a.norm2 AS na2, b.norm2 AS nb2
-            FROM users a JOIN users b
-              ON a.block = b.block AND a.user_id < b.user_id
-        ) p
-        LEFT JOIN dots t ON p.user_a = t.user_a AND p.user_b = t.user_b
+                   a.norm2 + b.norm2 - 2 * coalesce(t.dot, 0), 0)), 4) AS dist
+        FROM grp a JOIN grp b
+          ON a.block = b.block AND a.fp < b.fp
+        LEFT JOIN dots t ON t.fpa = a.fp AND t.fpb = b.fp
+    ),
+    cross_exp AS (
+        SELECT least(ha.x, hb.x) AS user_a,
+               greatest(ha.x, hb.x) AS user_b, cp.dist
+        FROM cross_pairs cp
+        JOIN hx ha ON ha.fp = cp.fpa
+        JOIN hx hb ON hb.fp = cp.fpb
+    ),
+    self_exp AS (
+        -- identical series: distance 0 by definition
+        SELECT a.x AS user_a, b.x AS user_b, CAST(0.0 AS DOUBLE) AS dist
+        FROM hx a JOIN hx b ON a.fp = b.fp AND a.x < b.x
     )
     SELECT user_a, user_b, dist
-    FROM dists
+    FROM (SELECT * FROM cross_exp UNION ALL SELECT * FROM self_exp)
     ORDER BY dist, user_a, user_b
     LIMIT 20
     """,
@@ -617,7 +642,14 @@ def user_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day-keyed equi-join on active days only. No global ntile window "
     "(nothing funnels through one task), no users x days "
     "densification; total work is the sum of per-band pair counts, "
-    "controlled by the band width. Top-20 closest pairs via "
+    "controlled by the band width. Since r13 all pair math runs "
+    "between DISTINCT series (order-independent multiset fingerprint "
+    "dedup): a clone-heavy corpus — the ×300-uniform fixture held 300 "
+    "identical users per band and the per-user pair join exhausted "
+    "executor disk — collapses to one representative per series, with "
+    "user pairs re-expanded from each group's k+1 smallest ids "
+    "(provably contains every top-k pair; brute-force-pinned in "
+    "tests/test_skew.py). Top-20 closest pairs via "
     "TakeOrderedAndProject with full tie-breaks.",
     tags=("timeseries", "similarity", "curation", "bench"),
 )
@@ -627,7 +659,7 @@ def user_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _user_timeseries_similarity(
     spark: SparkSession, sf_dir: str, band_width: float = 256.0, k: int = 20,
-    pair_buckets: int | None = None,
+    pair_buckets: int | None = None, dedup_series: bool | None = None,
 ) -> DataFrame:
     """Blocked time-series similarity.  ``band_width`` trades recall
     (pairs straddling a band boundary are never compared — the
@@ -686,24 +718,83 @@ def _user_timeseries_similarity(
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))), 4).alias("day_value"))
-    users = daily.groupBy("user_id").agg(
+    # Series-fingerprint dedup (r13, ×300-uniform sweep): users with
+    # IDENTICAL day series are pairwise distance-0 clones, and a
+    # replicated/bot-heavy corpus can hold hundreds per band — the
+    # within-band pair join then grows quadratically in the clone
+    # multiplicity (the ×300 fixture put 300 clones of every base user
+    # in one band: 271M user pairs → 8.1B day-dot rows → executor disk
+    # exhaustion). All pair MATH therefore runs between DISTINCT
+    # series (one representative per fingerprint); user-level pairs
+    # are re-expanded only from each group's k+1 smallest member ids,
+    # which provably contain every top-k pair: a pair using a group's
+    # 22nd-smallest member is beaten by ≥ k+1 same-distance pairs
+    # using smaller ids (pinned in tests/test_skew.py). The
+    # fingerprint is a per-engine ORDER-INDEPENDENT multiset hash of
+    # the (day, value) series — xor and wrap-sum of per-day hashes
+    # plus cardinality and the exact grid sums (collision odds
+    # ~2^-128; a per-group ORDERED serialization is not an option at
+    # scale: DuckDB's ordered aggregates allocate fixed-size sort
+    # blocks per group, and 450k groups OOM'd a 20 GB limit). The fp
+    # never crosses engines, so Spark and DuckDB hash differently.
+    day_h = F.xxhash64(
+        F.concat_ws(":", F.col("d").cast("string"), F.col("day_value").cast("string"))
+    )
+    if dedup_series is None:
+        dedup_series = scale > 1
+    if dedup_series:
+        fp_agg = F.concat_ws(
+            "/",
+            F.count("*"),
+            F.expr(
+                "bit_xor(xxhash64(concat(cast(d as string), ':',"
+                " cast(day_value as string))))"
+            ),
+            # sum of 31-bit-masked hashes: exact in a long at any
+            # realistic per-user day count (ANSI sum must not overflow)
+            F.sum(F.pmod(day_h, F.lit(2147483647))),
+            F.round(F.sum("day_value"), 4).cast("string"),
+        )
+    else:
+        # small fixtures: fp = the user itself — every group is a
+        # singleton and the pipeline reduces to the plain per-user
+        # pair join with none of the hashing cost (same scale>1
+        # gating discipline as B and _spread; output identical either
+        # way, brute-force-pinned in tests/test_skew.py)
+        fp_agg = F.first(F.col("user_id").cast("string"))
+    ufp = daily.groupBy("user_id").agg(
+        fp_agg.alias("fp"),
         F.round(F.sum(F.col("day_value") * F.col("day_value")), 4).alias("norm2"),
         F.floor(F.round(F.sum("day_value"), 4) / F.lit(width))
         .cast("bigint")
         .alias("block"),
     )
-    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(B)).cast("int")
-    users = users.withColumn("g", bucket)
-    dd = daily.join(users.select("user_id", "block", "g"), on="user_id")
-    a = dd.select(
-        F.col("user_id").alias("user_a"), F.col("block"),
+    groups = ufp.groupBy("fp").agg(
+        F.min("norm2").alias("norm2"),
+        F.min("block").alias("block"),
+        F.count("*").alias("m"),
+        F.slice(F.array_sort(F.collect_list("user_id")), 1, k + 1).alias("heads"),
+        F.min("user_id").alias("rep"),
+    )
+    # four consumers (rep_daily, both pair sides, self_exp) and Spark
+    # has no common-subexpression reuse — persist the O(distinct
+    # series) frame once (the persist-shared-candidates discipline
+    # from doc_fuzzy_dedup_e2e; identical plans dedup to one cache
+    # entry across driver re-runs)
+    groups = groups.persist()
+    rep_daily = daily.join(
+        groups.select(F.col("rep").alias("user_id"), "fp", "block"), on="user_id"
+    )
+    bucket = F.pmod(F.xxhash64(F.col("fp")), F.lit(B)).cast("int")
+    a = rep_daily.select(
+        F.col("fp").alias("fpa"), F.col("block"),
         F.col("d"), F.col("day_value").alias("va"),
-        F.col("g").alias("ga"),
+        bucket.alias("ga"),
     ).withColumn("gb", fan)
-    b = dd.select(
-        F.col("user_id").alias("user_b"), F.col("block"),
+    b = rep_daily.select(
+        F.col("fp").alias("fpb"), F.col("block"),
         F.col("d"), F.col("day_value").alias("vb"),
-        F.col("g").alias("gb"),
+        bucket.alias("gb"),
     ).withColumn("ga", fan)
     # Explicit full-width repartition before both pair joins: their
     # cost is CPU-dense pair expansion on narrow shuffle bytes, so
@@ -726,38 +817,67 @@ def _user_timeseries_similarity(
     jk = ["d", "block", "ga", "gb"]
     dots = (
         _spread(a, jk).join(_spread(b, jk), on=jk)
-        .where(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
+        .where(F.col("fpa") < F.col("fpb"))
+        .groupBy("fpa", "fpb")
         .agg(F.round(F.sum(F.col("va") * F.col("vb")), 4).alias("dot"))
     )
-    ua = users.select(
-        F.col("user_id").alias("user_a"),
-        F.col("block"), F.col("norm2").alias("na2"), F.col("g").alias("ga"),
+    ga_ = groups.select(
+        F.col("fp").alias("fpa"), F.col("block"),
+        F.col("norm2").alias("na2"), F.col("heads").alias("heads_a"),
+        F.pmod(F.xxhash64(F.col("fp")), F.lit(B)).cast("int").alias("ga"),
     ).withColumn("gb", fan)
-    ub = users.select(
-        F.col("user_id").alias("user_b"), F.col("block"),
-        F.col("norm2").alias("nb2"), F.col("g").alias("gb"),
+    gb_ = groups.select(
+        F.col("fp").alias("fpb"), F.col("block"),
+        F.col("norm2").alias("nb2"), F.col("heads").alias("heads_b"),
+        F.pmod(F.xxhash64(F.col("fp")), F.lit(B)).cast("int").alias("gb"),
     ).withColumn("ga", fan)
     pk = ["block", "ga", "gb"]
-    pairs = (
-        _spread(ua, pk).join(_spread(ub, pk), on=pk)
-        .where(F.col("user_a") < F.col("user_b"))
-        .select("user_a", "user_b", "na2", "nb2")
+    cross = (
+        _spread(ga_, pk).join(_spread(gb_, pk), on=pk)
+        .where(F.col("fpa") < F.col("fpb"))
+        .join(dots, on=["fpa", "fpb"], how="left")
+        .select(
+            "heads_a",
+            "heads_b",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("na2")
+                        + F.col("nb2")
+                        - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
+                        F.lit(0.0),
+                    )
+                ),
+                4,
+            ).alias("dist"),
+        )
     )
-    dists = pairs.join(dots, on=["user_a", "user_b"], how="left").select(
-        "user_a",
-        "user_b",
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    F.col("na2") + F.col("nb2") - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
-                    F.lit(0.0),
-                )
-            ),
-            4,
-        ).alias("dist"),
+    # expansion is bounded: |heads| = min(m, k+1), and singleton groups
+    # (the common case on real data) expand 1×1 — the plan degrades to
+    # exactly the old per-user pair join when no series repeats.
+    cross_exp = (
+        cross.select("dist", F.explode("heads_a").alias("x"), "heads_b")
+        .select("dist", "x", F.explode("heads_b").alias("y"))
+        .select(
+            F.least("x", "y").alias("user_a"),
+            F.greatest("x", "y").alias("user_b"),
+            "dist",
+        )
     )
-    return dists.orderBy("dist", "user_a", "user_b").limit(k)
+    # identical series are distance 0 by definition — exact, not the
+    # float path (sqrt of an ulp-sized residual could round to 1e-4)
+    self_exp = (
+        groups.where(F.col("m") >= 2)
+        .select(F.explode("heads").alias("x"), "heads")
+        .select("x", F.explode("heads").alias("y"))
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("user_a"),
+            F.col("y").alias("user_b"),
+            F.lit(0.0).alias("dist"),
+        )
+    )
+    return cross_exp.unionAll(self_exp).orderBy("dist", "user_a", "user_b").limit(k)
 
 
 @query(

@@ -210,3 +210,79 @@ def test_no_unbounded_following_frames_in_package():
                 if "unboundedPreceding" not in m.group(1):
                     offenders.append((path, m.group(0)))
     assert not offenders, offenders
+
+
+def test_timeseries_similarity_clone_dedup_equals_brute_force(spark):
+    """r13 ×300-uniform fix pin: with heavy series cloning (the shape
+    that exhausted executor disk — every clone lands in one band and
+    the pair join goes quadratic in multiplicity), the fingerprint-
+    dedup + heads-expansion form must equal the brute-force top-k over
+    ALL user pairs, including the k+1-smallest-ids sufficiency proof
+    and the exact-0 distance for identical series."""
+    import itertools
+    import math
+
+    import pandas as pd
+
+    from reciping_data_pipeline_spark.queries.curation import (
+        _user_timeseries_similarity,
+    )
+
+    # 6 base series × 40 clones each = 240 users; clone c of base s has
+    # user_id = s*1000 + c, identical (day, value) series per base.
+    rows = []
+    for s in range(6):
+        days = [f"2025-03-{d + 1:02d}" for d in range(3 + s % 3)]
+        vals = [round(10.0 * (s + 1) + d * 0.25, 2) for d in range(len(days))]
+        for c in range(40):
+            for day, v in zip(days, vals):
+                rows.append((s * 1000 + c, pd.Timestamp(day), "view", v))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(f"{td}/events.parquet")
+        # dedup_series forced ON: the scale gate would route this tiny
+        # fixture down the plain per-user path and never exercise the
+        # fingerprint machinery under test
+        got = [
+            (r["user_a"], r["user_b"], r["dist"])
+            for r in _user_timeseries_similarity(
+                spark, td, dedup_series=True
+            ).collect()
+        ]
+        plain = [
+            (r["user_a"], r["user_b"], r["dist"])
+            for r in _user_timeseries_similarity(
+                spark, td, dedup_series=False
+            ).collect()
+        ]
+    assert got == plain  # both physical forms, same answer
+    # brute force in python over the same banding
+    series = {}
+    for uid, ts, _, v in rows:
+        series.setdefault(uid, {})[str(ts.date())] = 0.0
+    for uid, ts, _, v in rows:
+        series[uid][str(ts.date())] = round(series[uid][str(ts.date())] + v, 4)
+    users = sorted(series)
+    width = 256.0  # scale floors to 1 at this row count
+    def block(u):
+        return math.floor(round(sum(series[u].values()), 4) / width)
+    def dist(a, b):
+        na2 = round(sum(v * v for v in series[a].values()), 4)
+        nb2 = round(sum(v * v for v in series[b].values()), 4)
+        dot = round(
+            sum(series[a][d] * series[b][d] for d in series[a] if d in series[b]), 4
+        )
+        if series[a] == series[b]:
+            return 0.0
+        return round(math.sqrt(max(na2 + nb2 - 2 * dot, 0.0)), 4)
+    cand = [
+        (dist(a, b), a, b)
+        for a, b in itertools.combinations(users, 2)
+        if block(a) == block(b)
+    ]
+    want = [(a, b, d) for d, a, b in sorted(cand)[:20]]
+    assert got == want
