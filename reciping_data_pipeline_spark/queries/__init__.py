@@ -90,26 +90,36 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # rounding contract — recorded hash-green in
         # CORRECTNESS_r12.json and cleared for r13, per VERDICT r12 #1.)
         #
-        # r13: the union-serving accuracy flags changed from a fixed
-        # 5 % to the operator's own error-model bound (the fixed flag
-        # went red at ×300-zipf on the DAU segment stack — unions drop
-        # HIP, stack errors correlate; sketch_rollups.union_rse /
-        # UNION_BOUND_SIGMAS). Schema + semantics change on every row
-        # below (oracle column renamed est_within_bound) — refresh the
-        # driver evidence.
-        "retention_sketch_serving",
-        "dau_segment_sketch_serving",
-        "wau_segment_sketch_serving",
-        "rolling_actives_sketch_serving",
-        "wau_sketch_rollup",
-        # r13: user_timeseries_similarity rewritten to series-
-        # fingerprint dedup + heads expansion (×300-uniform clone
-        # pileup exhausted executor disk); output proven equal to the
-        # old form at sf0.01/0.1, but the engine AND oracle both
-        # changed — refresh the driver evidence.
-        "user_timeseries_similarity",
+        # (r13's 6 pins — the five union-error-model serving rows and
+        # the fingerprint-dedup user_timeseries_similarity — all
+        # recorded hash-green in CORRECTNESS_r13.json and cleared for
+        # r14 per VERDICT r13 #2, so the window leads with the three
+        # age-4 embed rows and the r10 cohort.)
+        #
+        # r14 (ADVICE r13): the three r13 skew rewrites whose ORACLES
+        # were rewritten alongside the engines — their recorded green
+        # rounds reflect the OLD oracle text, so the rotation would
+        # otherwise let them hide at the back with stale-semantics
+        # evidence. Old-vs-new equivalence was proven value-for-value
+        # in DuckDB before the switch (BENCH_NOTES r13), but the
+        # driver has not yet recorded a row against the new oracles.
+        "purchase_multitouch_attribution",
+        "funnel_within_hour",
+        "purchase_asof_last_view",
     }
 )
+
+# Staleness budget (VERDICT r13 #7): with 196 catalog queries and a
+# 50-row driver window, zero-growth refresh latency is ceil(196/50) =
+# 4 rounds; each pinned row displaces one stalest row for one round.
+# ACCEPTED MAX STALENESS: 4 rounds without a driver row (the ×100
+# scale sweep independently re-oracles all 196 every round, so a
+# 4-round-old driver row is never the only evidence). Additions are
+# batched with a redundancy-pruning pass when the catalog would push
+# refresh latency past 4 (CATALOG_TARGET below); assemble_scale_
+# artifact.py separately enforces its own carried-age bound of 2 for
+# the ×100 artifact.
+CATALOG_TARGET = 200  # keep len(all_queries()) at or under this
 
 
 def _last_green_rounds() -> dict[str, int]:

@@ -742,26 +742,117 @@ def _user_timeseries_similarity(
     )
     if dedup_series is None:
         dedup_series = scale > 1
-    if dedup_series:
-        fp_agg = F.concat_ws(
-            "/",
-            F.count("*"),
-            F.expr(
-                "bit_xor(xxhash64(concat(cast(d as string), ':',"
-                " cast(day_value as string))))"
-            ),
-            # sum of 31-bit-masked hashes: exact in a long at any
-            # realistic per-user day count (ANSI sum must not overflow)
-            F.sum(F.pmod(day_h, F.lit(2147483647))),
-            F.round(F.sum("day_value"), 4).cast("string"),
+    # Explicit full-width repartition before both pair joins: their
+    # cost is CPU-dense pair expansion on narrow shuffle bytes, so
+    # AQE's byte-based coalescing collapses them to one task (measured
+    # at ×30: a single task ground for 18+ minutes on ~1B day-dot
+    # terms while 31 cores idled). A user-specified partition count is
+    # exempt from coalescing and the joins reuse the exchange — the
+    # cosine_near_dup_pairs discipline (operators/similarity.py).
+    # Gated on scale > 1 exactly like B: at scale 1 a band holds too
+    # few pairs to stall a task, and the forced exchange only DEFEATS
+    # AQE coalescing where it's the right call — measured 1.4–1.8× on
+    # the sf0.1 bench for nothing (the r10 regression flag).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _spread(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.repartition(n_part, *keys) if scale > 1 else df
+
+    if not dedup_series:
+        # Plain per-user pair form — the pre-r13 plan restored verbatim
+        # as the small-scale branch (VERDICT r13 #1). With no series
+        # dedup every fingerprint group is a singleton, so the
+        # fingerprint aggregation, group persist, representative
+        # re-join, heads explosion, and self-pair union are five
+        # stages of pure overhead: the r13 `fp := user_id` routing
+        # still compiled them and cost +1.5 s at sf0.1 (the red driver
+        # bench artifact). Output is identical either way —
+        # brute-force- and cross-form-pinned in tests/test_skew.py.
+        users = (
+            daily.groupBy("user_id")
+            .agg(
+                F.round(F.sum(F.col("day_value") * F.col("day_value")), 4).alias(
+                    "norm2"
+                ),
+                F.floor(F.round(F.sum("day_value"), 4) / F.lit(width))
+                .cast("bigint")
+                .alias("block"),
+            )
+            .withColumn(
+                "g", F.pmod(F.xxhash64(F.col("user_id")), F.lit(B)).cast("int")
+            )
         )
-    else:
-        # small fixtures: fp = the user itself — every group is a
-        # singleton and the pipeline reduces to the plain per-user
-        # pair join with none of the hashing cost (same scale>1
-        # gating discipline as B and _spread; output identical either
-        # way, brute-force-pinned in tests/test_skew.py)
-        fp_agg = F.first(F.col("user_id").cast("string"))
+        dd = daily.join(users.select("user_id", "block", "g"), on="user_id")
+        a = dd.select(
+            F.col("user_id").alias("user_a"),
+            "block",
+            "d",
+            F.col("day_value").alias("va"),
+            F.col("g").alias("ga"),
+        ).withColumn("gb", fan)
+        b = dd.select(
+            F.col("user_id").alias("user_b"),
+            "block",
+            "d",
+            F.col("day_value").alias("vb"),
+            F.col("g").alias("gb"),
+        ).withColumn("ga", fan)
+        jk = ["d", "block", "ga", "gb"]
+        dots = (
+            _spread(a, jk)
+            .join(_spread(b, jk), on=jk)
+            .where(F.col("user_a") < F.col("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.round(F.sum(F.col("va") * F.col("vb")), 4).alias("dot"))
+        )
+        ua = users.select(
+            F.col("user_id").alias("user_a"),
+            "block",
+            F.col("norm2").alias("na2"),
+            F.col("g").alias("ga"),
+        ).withColumn("gb", fan)
+        ub = users.select(
+            F.col("user_id").alias("user_b"),
+            "block",
+            F.col("norm2").alias("nb2"),
+            F.col("g").alias("gb"),
+        ).withColumn("ga", fan)
+        pk = ["block", "ga", "gb"]
+        pairs = (
+            _spread(ua, pk)
+            .join(_spread(ub, pk), on=pk)
+            .where(F.col("user_a") < F.col("user_b"))
+            .select("user_a", "user_b", "na2", "nb2")
+        )
+        dists = pairs.join(dots, on=["user_a", "user_b"], how="left").select(
+            "user_a",
+            "user_b",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("na2")
+                        + F.col("nb2")
+                        - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
+                        F.lit(0.0),
+                    )
+                ),
+                4,
+            ).alias("dist"),
+        )
+        return dists.orderBy("dist", "user_a", "user_b").limit(k)
+
+    fp_agg = F.concat_ws(
+        "/",
+        F.count("*"),
+        F.expr(
+            "bit_xor(xxhash64(concat(cast(d as string), ':',"
+            " cast(day_value as string))))"
+        ),
+        # sum of 31-bit-masked hashes: exact in a long at any
+        # realistic per-user day count (ANSI sum must not overflow)
+        F.sum(F.pmod(day_h, F.lit(2147483647))),
+        F.round(F.sum("day_value"), 4).cast("string"),
+    )
     ufp = daily.groupBy("user_id").agg(
         fp_agg.alias("fp"),
         F.round(F.sum(F.col("day_value") * F.col("day_value")), 4).alias("norm2"),
@@ -796,24 +887,6 @@ def _user_timeseries_similarity(
         F.col("d"), F.col("day_value").alias("vb"),
         bucket.alias("gb"),
     ).withColumn("ga", fan)
-    # Explicit full-width repartition before both pair joins: their
-    # cost is CPU-dense pair expansion on narrow shuffle bytes, so
-    # AQE's byte-based coalescing collapses them to one task (measured
-    # at ×30: a single task ground for 18+ minutes on ~1B day-dot
-    # terms while 31 cores idled). A user-specified partition count is
-    # exempt from coalescing and the joins reuse the exchange — the
-    # cosine_near_dup_pairs discipline (operators/similarity.py).
-    # Gated on scale > 1 exactly like B: at scale 1 a band holds too
-    # few pairs to stall a task, and the forced exchange only DEFEATS
-    # AQE coalescing where it's the right call — measured 1.4–1.8× on
-    # the sf0.1 bench for nothing (the r10 regression flag). Small
-    # fixtures therefore compile the r09 plan verbatim; stress shapes
-    # keep the full-width spread.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    def _spread(df: DataFrame, keys: list[str]) -> DataFrame:
-        return df.repartition(n_part, *keys) if scale > 1 else df
-
     jk = ["d", "block", "ga", "gb"]
     dots = (
         _spread(a, jk).join(_spread(b, jk), on=jk)
