@@ -74,6 +74,28 @@ def union_rse(lg_k: int = DEFAULT_LG_K) -> float:
     return 1.04 / (2.0**lg_k) ** 0.5
 
 
+def union_rse_col(lg_k_col: F.Column) -> F.Column:
+    """Column form of :func:`union_rse` for a per-group CARRIED
+    precision: 1.04 / sqrt(2^lg_k)."""
+    return F.lit(1.04) / F.sqrt(F.pow(F.lit(2.0), lg_k_col.cast("double")))
+
+
+def _lg_k_agg(source: DataFrame, lg_k: int) -> F.Column:
+    """Aggregate expression for a union group's sketch precision: the
+    rollup's own carried ``lg_k`` column when present — a rollup built
+    at a non-default precision must not silently receive DEFAULT-lg_k
+    error bounds, which would be e.g. 2× too tight at lg_k−2
+    (ADVICE r13) — else the caller's argument (pre-r14 rollup files
+    carry no lg_k column). Per-group uniformity needs no separate
+    guard: Spark's hll_union_agg defaults to
+    allowDifferentLgConfigK=false and raises on mixed-precision
+    sketches inside one union, so min() over the group is exact
+    whenever the union it rides with succeeds."""
+    if "lg_k" in source.columns:
+        return F.min("lg_k")
+    return F.min(F.lit(lg_k))
+
+
 #: confidence multiplier for union-serving accuracy flags. Per-row
 #: errors across a serving stack are CORRELATED — the same user
 #: population recurs day over day, so one unlucky hash draw repeats
@@ -90,12 +112,19 @@ def day_sketch_rollup(events: DataFrame, *, lg_k: int = DEFAULT_LG_K) -> DataFra
     distinct users plus the exact event count. O(days × types) rows —
     independent of user count, the grain that stays dashboard-sized at
     any fact scale."""
-    return events.groupBy(
-        F.col("ts").cast("date").alias("event_date"),
-        "event_type",
-    ).agg(
-        F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("user_hll"),
-        F.count("*").alias("n_events"),
+    return (
+        events.groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("user_hll"),
+            F.count("*").alias("n_events"),
+        )
+        # the build precision rides WITH the sketches so serving-side
+        # error bounds derive from what was actually built, not from a
+        # caller-supplied default (ADVICE r13; see _lg_k_agg)
+        .withColumn("lg_k", F.lit(int(lg_k)))
     )
 
 
@@ -160,13 +189,17 @@ def day_segment_sketch_rollup(
     column already on ``events`` (computed from user attributes or a
     dim join at build time; lowest-cardinality slicer first if you
     extend the grain)."""
-    return events.groupBy(
-        F.col("ts").cast("date").alias("event_date"),
-        "event_type",
-        F.col(segment_col).alias("segment"),
-    ).agg(
-        F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("user_hll"),
-        F.count("*").alias("n_events"),
+    return (
+        events.groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            "event_type",
+            F.col(segment_col).alias("segment"),
+        )
+        .agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("user_hll"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("lg_k", F.lit(int(lg_k)))  # see day_sketch_rollup
     )
 
 
@@ -224,21 +257,23 @@ def dau_segments_est_from_sketch(
     itself big; accuracy is the sketch's published RSE."""
     day = F.col("event_date").cast("string").alias("event_date")
     est = F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias("dau_est")
-    bound = F.lit(UNION_BOUND_SIGMAS * union_rse(lg_k))
+    bound = F.lit(UNION_BOUND_SIGMAS) * union_rse_col(F.col("_lg_k"))
 
     def _block(stype: str, sval: F.Column, *keys: F.Column) -> DataFrame:
         return (
             rollup.groupBy(day, *keys)
-            .agg(est)
+            .agg(est, _lg_k_agg(rollup, lg_k).alias("_lg_k"))
             .select(
                 "event_date",
                 F.lit(stype).alias("segment_type"),
                 sval.alias("segment_value"),
                 "dau_est",
                 # the operator's own per-row accuracy bound (ABSOLUTE,
-                # count units): consumers flag |est − exact| against
-                # THIS, not a fixed percentage — a fixed 5 % flag went
-                # red at ×300-zipf (max 4.27σ; correlated stack draws)
+                # count units), derived from the precision the group's
+                # sketches were BUILT with (carried lg_k — ADVICE r13):
+                # consumers flag |est − exact| against THIS, not a
+                # fixed percentage — a fixed 5 % flag went red at
+                # ×300-zipf (max 4.27σ; correlated stack draws)
                 (bound * F.col("dau_est")).alias("err_bound"),
             )
         )
@@ -283,12 +318,13 @@ def wau_segments_est_from_sketch(
     def _block(stype: str, sval: F.Column, *keys: F.Column) -> DataFrame:
         return (
             rollup.groupBy(wk, *keys)
-            .agg(est)
+            .agg(est, _lg_k_agg(rollup, lg_k).alias("_lg_k"))
             .select(
                 "week_start",
                 F.lit(stype).alias("segment_type"),
                 sval.alias("segment_value"),
                 "wau_est",
+                "_lg_k",
             )
         )
 
@@ -302,10 +338,20 @@ def wau_segments_est_from_sketch(
         prev > 0,
         F.floor((F.col("wau_est") - prev) * 10000.0 / prev + F.lit(0.5)) / 100.0,
     )
-    bound = F.lit(UNION_BOUND_SIGMAS * union_rse(lg_k))
+    # carried-precision bound (ADVICE r13; see dau_segments_est_from_sketch)
+    bound = F.lit(UNION_BOUND_SIGMAS) * union_rse_col(F.col("_lg_k"))
     return stacked.select(
         "week_start",
-        F.year(F.col("week_start").cast("date")).cast("int").alias("year"),
+        # ISO week-YEAR (extract YEAROFWEEK), not calendar year: a week
+        # starting Dec 29 pairs (year=2026, week=1) — year(week_start)
+        # would yield the invalid ISO pairing (2025, 1) (ADVICE r13).
+        # Valid because week_start IS the ISO-week Monday at this
+        # grain; the presence-partial path (pipeline/rollups.py:463)
+        # instead follows the reference's member-date convention and
+        # may split a straddling week into two rows.
+        F.expr("extract(YEAROFWEEK FROM CAST(week_start AS DATE))")
+        .cast("int")
+        .alias("year"),
         F.weekofyear(F.col("week_start").cast("date"))
         .cast("int")
         .alias("week_number"),
@@ -370,11 +416,13 @@ def retention_est_from_sketch(
     collapse the rollup's type slices with one `hll_union_agg` first
     (lossless merge)."""
     day = rollup.groupBy(F.col("event_date")).agg(
-        F.hll_union_agg("user_hll").alias("day_hll")
+        F.hll_union_agg("user_hll").alias("day_hll"),
+        _lg_k_agg(rollup, lg_k).alias("_lg_k"),
     )
     a = day.select(
         F.col("event_date").alias("cohort_date"),
         F.col("day_hll").alias("hll_a"),
+        F.col("_lg_k"),
         F.explode(F.array(*[F.lit(k) for k in offsets])).alias("offset_days"),
     ).withColumn("ret_date", F.date_add("cohort_date", F.col("offset_days")))
     b = day.select(
@@ -382,7 +430,8 @@ def retention_est_from_sketch(
     )
     est = F.hll_sketch_estimate
     union_est = est(F.hll_union("hll_a", "hll_b"))
-    sigma1 = F.lit(retention_rse(lg_k)) * union_est
+    # √3 × carried-precision union RSE (ADVICE r13; see retention_rse)
+    sigma1 = F.lit(3.0**0.5) * union_rse_col(F.col("_lg_k")) * union_est
     return (
         a.join(b, "ret_date")  # cohorts whose d+k has no data drop (no-row)
         .select(
@@ -451,15 +500,18 @@ def rolling_actives_est(
     rows — then a keyed union per serving day: fully parallel, shuffle
     bounded by days × types × window sketches, never by users or
     events."""
+    carry = [F.col("lg_k")] if "lg_k" in rollup.columns else []
     fanout = rollup.select(
         F.col("event_date"),
         F.col("user_hll"),
+        *carry,
         F.explode(
             F.sequence(F.lit(0), F.lit(window_days - 1))
         ).alias("offset"),
     ).select(
         F.date_add(F.col("event_date"), F.col("offset")).alias("serve_date"),
         "user_hll",
+        *carry,
     )
     # serve the days that themselves have data (a broadcast equi
     # semi-join on the O(days) date set — NOT a non-equi 1-row join,
@@ -473,12 +525,16 @@ def rolling_actives_est(
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("user_hll")).alias(
                 "active_users_est"
-            )
+            ),
+            _lg_k_agg(fanout, lg_k).alias("_lg_k"),
         )
-        # operator-model accuracy bound (see dau_segments_est_from_sketch)
+        # operator-model accuracy bound from the carried build
+        # precision (ADVICE r13; see dau_segments_est_from_sketch)
         .withColumn(
             "err_bound",
-            F.lit(UNION_BOUND_SIGMAS * union_rse(lg_k))
+            F.lit(UNION_BOUND_SIGMAS)
+            * union_rse_col(F.col("_lg_k"))
             * F.col("active_users_est"),
         )
+        .drop("_lg_k")
     )

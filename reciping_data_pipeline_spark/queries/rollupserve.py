@@ -237,9 +237,11 @@ def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three groupBys + unionAll — same output, a third of the scan
     # work when this exact control runs at sweep scales (VERDICT r12
     # #5; the union-all twin idiom lives in queries/groupingsets.py).
-    # Block membership via IS NOT NULL: event_type and the derived seg
-    # are non-null in the source, so a NULL here can only mean "not in
-    # this grouping set".
+    # Block membership via grouping() (ADVICE r13): IS NOT NULL would
+    # misclassify a NULL event_type VALUE as TOTAL (colliding with the
+    # real TOTAL row and fanning out the join) while the oracle's
+    # grouping() labels it EVENT_TYPE/'ALL' — the flag marks set
+    # membership regardless of the data's own NULLs.
     exact = (
         base.groupingSets(
             [["event_date"], ["event_date", "event_type"], ["event_date", "seg"]],
@@ -247,11 +249,15 @@ def dau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "seg",
         )
-        .agg(dx)
+        .agg(
+            dx,
+            F.grouping("event_type").alias("_g_et"),
+            F.grouping("seg").alias("_g_seg"),
+        )
         .select(
             "event_date",
-            F.when(F.col("event_type").isNotNull(), F.lit("EVENT_TYPE"))
-            .when(F.col("seg").isNotNull(), F.lit("AB_GROUP"))
+            F.when(F.col("_g_et") == 0, F.lit("EVENT_TYPE"))
+            .when(F.col("_g_seg") == 0, F.lit("AB_GROUP"))
             .otherwise(F.lit("TOTAL"))
             .alias("segment_type"),
             F.coalesce("event_type", "seg", F.lit("ALL")).alias("segment_value"),
@@ -347,7 +353,8 @@ def wau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         seg.alias("seg"),
     )
-    # Same one-pass GROUPING SETS exact control as the DAU row.
+    # Same one-pass GROUPING SETS exact control as the DAU row —
+    # grouping() set-membership flags, not IS NOT NULL (ADVICE r13).
     stacked = (
         base.groupingSets(
             [["week_start"], ["week_start", "event_type"], ["week_start", "seg"]],
@@ -355,11 +362,15 @@ def wau_segment_sketch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "seg",
         )
-        .agg(F.count_distinct("user_id").cast("long").alias("wau_exact"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("wau_exact"),
+            F.grouping("event_type").alias("_g_et"),
+            F.grouping("seg").alias("_g_seg"),
+        )
         .select(
             "week_start",
-            F.when(F.col("event_type").isNotNull(), F.lit("EVENT_TYPE"))
-            .when(F.col("seg").isNotNull(), F.lit("AB_GROUP"))
+            F.when(F.col("_g_et") == 0, F.lit("EVENT_TYPE"))
+            .when(F.col("_g_seg") == 0, F.lit("AB_GROUP"))
             .otherwise(F.lit("TOTAL"))
             .alias("segment_type"),
             F.coalesce("event_type", "seg", F.lit("ALL")).alias("segment_value"),

@@ -43,7 +43,13 @@ def main() -> int:
     # host RAM) ignores the multi-GB Spark JVM sharing the box, and a
     # 30M-row window-sort oracle then drives the host into allocation
     # failure (×300-zipf sweep, r13: DuckDB OOM + driver MemoryError).
-    con.execute("SET memory_limit='20GB'")
+    # Derived from host RAM, not fixed (ADVICE r13): a flat 20GB on a
+    # smaller host would RAISE the cap above the 80% default and
+    # recreate the failure — half of total, ceilinged at 20GB, floored
+    # at 1GB.
+    total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    cap_gb = max(1, min(20, int(total_gb * 0.5)))
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
     con.execute("SET temp_directory='/tmp/duckdb_sim_spill'")
     for name in TABLE_NAMES:
         path = os.path.join(args.sf, f"{name}.parquet")

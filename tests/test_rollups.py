@@ -347,3 +347,62 @@ def test_rollup_stream_matches_batch_and_survives_redelivery(spark, tmp_path):
         (F.col("user_id") == 7) & (F.col("event_type") == "click")
     ).collect()
     assert len(u7) == 1 and u7[0]["n_events"] == 2 and u7[0]["value_u"] == 3_250_000
+
+
+def test_wau_lag_deterministic_across_iso_year_boundary(spark):
+    """ADVICE r12 / VERDICT r13 #5 trigger fixture: an ISO week that
+    straddles the year boundary. The reference groups WAU by
+    year(t.date)/weekofyear(t.date), so the week starting Mon
+    2025-12-29 splits into TWO rows per week_start — (year=2025,
+    week=1) for the Dec 29–31 member dates and (year=2026, week=1)
+    for Jan 1–4 — and a LAG ordered by week_start alone is
+    nondeterministic on the tie. The r13 fix orders by the FULL
+    (week_start, year, week_number) grain on both engines; this pins
+    the unique chain that only the full grain produces (the two
+    straddle rows carry distinct wau values, so a lost tie-break
+    flips prev_week_wau)."""
+    import datetime as dt
+
+    rows = []
+
+    def week(dates, users):
+        for d in dates:
+            for u in users:
+                rows.append((dt.date.fromisoformat(d), u))
+
+    week(["2025-12-22"], [1, 2, 3])              # (2025, 52) wau 3
+    # deliberately append the LATER straddle half first: if the window
+    # order degrades to week_start only, input order decides the tie
+    week(["2026-01-01", "2026-01-02"], [1, 2])   # (2026, 1)  wau 2
+    week(["2025-12-29", "2025-12-31"], [1])      # (2025, 1)  wau 1
+    week(["2026-01-05"], [1, 2, 3, 4])           # (2026, 2)  wau 4
+    presence = spark.createDataFrame(
+        [(d, u) for d, u in rows], "active_date date, user_dim_key long"
+    )
+    dim = spark.createDataFrame(
+        [(u, "seg_a", "grp_x") for u in (1, 2, 3, 4)],
+        "user_sk long, user_segment string, ab_test_group string",
+    )
+    wk = rollups.user_week_presence_rollup(presence)
+    # the straddle week keeps BOTH (year, week_number) rows at one
+    # week_start — the reference's member-date grain, reproduced
+    straddle = wk.where(F.col("week_start") == "2025-12-29")
+    assert sorted(
+        (r["year"], r["week_number"]) for r in straddle.select(
+            "year", "week_number"
+        ).distinct().collect()
+    ) == [(2025, 1), (2026, 1)]
+    got = {
+        (r["week_start"], r["year"], r["week_number"]): (
+            r["wau"], r["prev_week_wau"]
+        )
+        for r in rollups.wau_segments_from_presence(wk, dim)
+        .where(F.col("segment_type") == "TOTAL")
+        .collect()
+    }
+    assert got == {
+        ("2025-12-22", 2025, 52): (3, None),
+        ("2025-12-29", 2025, 1): (1, 3),
+        ("2025-12-29", 2026, 1): (2, 1),
+        ("2026-01-05", 2026, 2): (4, 2),
+    }
