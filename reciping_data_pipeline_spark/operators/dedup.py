@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     overflow_report: dict | None = None,
     max_broadcast_ids: int = 2_000_000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold,
     candidates generated by banded MinHash-LSH.
@@ -248,8 +249,49 @@ def minhash_lsh_pairs(
     ``{bucket_count, overflow_buckets, overflow_member_mass}``; a
     non-zero overflow also logs a warning. With ``overflow_report=None``
     the plan is unchanged and fully lazy.
+
+    ``collapse_exact`` (default on, r14): EXACT-clone pre-collapse —
+    docs grouped by raw-text md5, ONE representative per group runs
+    the sketch/band/verify pipeline, and member pairs are re-expanded
+    afterward (cross-group pairs inherit the representatives' exact
+    Jaccard — identical text means identical shingle sets — and
+    within-group pairs are J = 1.0 by definition). A replicated or
+    bot-heavy corpus concentrates hundreds-to-thousands of EXACT
+    clones per cluster; every band of such a cluster is one bucket of
+    cluster size, so a 1.5k-clone cluster overflows max_bucket in ALL
+    16 bands and the uncollapsed pipeline loses the whole cluster —
+    measured recall 0.40 at ×300-docszipf vs 1.0 collapsed
+    (BENCH_NOTES r14; the same fingerprint-dedup discipline as the
+    r13 timeseries-similarity rewrite). On a clone-free corpus every
+    group is a singleton and the output is identical by construction
+    (groups of one expand to the representative itself; short docs
+    that cannot form a k-shingle are excluded from grouping exactly as
+    the uncollapsed path never emits them). Collapse uses the RAW
+    text hash, not functions.text.fingerprint's normalized form:
+    normalization-equal-but-raw-different docs do NOT share shingle
+    sets, so claiming J = 1.0 for them would diverge from the exact
+    verification contract.
     """
     rows_per_band = num_perm // num_bands
+    groups = None
+    if collapse_exact:
+        elig = df.where(
+            F.size(text.tokens(F.col(text_col))) >= F.lit(shingle_k)
+        )
+        groups = (
+            elig.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col))
+            .groupBy("_fp")
+            .agg(
+                F.min(id_col).alias("_rep"),
+                F.sort_array(F.collect_list(id_col)).alias("_members"),
+            )
+            # consumed three times (rep semi-join + both expansion
+            # sides) — same persist discipline as `cand` below
+            .persist()
+        )
+        df = df.join(
+            groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        )
     docs = with_shingles(spread(df), text_col, shingle_k).select(
         F.col(id_col), "shingles", "shingle_hashes"
     )
@@ -316,7 +358,7 @@ def minhash_lsh_pairs(
     sets_a = cand_docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a"))
     sets_b = cand_docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b"))
     pairs = cand.join(sets_a, on="id_a").join(sets_b, on="id_b")
-    return (
+    verified = (
         pairs.withColumn("jaccard", _pair_jaccard(F.col("shingles_a"), F.col("shingles_b")))
         .where(F.col("jaccard") >= threshold)
         # floor form, not round(): engine round() ties differ (Spark
@@ -328,6 +370,54 @@ def minhash_lsh_pairs(
             (F.floor(F.col("jaccard") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
         )
     )
+    if groups is None:
+        return verified
+    # Re-expand representative pairs to member pairs. Cross-group:
+    # every (x in G_a, y in G_b) inherits the representatives' exact
+    # Jaccard (identical text ⇒ identical shingle sets). Within-group:
+    # J = 1.0 exactly (the float path could round an ulp-sized sqrt
+    # residual — definitionally exact here, matching what verification
+    # computes for identical shingle arrays). Expansion size equals
+    # the true pair-output size — the quadratic lives in the OUTPUT
+    # contract, not the join graph (the group list is bounded by the
+    # corpus's largest exact-clone cluster; cluster-level consumers
+    # like fuzzy_dedup_groups should prefer the collapsed form).
+    cross = (
+        verified.join(
+            groups.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma")),
+            on="id_a",
+        )
+        .join(
+            groups.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb")),
+            on="id_b",
+        )
+        .select("jaccard", F.explode("_ma").alias("_x"), "_mb")
+        .select("jaccard", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    member_pairs = F.flatten(
+        F.transform(
+            F.col("_members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    within = (
+        groups.where(F.size("_members") >= 2)
+        .select(F.explode(member_pairs).alias("p"))
+        .select(
+            F.col("p.a").alias("id_a"),
+            F.col("p.b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def simhash_pairs(

@@ -97,6 +97,129 @@ def scale_documents(spark, sf_dir: str, mult: int):
     )
 
 
+def scale_documents_zipf(
+    spark,
+    sf_dir: str,
+    mult: int,
+    *,
+    clone_frac: float = 0.0075,
+    plain_frac: float = 0.10,
+    templates: int = 1000,
+    boiler_classes: int = 100,
+    source_labels: int = 50,
+):
+    """Skewed-corpus documents fixture (VERDICT r13 #3): the clone-heavy
+    + boilerplate-heavy source mix where LSH dedup dies at scale.
+
+    Three deterministic roles per (doc_id, copy), chosen by hashed
+    uniforms so the mix is reproducible and oracle-replayable:
+
+    - ``clone_frac`` CLONE rows: text replaced by one of ``templates``
+      40-word template texts, template rank zipf(1)-distributed
+      (floor(T^u) inverse-CDF — the same construction as the events
+      zipf users). Half of each cluster are EXACT clones, half append
+      one member-unique salt word (pairwise shingle-Jaccard ≈ 0.95).
+      At mult=300 the rank-1 cluster holds ~1.5k members — deliberately
+      ABOVE the LSH max_bucket=1000 cap, so banded dedup without
+      exact-fingerprint pre-collapse measurably loses recall here.
+      source='clone_farm'.
+    - ``plain_frac`` PLAIN rows: the base text with the per-copy glued
+      letter tag (exactly scale_documents' transform) — preserves the
+      base corpus's organic near-dup structure, whose oracle behavior
+      is already proven at ×100.
+    - the rest BOILERPLATE rows: a 15-word boilerplate prefix shared
+      per (copy, boiler_class) + 35 member-unique content words from a
+      100k-word vocabulary. Text sharing is bounded per class (~45
+      docs at mult=300, B=100) so the exact-Jaccard shingle-inversion
+      oracles stay tractable, while the SOURCE label is zipf(1) over
+      ``source_labels`` — rank-1 source carries ~1/H(S) of the corpus,
+      the skewed source-mix shape the mixture/stats rows must survive.
+      Pairwise content J ≈ 11/79 < 0.5: boilerplate alone must never
+      clear the near-dup threshold (that is the false-positive
+      discipline; candidates that arise die in exact verification).
+    """
+    docs = _with_copies(load_table(spark, sf_dir, "documents"), mult)
+
+    def u(salt):
+        return (
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.col("copy"), F.lit(salt)),
+                F.lit(1_000_000),
+            )
+            / 1_000_000.0
+        )
+
+    role_u = u("role")
+    tmpl = F.floor(F.pow(F.lit(float(templates)), u("tmpl"))).cast("long")
+    tmpl_words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.concat(
+            F.lit("tmpl"), tmpl, F.lit("w"),
+            F.pmod(F.xxhash64(tmpl, i), F.lit(97)),
+        ),
+    )
+    salt_word = F.concat(
+        F.lit("salt"),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.col("copy")), F.lit(1_000_000_000)),
+    )
+    clone_text = F.array_join(
+        F.when(u("salt") < 0.5, tmpl_words).otherwise(
+            F.concat(tmpl_words, F.array(salt_word))
+        ),
+        " ",
+    )
+
+    bcls = F.pmod(
+        F.xxhash64(F.col("doc_id"), F.col("copy"), F.lit("bcls")),
+        F.lit(boiler_classes),
+    )
+    boiler_words = F.transform(
+        F.sequence(F.lit(1), F.lit(15)),
+        lambda i: F.concat(
+            F.lit("boil"), F.col("copy"), F.lit("x"), bcls, F.lit("w"), i
+        ),
+    )
+    content_words = F.transform(
+        F.sequence(F.lit(1), F.lit(35)),
+        lambda i: F.concat(
+            F.lit("u"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("copy"), i), F.lit(100_000)),
+        ),
+    )
+    boiler_text = F.array_join(F.concat(boiler_words, content_words), " ")
+
+    tag = F.concat(
+        F.lit("q"),
+        F.translate(F.col("copy").cast("string"), "0123456789", "abcdefghij"),
+    )
+    plain_text = F.when(
+        F.col("copy") == 0, F.col("text")
+    ).otherwise(
+        F.array_join(
+            F.transform(F.split(F.col("text"), " "), lambda t: F.concat(t, tag)),
+            " ",
+        )
+    )
+
+    src = F.concat(
+        F.lit("src"),
+        F.floor(F.pow(F.lit(float(source_labels)), u("src"))).cast("long"),
+    )
+    text = (
+        F.when(role_u < clone_frac, clone_text)
+        .when(role_u < clone_frac + plain_frac, plain_text)
+        .otherwise(boiler_text)
+    )
+    source = F.when(role_u < clone_frac, F.lit("clone_farm")).otherwise(src)
+    return docs.select(
+        (F.col("doc_id") + F.col("copy") * BLOCK).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        source.alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def scale_embeddings(spark, sf_dir: str, mult: int):
     emb = _with_copies(load_table(spark, sf_dir, "embeddings"), mult)
     noisy = F.transform(
@@ -204,6 +327,13 @@ def main() -> int:
         help="remap events.user_id to a zipf(1) population of N users "
         "(skewed-reducer stress fixture); 0 = uniform per-copy shift",
     )
+    ap.add_argument(
+        "--docs-zipf",
+        action="store_true",
+        help="use the clone-heavy + boilerplate-heavy documents scaler "
+        "(zipf clone clusters + zipf source mix; see "
+        "scale_documents_zipf)",
+    )
     args = ap.parse_args()
     if args.mult < 1:
         raise SystemExit("--mult must be >= 1")
@@ -226,6 +356,8 @@ def main() -> int:
         out_path = os.path.join(args.out, f"{name}.parquet")
         if name == "events" and args.zipf_users:
             df = scale_events(spark, args.sf, args.mult, zipf_users=args.zipf_users)
+        elif name == "documents" and args.docs_zipf:
+            df = scale_documents_zipf(spark, args.sf, args.mult)
         else:
             df = SCALERS[name](spark, args.sf, args.mult)
         # spread by the shifted key so every output split mixes copies

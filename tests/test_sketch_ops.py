@@ -190,14 +190,21 @@ def test_degenerate_bucket_capped_not_exploded(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     capped = dedup.minhash_lsh_pairs(
         df, "doc_id", "text", shingle_k=5, num_perm=64, num_bands=16,
-        threshold=0.5, max_bucket=10,
+        threshold=0.5, max_bucket=10, collapse_exact=False,
     )
     assert capped.count() == 0  # the 50-dup bucket exceeded the cap
     uncapped = dedup.minhash_lsh_pairs(
         df, "doc_id", "text", shingle_k=5, num_perm=64, num_bands=16,
-        threshold=0.5, max_bucket=1000,
+        threshold=0.5, max_bucket=1000, collapse_exact=False,
     )
     assert uncapped.count() == 50 * 49 // 2  # all identical pairs found
+    # r14 default: exact-clone pre-collapse turns the 50-dup cluster
+    # into ONE representative, so even the tight cap keeps recall 1
+    collapsed = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_k=5, num_perm=64, num_bands=16,
+        threshold=0.5, max_bucket=10,
+    )
+    assert collapsed.count() == 50 * 49 // 2
 
 
 def test_bucket_overflow_is_reported_not_silent(spark, planted_docs):
@@ -216,13 +223,25 @@ def test_bucket_overflow_is_reported_not_silent(spark, planted_docs):
         warnings.simplefilter("always")
         dedup.minhash_lsh_pairs(
             df, "doc_id", "text", threshold=0.5, max_bucket=10,
-            overflow_report=report,
+            overflow_report=report, collapse_exact=False,
         ).count()
     # 50 identical docs share every band bucket: all 16 overflow
     assert report["overflow_buckets"] == 16
     assert report["overflow_member_mass"] == 16 * 50
     assert report["bucket_count"] == 16
     assert any("recall" in str(w.message) for w in caught)
+
+    # r14 default: the collapse removes the degenerate buckets at the
+    # source, so the same corpus reports zero overflow (and no warning)
+    collapsed_report: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket=10,
+            overflow_report=collapsed_report,
+        ).count()
+    assert collapsed_report["overflow_buckets"] == 0
+    assert not any("recall" in str(w.message) for w in caught)
 
     clean: dict = {}
     with warnings.catch_warnings(record=True) as caught:

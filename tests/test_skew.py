@@ -286,3 +286,54 @@ def test_timeseries_similarity_clone_dedup_equals_brute_force(spark):
     ]
     want = [(a, b, d) for d, a, b in sorted(cand)[:20]]
     assert got == want
+
+
+def test_minhash_collapse_exact_equals_uncollapsed_and_restores_recall(spark):
+    """r14 docszipf fix pin: exact-clone pre-collapse in
+    minhash_lsh_pairs. (1) On a clone-bearing corpus whose clusters
+    fit under max_bucket, collapsed and uncollapsed forms emit the
+    IDENTICAL pair set (the expansion is a pure re-keying). (2) When a
+    clone cluster exceeds max_bucket, every band bucket of the cluster
+    overflows and the uncollapsed form drops the whole cluster (recall
+    loss the cap only WARNS about); the collapsed form keeps recall 1
+    because the cluster enters banding as one representative plus its
+    distinct variants."""
+    import pandas as pd
+
+    from reciping_data_pipeline_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(40)]
+
+    def doc(did, salt=None):
+        t = " ".join(words + ([salt] if salt else []))
+        return (did, t)
+
+    # template cluster: 12 exact clones + 4 salted near-dups, plus two
+    # unrelated docs
+    rows = [doc(i) for i in range(12)]
+    rows += [doc(100 + i, f"salt{i}") for i in range(4)]
+    rows += [(900, " ".join(f"x{i}y" for i in range(40))),
+             (901, " ".join(f"z{i}q" for i in range(40)))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def pairs(collapse, cap):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(
+                df, "doc_id", "text", threshold=0.5,
+                max_bucket=cap, collapse_exact=collapse,
+            ).collect()
+        )
+
+    # (1) cap far above the cluster: both forms identical
+    assert pairs(True, 1000) == pairs(False, 1000)
+    got = pairs(True, 1000)
+    n = 16  # cluster size -> all C(16,2) pairs are J >= 0.9
+    assert len(got) == n * (n - 1) // 2
+    assert all(j == 1.0 for a, b, j in got if a < 12 and b < 12)
+
+    # (2) cap below the cluster: uncollapsed drops EVERYTHING (all 16
+    # bands bucket the cluster together), collapsed keeps recall 1
+    # (13 distinct texts < cap)
+    assert pairs(False, 14) == []
+    assert pairs(True, 14) == got
