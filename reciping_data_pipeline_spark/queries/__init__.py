@@ -106,6 +106,14 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "purchase_multitouch_attribution",
         "funnel_within_hour",
         "purchase_asof_last_view",
+        # r14: minhash_lsh_pairs gained exact-clone pre-collapse
+        # (collapse_exact default ON — the docszipf recall fix). The
+        # ORACLES are unchanged and outputs were verified byte-equal
+        # at sf0.01 before shipping, but the engine plan under these
+        # three rows is new — refresh their driver evidence.
+        "doc_minhash_lsh_pairs",
+        "doc_fuzzy_dedup_e2e",
+        "doc_curation_pipeline_e2e",
     }
 )
 

@@ -283,11 +283,30 @@ def scale_orders(spark, sf_dir: str, mult: int):
     )
 
 
-def scale_lineitem(spark, sf_dir: str, mult: int):
+def scale_lineitem(spark, sf_dir: str, mult: int, zipf_parts: int = 0):
+    """``zipf_parts > 0`` remaps l_partkey to a zipf(1) population of
+    that many parts (same inverse-CDF construction as the events zipf
+    users) instead of the per-copy id shift: the rank-1 part lands in
+    ~1/H(P) of ALL lineitems, so the co-purchase graph grows a hub
+    vertex of near-complete degree — the classic triangle-enumeration
+    killer that degree-ordered edge orientation exists to survive
+    (VERDICT r13 #4). Uniform replication cannot produce this shape
+    (each copy is a disjoint replica of constant degree)."""
     li = _with_copies(load_table(spark, sf_dir, "lineitem"), mult)
+    if zipf_parts > 0:
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"), F.col("copy")),
+                F.lit(1_000_000),
+            )
+            / 1_000_000.0
+        )
+        part = F.floor(F.pow(F.lit(float(zipf_parts)), u)).cast("long")
+    else:
+        part = F.col("l_partkey") + F.col("copy") * BLOCK
     return li.select(
         (F.col("l_orderkey") + F.col("copy") * BLOCK).alias("l_orderkey"),
-        (F.col("l_partkey") + F.col("copy") * BLOCK).alias("l_partkey"),
+        part.alias("l_partkey"),
         "l_suppkey",
         "l_linenumber",
         "l_quantity",
@@ -328,6 +347,14 @@ def main() -> int:
         "(skewed-reducer stress fixture); 0 = uniform per-copy shift",
     )
     ap.add_argument(
+        "--zipf-parts",
+        type=int,
+        default=0,
+        help="remap lineitem.l_partkey to a zipf(1) population of N "
+        "parts (hub-degree co-purchase graph stress); 0 = per-copy "
+        "shift",
+    )
+    ap.add_argument(
         "--docs-zipf",
         action="store_true",
         help="use the clone-heavy + boilerplate-heavy documents scaler "
@@ -358,6 +385,8 @@ def main() -> int:
             df = scale_events(spark, args.sf, args.mult, zipf_users=args.zipf_users)
         elif name == "documents" and args.docs_zipf:
             df = scale_documents_zipf(spark, args.sf, args.mult)
+        elif name == "lineitem" and args.zipf_parts:
+            df = scale_lineitem(spark, args.sf, args.mult, zipf_parts=args.zipf_parts)
         else:
             df = SCALERS[name](spark, args.sf, args.mult)
         # spread by the shifted key so every output split mixes copies
