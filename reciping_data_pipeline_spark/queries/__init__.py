@@ -114,6 +114,11 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "doc_minhash_lsh_pairs",
         "doc_fuzzy_dedup_e2e",
         "doc_curation_pipeline_e2e",
+        # r14: waterfill weight parse switched to TRY_CAST on both
+        # engines (strict CAST crashed on the docszipf fixture's
+        # 'clone_farm' source; unparsable sources now weight 1) —
+        # engine and oracle text both changed.
+        "doc_token_budget_waterfill",
     }
 )
 

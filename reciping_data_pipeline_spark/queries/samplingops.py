@@ -131,7 +131,11 @@ def doc_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 # Token-budget water-filling (epoch planning)
 
-_WF_W_SQL = "CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS DOUBLE)"
+# TRY_CAST, not CAST: sources are not guaranteed "src<int>"-shaped —
+# the docszipf sweep's 'clone_farm' label crashed the strict ANSI cast
+# on both engines (r14). Unparsable sources weight 1 (the floor of the
+# parsed range), deterministically on both engines.
+_WF_W_SQL = "CAST(COALESCE(TRY_CAST(substr(source, 4) AS INT) % 5, 0) + 1 AS DOUBLE)"
 _WF_HASH_SQL = "((doc_id * 2654435761) % 4294967296)"
 
 
@@ -246,7 +250,13 @@ def doc_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reciping_data_pipeline_spark.functions import text as T
 
     n_tok = T.token_count(F.col("text")).cast("long")
-    w = ((F.substring("source", 4, 10).cast("int") % 5) + 1).cast("double")
+    # try_cast mirrors _WF_W_SQL: non-"src<int>" labels weight 1
+    w = (
+        F.coalesce(
+            F.expr("try_cast(substr(source, 4) as int)") % 5, F.lit(0)
+        )
+        + 1
+    ).cast("double")
     per_src = docs.select("source", w.alias("w"), n_tok.alias("nt")).groupBy(
         "source"
     ).agg(F.first("w").alias("w"), F.sum("nt").cast("long").alias("avail"))
