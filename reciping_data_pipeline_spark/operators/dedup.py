@@ -428,6 +428,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     overflow_report: dict | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -438,9 +439,34 @@ def simhash_pairs(
     pair row without another corpus pass. ``overflow_report`` (optional
     dict) reports the ``max_bucket`` cap's dropped buckets — the same
     no-silent-recall-loss contract as ``minhash_lsh_pairs``.
+
+    ``collapse_exact`` (default on, r14): the same exact-clone
+    pre-collapse as ``minhash_lsh_pairs`` — identical raw text means
+    an identical signature, so a clone cluster larger than
+    ``max_bucket`` lands whole in every one of its block buckets and
+    the uncollapsed pipeline drops it entirely (the docszipf fixture's
+    1.2k-member rank-1 cluster). One representative per raw-text md5
+    runs the pigeonhole; cross-group pairs inherit the reps' Hamming
+    distance, within-group pairs are Hamming 0 by definition.
+    Clone-free corpora produce the identical output (singleton groups
+    expand to themselves).
     """
     n_blocks = max_hamming + 1
     block_bits = 64 // n_blocks
+    groups = None
+    if collapse_exact:
+        groups = (
+            df.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col))
+            .groupBy("_fp")
+            .agg(
+                F.min(id_col).alias("_rep"),
+                F.sort_array(F.collect_list(id_col)).alias("_members"),
+            )
+            .persist()
+        )
+        df = df.join(
+            groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        )
     simhash = sketches.simhash64_udf()
     token_hashes = F.transform(text.tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     docs = spread(df).select(F.col(id_col), simhash(token_hashes).alias("simhash"))
@@ -472,7 +498,7 @@ def simhash_pairs(
         F.struct(F.col("id"), F.col("simhash")),
         max_bucket,
     )
-    return (
+    verified = (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -480,6 +506,45 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    if groups is None:
+        return verified
+    # member re-expansion — same contract as minhash_lsh_pairs
+    cross = (
+        verified.join(
+            groups.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma")),
+            on="id_a",
+        )
+        .join(
+            groups.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb")),
+            on="id_b",
+        )
+        .select("hamming", F.explode("_ma").alias("_x"), "_mb")
+        .select("hamming", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    member_pairs = F.flatten(
+        F.transform(
+            F.col("_members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    within = (
+        groups.where(F.size("_members") >= 2)
+        .select(F.explode(member_pairs).alias("p"))
+        .select(
+            F.col("p.a").alias("id_a"),
+            F.col("p.b").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def ngram_jaccard_pairs(

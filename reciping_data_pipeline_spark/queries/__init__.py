@@ -119,6 +119,15 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # 'clone_farm' source; unparsable sources now weight 1) —
         # engine and oracle text both changed.
         "doc_token_budget_waterfill",
+        # r14: planted-copy offsets DERIVED from max(id)+1 instead of
+        # a fixed 1e9 (docszipf's mult-300 ids reach 2.99e9 — the
+        # fixed offset collided plants with real ids and silently
+        # filtered 2/3 of the corpus out of the simhash check);
+        # oracle text changed on these three, and simhash_pairs also
+        # gained the exact-clone pre-collapse.
+        "doc_simhash_pairs",
+        "doc_incremental_minhash_dedup",
+        "embed_incremental_semantic_dedup",
     }
 )
 

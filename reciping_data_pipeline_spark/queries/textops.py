@@ -240,35 +240,45 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_simhash_pairs",
     oracle="""
     SELECT doc_id AS id_a,
-           doc_id + 1000000000 AS id_b,
+           doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
            0 AS hamming
     FROM documents
     """,
     doc="SimHash near-dup detection at Hamming distance <= 3 via "
     "pigeonhole block join (SURVEY §7.2-8 SimHash), driver-checked on "
     "a planted recall set: every document is paired with an exact copy "
-    "planted at doc_id + 1e9, the full corpus ∪ plants runs through "
-    "the real pipeline (tokens -> simhash64 -> 4-block pigeonhole -> "
-    "bucket join -> Hamming verify), and the output is restricted to "
-    "the planted pairings — which MUST all surface at Hamming 0 "
-    "(identical text ⇒ identical signature; the pigeonhole guarantees "
-    "a shared block). The oracle enumerates the expected pair set in "
-    "pure SQL. Organic near-dup behavior stays covered by the "
-    "planted-fixture recall/precision gates in tests/test_sketch_ops.py.",
+    "planted at doc_id + max(doc_id) + 1 — the offset DERIVED from "
+    "the corpus, not a 1e9 literal: the docszipf sweep's mult-300 ids "
+    "reach 2.99e9, so a fixed offset both collided plant ids with "
+    "real documents and silently filtered 2/3 of the corpus out of "
+    "the check (r14; ×100's max id of 990M passed only by luck) — "
+    "the full corpus ∪ plants runs through the real pipeline (tokens "
+    "-> simhash64 -> 4-block pigeonhole -> bucket join -> Hamming "
+    "verify), and the output is restricted to the planted pairings — "
+    "which MUST all surface at Hamming 0 (identical text ⇒ identical "
+    "signature; the pigeonhole guarantees a shared block). The oracle "
+    "enumerates the expected pair set in pure SQL. Organic near-dup "
+    "behavior stays covered by the planted-fixture recall/precision "
+    "gates in tests/test_sketch_ops.py.",
     tags=("text", "dedup"),
 )
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    plants = docs.select(
-        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"), "text"
+    off = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("_off")))
+    plants = docs.crossJoin(off).select(
+        (F.col("doc_id") + F.col("_off")).alias("doc_id"), "text"
     )
     detected = dedup.simhash_pairs(
         docs.unionAll(plants), "doc_id", "text", max_hamming=3
     )
-    return detected.where(
-        (F.col("id_a") < 1000000000)
-        & (F.col("id_b") == F.col("id_a") + 1000000000)
-    ).select("id_a", "id_b", "hamming")
+    return (
+        detected.crossJoin(off)
+        .where(
+            (F.col("id_a") < F.col("_off"))
+            & (F.col("id_b") == F.col("id_a") + F.col("_off"))
+        )
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 _BPE_SQL = T.BPE_ISH_PATTERN.replace("'", "''")  # escape the contraction quote
@@ -887,11 +897,13 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                first(j4 ORDER BY j4 DESC, corpus_id ASC) AS j4
         FROM j GROUP BY src_id
     )
-    SELECT src_id + 1000000000 AS doc_id, true AS is_dup,
+    SELECT src_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+           true AS is_dup,
            CAST(matched_id AS BIGINT) AS matched_id, CAST(j4 AS DOUBLE) AS jaccard
     FROM best
     UNION ALL
-    SELECT doc_id + 2000000000, false, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+    SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+           false, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
     FROM documents WHERE doc_id % 10 = 5
     """,
     doc="Incremental near-dup dedup of a delta batch against a "
@@ -900,10 +912,13 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawl operation: the corpus text is touched only for the "
     "candidate set, never rescanned; probe cost is O(delta x bands) "
     "against the (bucketable) index. Driver-hashed on a planted "
-    "delta: exact copies of every 10th doc (id+1e9, must match their "
+    "delta: exact copies of every 10th doc (id + max(doc_id)+1 — the "
+    "plant offset is DERIVED from the corpus since r14; a fixed 1e9 "
+    "collided with real ids once scaled fixtures passed 1e9 docs-ids "
+    "— must match their "
     "source — or its lowest-id exact twin — at jaccard 1.0, plus any "
     "stronger organic near-dup by the (jaccard desc, id asc) argmax) "
-    "and token-REVERSED versions of others (id+2e9, must NOT match: "
+    "and token-REVERSED versions of others (id+2*offset, must NOT match: "
     "reversal destroys every 5-gram shingle, and the exact-Jaccard "
     "verification kills band-collision false positives "
     "deterministically). The oracle recomputes each copy's best "
@@ -913,11 +928,12 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index = dedup.build_minhash_index(docs, "doc_id", "text")
-    copies = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"), "text"
+    off = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("_off")))
+    copies = docs.where(F.col("doc_id") % 10 == 0).crossJoin(off).select(
+        (F.col("doc_id") + F.col("_off")).alias("doc_id"), "text"
     )
-    reversed_docs = docs.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+    reversed_docs = docs.where(F.col("doc_id") % 10 == 5).crossJoin(off).select(
+        (F.col("doc_id") + 2 * F.col("_off")).alias("doc_id"),
         F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))).alias(
             "text"
         ),

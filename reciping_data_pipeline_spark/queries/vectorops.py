@@ -154,20 +154,27 @@ _NEEDLE_ORACLE = """
 """
 
 
-def _needle_contract(topk: DataFrame) -> DataFrame:
+def _needle_offset(emb: DataFrame):
+    """Plant offset DERIVED from the corpus (max id + 1): a fixed 1e9
+    collides with real ids once a scaled fixture's ids pass 1e9 —
+    the docszipf sweep's mult-300 ids reach 2.99e9 (r14)."""
+    return F.broadcast(emb.agg((F.max("vec_id") + 1).alias("_off")))
+
+
+def _needle_contract(topk: DataFrame, off: DataFrame) -> DataFrame:
     top1 = topk.where(F.col("sim_rank") == 1)
-    return top1.select(
-        (F.col("query_id") - F.lit(1000000000)).alias("query_id"),
-        (F.col("neighbor_id") == F.col("query_id") - F.lit(1000000000)).alias(
+    return top1.crossJoin(off).select(
+        (F.col("query_id") - F.col("_off")).alias("query_id"),
+        (F.col("neighbor_id") == F.col("query_id") - F.col("_off")).alias(
             "found_self"
         ),
         (F.floor(F.col("cosine_sim") * 10000.0 + 0.5) / 10000.0).alias("self_sim"),
     )
 
 
-def _needle_queries(emb: DataFrame) -> DataFrame:
-    return emb.where(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding", "label"
+def _needle_queries(emb: DataFrame, off: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < 10).crossJoin(off).select(
+        (F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding", "label"
     )
 
 
@@ -183,8 +190,9 @@ def _needle_queries(emb: DataFrame) -> DataFrame:
 )
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    off = _needle_offset(emb)
     return _needle_contract(
-        similarity.lsh_ann_topk(emb, _needle_queries(emb), dim=_DIM, k=5)
+        similarity.lsh_ann_topk(emb, _needle_queries(emb, off), dim=_DIM, k=5), off
     )
 
 
@@ -200,8 +208,10 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    off = _needle_offset(emb)
     return _needle_contract(
-        similarity.ivf_topk(emb, _needle_queries(emb), k=5, n_cells=16, nprobe=3)
+        similarity.ivf_topk(emb, _needle_queries(emb, off), k=5, n_cells=16, nprobe=3),
+        off,
     )
 
 
@@ -278,8 +288,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    off = _needle_offset(emb)
     return _needle_contract(
-        similarity.pq_topk(emb, _needle_queries(emb), dim=_DIM, m=8, k_codes=16, k=5)
+        similarity.pq_topk(emb, _needle_queries(emb, off), dim=_DIM, m=8, k_codes=16, k=5),
+        off,
     )
 
 
@@ -309,9 +321,10 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reciping_data_pipeline_spark.operators import dedup as D
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    plants = emb.select(
-        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding", "label"
-    )
+    # derived plant offset — see _needle_offset (r14)
+    plants = emb.crossJoin(
+        F.broadcast(emb.agg((F.max("vec_id") + 1).alias("_off")))
+    ).select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding", "label")
     both = emb.unionAll(plants)
     # n_cells deliberately NOT pinned: ceil(n/1024) cells keep the
     # within-cell pair work linear in the corpus. The r09 x100 sweep
@@ -341,7 +354,8 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_incremental_semantic_dedup",
     oracle="""
-    SELECT vec_id + 1000000000 AS vec_id, TRUE AS is_dup,
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+           TRUE AS is_dup,
            vec_id AS matched_id, CAST(1.0 AS DOUBLE) AS cosine
     FROM embeddings WHERE vec_id % 2 = 0
     UNION ALL
@@ -365,9 +379,9 @@ def embed_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus_raw = emb.where(F.col("vec_id") % 2 == 0)
     delta = emb.where(F.col("vec_id") % 2 == 1).unionAll(
-        corpus_raw.select(
-            (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "embedding"
-        )
+        corpus_raw.crossJoin(
+            F.broadcast(emb.agg((F.max("vec_id") + 1).alias("_off")))
+        ).select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
     )
     # scale-adaptive cells (ceil(|corpus|/1024)): the probe join's
     # per-cell work is |delta_cell| x |corpus_cell|, so cells must grow

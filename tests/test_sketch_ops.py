@@ -257,10 +257,13 @@ def test_bucket_overflow_is_reported_not_silent(spark, planted_docs):
     # the same hook on the simhash and exact-ngram families: the
     # boilerplate corpus overflows both bucketing schemes, and the
     # report certifies (or refutes) each operator's recall contract
+    # collapse_exact=False: the r14 default pre-collapses the 50
+    # identical docs to one representative, removing the overflow this
+    # telemetry assertion exists to observe
     sim_report: dict = {}
     dedup.simhash_pairs(
         df, "doc_id", "text", max_hamming=3, max_bucket=10,
-        overflow_report=sim_report,
+        overflow_report=sim_report, collapse_exact=False,
     ).count()
     assert sim_report["overflow_buckets"] >= 4  # all 4 pigeonhole blocks
     ngram_report: dict = {}
