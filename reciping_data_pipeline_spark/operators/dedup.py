@@ -556,6 +556,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     overflow_report: dict | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inversion (recall = 1*).
 
@@ -570,7 +571,33 @@ def ngram_jaccard_pairs(
     boilerplate; dropping it undercounts intersections for pairs that
     share it). ``overflow_report`` (optional dict) reports that drop —
     zero overflow certifies the exact-recall contract for the run.
+
+    ``collapse_exact`` (default on, r14): the minhash/simhash
+    exact-clone pre-collapse applied to the inversion — a clone
+    cluster above ``max_bucket`` pushes every one of ITS OWN shingles'
+    postings lists over the cap (the docszipf 1.2k-member cluster cost
+    doc_split_leakage 2.2% of its pair set), while one representative
+    per raw text keeps postings DF at the distinct-text count. Member
+    pairs re-expand with the representatives' Jaccard; within-group
+    pairs are exactly 1.0.
     """
+    groups = None
+    if collapse_exact:
+        elig = df.where(
+            F.size(text.tokens(F.col(text_col))) >= F.lit(shingle_k)
+        )
+        groups = (
+            elig.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col))
+            .groupBy("_fp")
+            .agg(
+                F.min(id_col).alias("_rep"),
+                F.sort_array(F.collect_list(id_col)).alias("_members"),
+            )
+            .persist()
+        )
+        df = df.join(
+            groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        )
     docs = with_shingles(spread(df), text_col, shingle_k).select(
         F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("set_size")
     )
@@ -611,7 +638,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter_size"))
     )
     jac = F.col("inter_size") / (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
-    return (
+    verified = (
         inter.where(
             F.least("size_a", "size_b") * F.lit(1.0) / F.greatest("size_a", "size_b")
             >= threshold
@@ -627,6 +654,45 @@ def ngram_jaccard_pairs(
             (F.floor(F.col("jaccard") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
         )
     )
+    if groups is None:
+        return verified
+    # member re-expansion — same contract as minhash_lsh_pairs
+    cross = (
+        verified.join(
+            groups.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma")),
+            on="id_a",
+        )
+        .join(
+            groups.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb")),
+            on="id_b",
+        )
+        .select("jaccard", F.explode("_ma").alias("_x"), "_mb")
+        .select("jaccard", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    member_pairs = F.flatten(
+        F.transform(
+            F.col("_members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    within = (
+        groups.where(F.size("_members") >= 2)
+        .select(F.explode(member_pairs).alias("p"))
+        .select(
+            F.col("p.a").alias("id_a"),
+            F.col("p.b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def connected_components(

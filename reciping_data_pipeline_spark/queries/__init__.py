@@ -128,6 +128,13 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "doc_simhash_pairs",
         "doc_incremental_minhash_dedup",
         "embed_incremental_semantic_dedup",
+        # r14: ngram_jaccard_pairs gained the exact-clone pre-collapse
+        # (clone shingle postings overflowed the inversion bucket cap
+        # at docszipf — doc_split_leakage lost 2.2% of pairs); oracles
+        # unchanged, outputs verified byte-equal at sf0.01.
+        "doc_ngram_jaccard_pairs",
+        "doc_split_leakage",
+        "doc_dedup_groups",
     }
 )
 

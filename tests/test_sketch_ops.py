@@ -269,7 +269,7 @@ def test_bucket_overflow_is_reported_not_silent(spark, planted_docs):
     ngram_report: dict = {}
     dedup.ngram_jaccard_pairs(
         df, "doc_id", "text", threshold=0.5, max_bucket=10,
-        overflow_report=ngram_report,
+        overflow_report=ngram_report, collapse_exact=False,
     ).count()
     assert ngram_report["overflow_buckets"] > 0  # shared boilerplate shingles
 
