@@ -36,6 +36,64 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Support-filtered co-occurrence edges from ``(group, item)`` rows
+    in TWO exchanges: one group-keyed aggregation collects each group's
+    DISTINCT item set (map-side partial ``collect_set`` absorbs
+    duplicate rows before the only group-keyed shuffle), pairs expand
+    in-task from the sorted array via a generator (no join node), and
+    the support count keys the second and final exchange on the pair.
+
+    Replaces the distinct → self-join → count formulation, which pays a
+    third exchange (the pre-join DISTINCT) plus a sort-merge join whose
+    both sides re-shuffle the distinct rows — at 100 TB that's one full
+    extra pass of the fact table over the network. The pair multiset is
+    identical: ``a.item < b.item`` over per-group distinct rows is
+    exactly ``u < v`` over the sorted distinct array.
+
+    ``symmetric=True`` emits both orientations from the same generator
+    (``(u, v)`` and ``(v, u)``), producing the symmetrized edge list the
+    iterative-graph callers need directly — one pass instead of a
+    UNION ALL of two copies of the edge subtree. Output columns:
+    ``(u, v)`` each with support >= ``min_support``.
+    """
+    parts = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_ps")
+    )
+    ps = F.col("_ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    if symmetric:
+        pair_structs = F.concat(
+            pair_structs,
+            F.transform(
+                pair_structs,
+                lambda p: F.struct(p["v"].alias("u"), p["u"].alias("v")),
+            ),
+        )
+    return (
+        parts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -43,6 +101,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     grid: float | None = 1e12,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Ranks after ``iterations`` rounds of power iteration from the
     uniform vector over the DIRECTED edge list ``edges`` (feed both
@@ -58,24 +117,43 @@ def pagerank(
     a SQL oracle and can flip the last ulp near a rounding boundary.
     The quantization error (≤ in_deg/2 units ≈ 1e-10 at the default)
     sits far below any reported precision. ``grid=None`` restores pure
-    double accumulation (deterministic only up to summation order)."""
+    double accumulation (deterministic only up to summation order).
+
+    ``symmetric=True`` asserts every node appears as BOTH src and dst
+    (an undirected graph fed as two directed copies). That collapses
+    three whole shuffles the general path must pay: the node set IS the
+    out-degree key set (no src ∪ dst union-distinct), there are no
+    dangling nodes (no anti-join probe, no per-round dangling-mass
+    aggregate), and every node receives contributions each round so the
+    per-iteration nodes-left-join teleport backfill disappears — each
+    round is exactly one equi-join plus one keyed aggregation, the
+    Pregel floor. The arithmetic is bit-identical to the general path
+    on such graphs (``coalesce(mass, 0.0)`` on non-null mass and
+    ``mass + 0.0`` on positive doubles are both exact identities)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    if symmetric:
+        # O(V) and reused for nodes + the per-round contribution join.
+        deg = deg.localCheckpoint()
+        nodes = deg.select(F.col("src").alias("node"))
+        has_dangling = False
+        dangling = None
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        dangling = nodes.join(
+            deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).localCheckpoint()
+        has_dangling = not dangling.isEmpty()
     n_total = F.broadcast(nodes.agg(F.count("*").alias("n")))
     ranks = nodes.crossJoin(n_total).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     ).localCheckpoint()
     contrib_edges = e.join(deg, "src").localCheckpoint()  # (src, dst, deg), reused per round
-    dangling = nodes.join(
-        deg.withColumnRenamed("src", "node"), "node", "left_anti"
-    ).localCheckpoint()
-    has_dangling = not dangling.isEmpty()
     for _ in range(iterations):
         term = F.col("rank") / F.col("deg")
         if grid is not None:
@@ -108,12 +186,20 @@ def pagerank(
             # symmetric-graph results match the correction-free
             # arithmetic an unrolled SQL oracle computes.
             dmass = None
-        ranks = nodes.join(contribs, "node", "left").crossJoin(n_total)
-        if dmass is not None:
-            ranks = ranks.crossJoin(dmass)
-        mass = F.coalesce(F.col("mass"), F.lit(0.0)) + (
-            F.col("dmass") / F.col("n") if dmass is not None else F.lit(0.0)
-        )
+        if symmetric:
+            # Every node has in-edges, so `contribs` already covers the
+            # full node set and mass is never null: the nodes-left-join
+            # backfill is the identity. `mass` (non-null, positive)
+            # equals coalesce(mass, 0.0) + 0.0 bit-for-bit.
+            ranks = contribs.crossJoin(n_total)
+            mass = F.col("mass")
+        else:
+            ranks = nodes.join(contribs, "node", "left").crossJoin(n_total)
+            if dmass is not None:
+                ranks = ranks.crossJoin(dmass)
+            mass = F.coalesce(F.col("mass"), F.lit(0.0)) + (
+                F.col("dmass") / F.col("n") if dmass is not None else F.lit(0.0)
+            )
         ranks = ranks.select(
             "node",
             # (1 - d) computed IN DOUBLES (not folded to a decimal

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from reciping_data_pipeline_spark.operators.graph import pagerank
+from reciping_data_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
 from reciping_data_pipeline_spark.queries import query
 from reciping_data_pipeline_spark.tables import load_table
 
@@ -91,23 +91,15 @@ _ITER = """
     tags=("graph", "iterative", "join", "bench"),
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
-        .select("u", "v")
-    )
-    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    ranks = pagerank(ed, damping=0.85, iterations=3)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Symmetrized support>=2 edges in one generator pass — two
+    # exchanges total vs distinct+self-join+count (guide §2.4); the
+    # symmetric pagerank path then skips the node-set union-distinct,
+    # the dangling probe, and the per-round teleport backfill join.
+    ed = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2, symmetric=True
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    ranks = pagerank(ed, damping=0.85, iterations=3, symmetric=True)
     return (
         ranks.select(
             F.col("node").alias("l_partkey"),
@@ -171,38 +163,29 @@ l{i} AS (
     tags=("graph", "iterative", "community", "bench"),
 )
 def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
-        .select("u", "v")
-    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # One generator pass builds the symmetrized support>=2 edge list
+    # (two exchanges vs distinct+self-join+count — guide §2.4).
     ed = (
-        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2, symmetric=True)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint()
     )
     lbl = ed.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    # Deterministic per-node argmax — max(struct(cnt, -lbl)) implements
+    # (cnt DESC, lbl ASC) exactly like the former row_number window but
+    # as a hash aggregation with map-side partials instead of a
+    # node-partitioned sort (guide §2.3: aggregate before you shuffle).
     for _ in range(2):
         lbl = (
             ed.join(lbl.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("_neg"))).alias("_m"))
+            .select("node", (-F.col("_m._neg")).alias("lbl"))
             .localCheckpoint()
         )
     return (
