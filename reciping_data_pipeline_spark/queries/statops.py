@@ -441,26 +441,18 @@ def lineitem_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join", "bench"),
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    from reciping_data_pipeline_spark.operators.graph import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # Spark has no DataFrame-level common-subexpression reuse: the edge
     # and oriented-edge sets feed 3-4 downstream subtrees each, so
     # without materialization the whole e/o pipeline re-executes per
     # reuse (measured 14.8 s -> ~4 s at sf0.1). localCheckpoint pins
     # each at its O(E) size — same pattern as the connected-components
-    # operator's per-round checkpoint.
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    # operator's per-round checkpoint. The edge list itself comes from
+    # the one-generator-pass builder (two exchanges vs
+    # distinct+self-join+count — guide §2.4).
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1116,23 +1108,31 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qty_weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Aggregate BELOW the window (guide §2.3): l_returnflag has 3
+    # values, so the flag-partitioned running sum funnels the whole
+    # table through 3 sort tasks. Pre-summing weight per (flag, price)
+    # — one ordinary shuffle with map-side partials — sends only the
+    # DISTINCT price rows through that window. The crossing price is
+    # unchanged: the first row reaching half the total always sits
+    # inside some price's run, so evaluating the cumulative at
+    # price-run granularity selects the identical price; quantities
+    # are integer-valued doubles, so every regrouped sum is the exact
+    # same integer (order-invariant IEEE) and the threshold compare
+    # cannot flip.
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))
     w_run = (
         Window.partitionBy("l_returnflag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
+        .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("price"),
-        F.col("l_quantity").cast("double").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
-    ).select(
+    c = g.select(
         "l_returnflag",
         "price",
-        F.sum("wt").over(w_run).alias("cw"),
-        F.sum("wt").over(w_all).alias("tw"),
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
     )
     return c.groupBy("l_returnflag").agg(
         F.min("tw").cast("double").alias("total_qty"),
