@@ -1269,6 +1269,15 @@ def doc_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # The redaction + tokenization + quality + fingerprint-window pass
+    # is the pipeline's expensive common subexpression, and it feeds
+    # THREE independent subtrees (the final flag aggregation, the
+    # fuzzy-dedup stage via s2, and the decontamination corpus side).
+    # Spark has no DataFrame-level CSE, so without materialization the
+    # full-corpus regex pass re-executes once per subtree (guide §5:
+    # cache exactly when recomputation beats memory pressure — it does
+    # here, 3 corpus-wide regex passes -> 1).
+    flagged = flagged.persist()
     # fuzzy stage runs ONLY on exact-dedup survivors: candidates via
     # banded LSH, exact-verified, grouped, keep-longest canonical
     s2 = flagged.where(F.col("c_ex")).select(
@@ -1291,9 +1300,11 @@ def doc_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), F.lit(True).alias("_fz_drop"))
     )
     # decontamination is a per-doc property — computed once over the
-    # whole corpus, gated later (broadcast eval shingles inside)
+    # whole corpus, gated later (broadcast eval shingles inside); the
+    # corpus side reads the PERSISTED flagged frame (redaction already
+    # computed) instead of re-deriving `base` from the raw scan
     cont = dedup.contamination(
-        base.select("doc_id", F.col("rt").alias("text")),
+        flagged.select("doc_id", F.col("rt").alias("text")),
         ev.select("doc_id", T.redact_pii("text").alias("text")),
         "doc_id", "text", n_gram=5,
     ).select("doc_id", "contaminated")

@@ -180,23 +180,29 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = dedup.spread(load_table(spark, sf_dir, "documents"))
-    # Position-explode postings (dedup.exploded_shingles — linear, no
-    # per-element re-eval of the shingle array), grouped on 64-bit
-    # fingerprints rather than ~30-byte shingle strings: the
-    # min-per-shingle exchange moves 4-5x fewer bytes and duplicates
-    # of an in-doc repeated shingle can't change min(doc_id).
-    postings = dedup.exploded_shingles(docs, "doc_id", "text", 5).select(
-        "doc_id", F.xxhash64("shingle").alias("shfp")
-    )
+    # ONE tokenization pass (guide §1.2/§5): the postings frame feeds
+    # two differently-keyed aggregations (min-per-shingle and
+    # per-doc size), and without materialization the regex
+    # tokenize+shingle pass re-executes per subtree (no DataFrame
+    # CSE). The per-doc DISTINCT shingle array is built once
+    # (with_shingles, bound column), so `size(shingles)` IS the
+    # oracle's len(list_distinct(...)) — the former doc_id-keyed
+    # count_distinct over duplicate-bearing postings collapses to a
+    # plain min of a constant — and the persisted postings rows are
+    # narrow (doc_id, n_ngrams, 64-bit shingle fingerprint): the
+    # min-per-shingle exchange still moves fingerprints, never
+    # ~30-byte shingle strings.
+    sh = dedup.with_shingles(docs, "text", 5).where(F.size("shingles") > 0)
+    postings = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_ngrams"),
+        F.explode("shingles").alias("shingle"),
+    ).select("doc_id", "n_ngrams", F.xxhash64("shingle").alias("shfp")).persist()
     firsts = postings.groupBy("shfp").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count("*").alias("novel_ngrams")
     )
-    # Per-doc distinct-shingle counts from the SAME postings shape (a
-    # doc_id-keyed count_distinct) instead of a second full
-    # shingle-array construction: docs under 5 tokens emit no postings,
-    # which is exactly the oracle's len(sh) > 0 gate.
-    sizes = postings.groupBy("doc_id").agg(F.count_distinct("shfp").alias("n_ngrams"))
+    sizes = postings.groupBy("doc_id").agg(F.min("n_ngrams").alias("n_ngrams"))
     return (
         sizes.join(novel, on="doc_id", how="left")
         .select(

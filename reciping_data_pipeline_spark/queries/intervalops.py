@@ -84,30 +84,43 @@ def supplier_concurrent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame
             ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 14 + 1).cast("int"),
         ).alias("d1"),
     )
+    # One scan, one shuffle, no join (guide §2.3/§2.4): the +1/-1
+    # sweep events come from a per-row generator instead of a UNION ALL
+    # of two scans, and n_shipments rides the same aggregation as a
+    # start-event count (every lineitem emits exactly one +1, so
+    # sum(starts) per supplier == count(*) per supplier, and every
+    # supplier with a row reaches the sweep — the former count-side
+    # scan + equi-join recomputed both).
     ev = (
-        li.select("l_suppkey", F.col("d0").alias("day"), F.lit(1).alias("delta"))
-        .unionAll(
-            li.select(
-                "l_suppkey",
-                F.date_add("d1", 1).alias("day"),
-                F.lit(-1).alias("delta"),
-            )
+        li.select(
+            "l_suppkey",
+            F.explode(
+                F.array(
+                    F.struct(F.col("d0").alias("day"), F.lit(1).alias("delta")),
+                    F.struct(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta")),
+                )
+            ).alias("e"),
         )
-        .groupBy("l_suppkey", "day")
-        .agg(F.sum("delta").cast("long").alias("net"))
+        .groupBy("l_suppkey", F.col("e.day").alias("day"))
+        .agg(
+            F.sum("e.delta").cast("long").alias("net"),
+            F.sum(F.when(F.col("e.delta") == 1, 1).otherwise(0)).alias("starts"),
+        )
     )
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mx = (
+    return (
         ev.withColumn("open_now", F.sum("net").over(w).cast("long"))
         .groupBy("l_suppkey")
-        .agg(F.max("open_now").cast("long").alias("max_in_transit"))
+        .agg(
+            F.sum("starts").cast("long").alias("n_shipments"),
+            F.max("open_now").cast("long").alias("max_in_transit"),
+        )
+        .select("l_suppkey", "n_shipments", "max_in_transit")
     )
-    n = li.groupBy("l_suppkey").agg(F.count("*").cast("long").alias("n_shipments"))
-    return n.join(mx, "l_suppkey").select("l_suppkey", "n_shipments", "max_in_transit")
 
 
 @query(

@@ -89,71 +89,90 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
 
-    o = orders.agg(
-        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("dup_pk"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").alias("bad_price"),
-        F.sum(
-            F.when(
-                (F.col("o_orderdate").cast("date") < F.lit("1992-01-01").cast("date"))
-                | (F.col("o_orderdate").cast("date") > F.lit("1998-12-31").cast("date")),
-                1,
-            ).otherwise(0)
-        ).cast("long").alias("bad_date"),
+    # Three passes total (was eight subtree executions: Spark has no
+    # DataFrame CSE, so a one-row aggregate referenced per output row
+    # re-scans its table per row — guide §1.2 "don't compute things you
+    # throw away"). Each pass computes every metric it can in ONE
+    # aggregation and fans the metrics out to report rows with a
+    # generator. Semantics are preserved for arbitrary inputs:
+    # the fk_o probe joins the DISTINCT broadcast key set (1:1, row
+    # count preserved — orphan rows are exactly the former anti-join
+    # set), and the ship/fk_l pass left-joins the same non-distinct
+    # orders projection the inner join used (matched rows fan out
+    # identically; unmatched rows — the anti set — count once each).
+    def report(src: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(F.lit(name).alias("check_name"), F.col(col).alias("violations"))
+                for name, col in checks
+            ]
+        )
+        return src.select(F.explode(entries).alias("c")).select(
+            F.col("c.check_name").alias("check_name"),
+            F.col("c.violations").alias("violations"),
+            (F.col("c.violations") == 0).alias("pass"),
+        )
+
+    o = report(
+        orders.join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"))
+                .distinct()
+                .withColumn("_cust_ok", F.lit(1))
+            ),
+            "o_custkey",
+            "left",
+        ).agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("dup_pk"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").alias("bad_price"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate").cast("date") < F.lit("1992-01-01").cast("date"))
+                    | (F.col("o_orderdate").cast("date") > F.lit("1998-12-31").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("bad_date"),
+            F.sum(F.when(F.col("_cust_ok").isNull(), 1).otherwise(0)).cast("long").alias("fk_orphans"),
+        ),
+        [
+            ("orders_pk_unique", "dup_pk"),
+            ("orders_price_positive", "bad_price"),
+            ("orders_date_in_range", "bad_date"),
+            ("orders_custkey_fk", "fk_orphans"),
+        ],
     )
-    l = li.agg(
-        (
-            F.count("*")
-            - F.countDistinct(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
-        ).cast("long").alias("dup_pk"),
-        F.sum(
-            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
-        ).cast("long").alias("bad_qty"),
+    l = report(
+        li.agg(
+            (
+                F.count("*")
+                - F.countDistinct(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            ).cast("long").alias("dup_pk"),
+            F.sum(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+            ).cast("long").alias("bad_qty"),
+        ),
+        [("lineitem_pk_unique", "dup_pk"), ("lineitem_qty_in_1_50", "bad_qty")],
     )
-    ship = (
+    ship = report(
         li.select("l_orderkey", F.col("l_shipdate").cast("date").alias("shipday"))
         .join(
             orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("oday"))
             .withColumnRenamed("o_orderkey", "l_orderkey"),
             "l_orderkey",
+            "left",
         )
         .agg(
             F.sum(F.when(F.col("shipday") < F.col("oday"), 1).otherwise(0))
             .cast("long")
-            .alias("n")
-        )
+            .alias("ship_after"),
+            F.sum(F.when(F.col("oday").isNull(), 1).otherwise(0)).cast("long").alias("fk_orphans"),
+        ),
+        [
+            ("lineitem_ship_after_order", "ship_after"),
+            ("lineitem_orderkey_fk", "fk_orphans"),
+        ],
     )
-    fk_o = (
-        orders.join(
-            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
-            "o_custkey",
-            "left_anti",
-        ).agg(F.count("*").cast("long").alias("n"))
-    )
-    fk_l = (
-        li.join(
-            orders.select("o_orderkey").withColumnRenamed("o_orderkey", "l_orderkey"),
-            "l_orderkey",
-            "left_anti",
-        ).agg(F.count("*").cast("long").alias("n"))
-    )
-
-    def row(name: str, src: DataFrame, col: str) -> DataFrame:
-        return src.select(
-            F.lit(name).alias("check_name"),
-            F.col(col).alias("violations"),
-            (F.col(col) == 0).alias("pass"),
-        )
-
-    return (
-        row("orders_pk_unique", o, "dup_pk")
-        .unionAll(row("orders_price_positive", o, "bad_price"))
-        .unionAll(row("orders_date_in_range", o, "bad_date"))
-        .unionAll(row("lineitem_pk_unique", l, "dup_pk"))
-        .unionAll(row("lineitem_qty_in_1_50", l, "bad_qty"))
-        .unionAll(row("lineitem_ship_after_order", ship, "n"))
-        .unionAll(row("orders_custkey_fk", fk_o, "n"))
-        .unionAll(row("lineitem_orderkey_fk", fk_l, "n"))
-    )
+    return o.unionAll(l).unionAll(ship)
 
 
 @query(
