@@ -275,22 +275,35 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // num_bands
     groups = None
     if collapse_exact:
+        # ONE corpus pass (r14.2): the representative's text rides the
+        # grouping aggregation (every member's text is identical by
+        # construction, so first() is deterministic), and the rep set
+        # is served straight from the persisted group table. The
+        # previous shape paid a second parquet scan + a corpus-wide
+        # semi join to re-attach text to the min-id rep, and a THIRD
+        # scan for candidate verification; all three now read the one
+        # cached pass (guide §2.3/§2.4). Map-side partial aggregation
+        # keeps one text per (map partition, fingerprint), so a clone
+        # cluster's text crosses the exchange once per map partition,
+        # not once per member.
         elig = df.where(
             F.size(text.tokens(F.col(text_col))) >= F.lit(shingle_k)
         )
         groups = (
-            elig.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col))
+            elig.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col), F.col(text_col))
             .groupBy("_fp")
             .agg(
                 F.min(id_col).alias("_rep"),
                 F.sort_array(F.collect_list(id_col)).alias("_members"),
+                F.first(text_col).alias("_text"),
             )
-            # consumed three times (rep semi-join + both expansion
-            # sides) — same persist discipline as `cand` below
+            # consumed by the rep projection (pipeline + verification
+            # branches) and both expansion sides — same persist
+            # discipline as `cand` below
             .persist()
         )
-        df = df.join(
-            groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        df = groups.select(
+            F.col("_rep").alias(id_col), F.col("_text").alias(text_col)
         )
     docs = with_shingles(spread(df), text_col, shingle_k).select(
         F.col(id_col), "shingles", "shingle_hashes"
@@ -455,17 +468,23 @@ def simhash_pairs(
     block_bits = 64 // n_blocks
     groups = None
     if collapse_exact:
+        # rep text rides the grouping pass — see minhash_lsh_pairs
+        # (r14.2): one corpus scan, no semi join, no re-scan. No
+        # shingle-eligibility filter here: identical text gives an
+        # identical signature at ANY length, so within-group Hamming-0
+        # pairs are correct even for empty/short docs.
         groups = (
-            df.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col))
+            df.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col), F.col(text_col))
             .groupBy("_fp")
             .agg(
                 F.min(id_col).alias("_rep"),
                 F.sort_array(F.collect_list(id_col)).alias("_members"),
+                F.first(text_col).alias("_text"),
             )
             .persist()
         )
-        df = df.join(
-            groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        df = groups.select(
+            F.col("_rep").alias(id_col), F.col("_text").alias(text_col)
         )
     simhash = sketches.simhash64_udf()
     token_hashes = F.transform(text.tokens(F.col(text_col)), lambda t: F.xxhash64(t))
@@ -583,20 +602,23 @@ def ngram_jaccard_pairs(
     """
     groups = None
     if collapse_exact:
+        # rep text rides the grouping pass — see minhash_lsh_pairs
+        # (r14.2): one corpus scan, no semi join, no re-scan.
         elig = df.where(
             F.size(text.tokens(F.col(text_col))) >= F.lit(shingle_k)
         )
         groups = (
-            elig.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col))
+            elig.select(F.md5(F.col(text_col)).alias("_fp"), F.col(id_col), F.col(text_col))
             .groupBy("_fp")
             .agg(
                 F.min(id_col).alias("_rep"),
                 F.sort_array(F.collect_list(id_col)).alias("_members"),
+                F.first(text_col).alias("_text"),
             )
             .persist()
         )
-        df = df.join(
-            groups.select(F.col("_rep").alias(id_col)), on=id_col, how="left_semi"
+        df = groups.select(
+            F.col("_rep").alias(id_col), F.col("_text").alias(text_col)
         )
     docs = with_shingles(spread(df), text_col, shingle_k).select(
         F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("set_size")
@@ -718,9 +740,12 @@ def connected_components(
     pointer chains, so an adversarial path/chain component converges
     in O(log diameter) rounds instead of O(diameter) — the difference
     between 13 and 5000 rounds on a 5000-doc chain (tests/test_skew.py
-    pins this). Plain DataFrame loop: two shuffle joins per round,
-    ``localCheckpoint`` per round to truncate lineage (an iterative
-    plan otherwise grows exponentially), early exit on a fixed point.
+    pins this). Plain DataFrame loop: ONE shuffle join per round (the
+    neighbor flood and the pointer hop are the same "send label(u) to
+    w" message over different edge sets, so they share a single join
+    on the unioned edges — r14, was two joins), ``localCheckpoint``
+    per round to truncate lineage (an iterative plan otherwise grows
+    exponentially), early exit on a fixed point.
     Raises if ``max_iter`` rounds pass without convergence — a silent
     partial closure would merge dedup groups nondeterministically.
 
@@ -749,19 +774,25 @@ def connected_components(
     label_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
         rounds += 1
-        nbr_labels = edges.join(labels, edges["src"] == labels["v"]).select(
+        # ONE join per round (r14, guide §2.4): the neighbor flood and
+        # the pointer-doubling hop are the same message shape — "send
+        # label(u) to w" — differing only in the edge set (graph edges
+        # (u, w) vs pointer edges (label_t(w), w), where label(w)'s
+        # label reaching w is exactly label(label(w))). Union the two
+        # edge sets BEFORE the join instead of running two shuffle
+        # joins per round: saves a join stage and two V-sized
+        # exchanges every iteration (pointer-edge construction is a
+        # projection of the checkpointed label table, no shuffle).
+        # Every label value is itself a vertex with a labels row, so
+        # the inner join loses nothing (same as the old hop join).
+        msg_edges = edges.unionAll(
+            labels.select(F.col("label").alias("src"), F.col("v").alias("dst"))
+        )
+        incoming = msg_edges.join(labels, msg_edges["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("label")
         )
-        # Pointer doubling: v -> label(label(v)). Join the label table
-        # with itself on label==v; vertices whose label is already a
-        # root (label(root)=root) just reproduce their current label.
-        hop_labels = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.v"))
-            .select(F.col("a.v").alias("v"), F.col("b.label").alias("label"))
-        )
         new_labels = (
-            labels.union(nbr_labels).union(hop_labels).groupBy("v").agg(F.min("label").alias("label"))
+            labels.union(incoming).groupBy("v").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels

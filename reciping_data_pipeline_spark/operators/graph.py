@@ -44,54 +44,44 @@ def cooccurrence_edges(
     min_support: int = 2,
     symmetric: bool = False,
 ) -> DataFrame:
-    """Support-filtered co-occurrence edges from ``(group, item)`` rows
-    in TWO exchanges: one group-keyed aggregation collects each group's
-    DISTINCT item set (map-side partial ``collect_set`` absorbs
-    duplicate rows before the only group-keyed shuffle), pairs expand
-    in-task from the sorted array via a generator (no join node), and
-    the support count keys the second and final exchange on the pair.
+    """Support-filtered co-occurrence edges from ``(group, item)`` rows:
+    distinct ``(group, item)`` → group-keyed self-join (``u < v``) →
+    pair-keyed support count.
 
-    Replaces the distinct → self-join → count formulation, which pays a
-    third exchange (the pre-join DISTINCT) plus a sort-merge join whose
-    both sides re-shuffle the distinct rows — at 100 TB that's one full
-    extra pass of the fact table over the network. The pair multiset is
-    identical: ``a.item < b.item`` over per-group distinct rows is
-    exactly ``u < v`` over the sorted distinct array.
+    The self-join shape is deliberate (r14 re-measurement). An earlier
+    r14 draft expanded pairs in-task from a per-group
+    ``sort_array(collect_set(...))`` with nested array lambdas to "save
+    the join's second shuffle" — but Spark plans the self-join's two
+    sides as ONE exchange plus a ``ReusedExchange`` (identical
+    subplans), so the claimed extra network pass never existed, while
+    the array form paid interpreted higher-order-function evaluation
+    per emitted pair (HOFs don't participate in whole-stage codegen;
+    measured 4.9 s vs 3.1 s for the sf0.1 co-purchase edge list) AND
+    concentrated each group's O(k²) expansion in the single task
+    holding the group's array — the hub-group skew hazard AQE's
+    skew-join splitting exists to absorb, which only applies to joins.
+    Pair multiset is identical either way.
 
-    ``symmetric=True`` emits both orientations from the same generator
-    (``(u, v)`` and ``(v, u)``), producing the symmetrized edge list the
-    iterative-graph callers need directly — one pass instead of a
-    UNION ALL of two copies of the edge subtree. Output columns:
-    ``(u, v)`` each with support >= ``min_support``.
+    ``symmetric=True`` appends the reversed orientation of the
+    support-filtered edges — an edge-sized union AFTER the count, not a
+    second pass over the fact rows. Output columns: ``(u, v)`` each
+    with support >= ``min_support``.
     """
-    parts = df.groupBy(group_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("_ps")
+    d = df.select(F.col(group_col).alias("_k"), F.col(item_col).alias("_i")).distinct()
+    pairs = (
+        d.select("_k", F.col("_i").alias("u"))
+        .join(d.select("_k", F.col("_i").alias("v")), on="_k")
+        .where(F.col("u") < F.col("v"))
     )
-    ps = F.col("_ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    if symmetric:
-        pair_structs = F.concat(
-            pair_structs,
-            F.transform(
-                pair_structs,
-                lambda p: F.struct(p["v"].alias("u"), p["u"].alias("v")),
-            ),
-        )
-    return (
-        parts.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    e = (
+        pairs.groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_support)
         .select("u", "v")
     )
+    if symmetric:
+        e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return e
 
 
 def pagerank(

@@ -170,6 +170,12 @@ def semantic_dedup_pairs(
         kmeans_iters=kmeans_iters,
     )
     celled = assign_cells(df, cent, vec_col=vec_col)
+    # Arrow matmul kernel per cell when the id type allows it (r14):
+    # the scale-adaptive cells are exactly the many-small-blocks regime
+    # where the per-pair JVM dot dominates — one BLAS matmul per cell
+    # does the same flops vectorized; output identical under the floor
+    # rounding contract (see cosine_near_dup_pairs).
+    id_type = df.schema[id_col].dataType.typeName()
     return cosine_near_dup_pairs(
         celled,
         id_col=id_col,
@@ -177,6 +183,7 @@ def semantic_dedup_pairs(
         partition_col="cell",
         threshold=threshold,
         round_dp=round_dp,
+        arrow_kernel=id_type in ("byte", "short", "integer", "long"),
     )
 
 
@@ -531,6 +538,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     round_dp: int = 6,
     sub_buckets: int = 1,
+    arrow_kernel: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -564,8 +572,19 @@ def cosine_near_dup_pairs(
     kernel's cell schema and min/max id normalization are int64); a
     string or fractional id fails fast here rather than silently
     changing the output contract with G.
+
+    ``arrow_kernel=True`` (r14) routes the blocked G=1 case through the
+    SAME Arrow cogroup kernel as the grid (one cell per block, no row
+    fanout): each block's |a|×|b| cosine matrix is one BLAS matmul
+    instead of a JVM zip_with dot per pair — the many-small-blocks
+    regime (semantic dedup's scale-adaptive cells) where the grid's
+    fanout never pays but the per-pair JVM dot still burns
+    O(|cell|²·dim) interpreted array ops (the ×100 sweep measured ~275
+    core-minutes of JVM dots vs seconds of BLAS for the same flops).
+    Output is identical by the rounding contract above. Same integral
+    id requirement as the grid.
     """
-    if sub_buckets > 1:
+    if sub_buckets > 1 or (arrow_kernel and partition_col):
         id_type = df.schema[id_col].dataType.typeName()
         if id_type not in ("byte", "short", "integer", "long"):
             raise ValueError(
@@ -582,19 +601,26 @@ def cosine_near_dup_pairs(
         vectors.norm(F.col(vec_col)).alias("nrm"),
         *([F.col(partition_col).alias("blk")] if partition_col else []),
     )
+    # blk is re-ALIASED (not passed through as a bare attribute) so each
+    # side mints a fresh expression id: the cogrouped kernel's grouping
+    # keys otherwise carry the SAME attribute on both sides and Spark's
+    # ambiguous-self-join check rejects the plan for some input
+    # lineages (surfaced by the r14 arrow_kernel path under a unioned
+    # input; harmless for the join path, which resolves via
+    # usingColumns).
     a = with_norm.select(
         F.col("vid").alias("id_a"),
         F.col("vec").alias("vec_a"),
         F.col("nrm").alias("norm_a"),
-        *(["blk"] if partition_col else []),
+        *([F.col("blk").alias("blk")] if partition_col else []),
     )
     b = with_norm.select(
         F.col("vid").alias("id_b"),
         F.col("vec").alias("vec_b"),
         F.col("nrm").alias("norm_b"),
-        *(["blk"] if partition_col else []),
+        *([F.col("blk").alias("blk")] if partition_col else []),
     )
-    if partition_col and sub_buckets > 1:
+    if partition_col and (sub_buckets > 1 or arrow_kernel):
         # Triangular bucket grid: row → sub-bucket g = hash(id) mod G;
         # A-side fans to cells (g, j) for j ≥ g, B-side to (i, g) for
         # i ≤ g, cogroup on (blk, ci, cj). Per-row fanout is G+1 copies

@@ -84,27 +84,30 @@ def supplier_concurrent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame
             ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 14 + 1).cast("int"),
         ).alias("d1"),
     )
-    # One scan, one shuffle, no join (guide §2.3/§2.4): the +1/-1
-    # sweep events come from a per-row generator instead of a UNION ALL
-    # of two scans, and n_shipments rides the same aggregation as a
-    # start-event count (every lineitem emits exactly one +1, so
-    # sum(starts) per supplier == count(*) per supplier, and every
-    # supplier with a row reaches the sweep — the former count-side
-    # scan + equi-join recomputed both).
+    # One shuffle, no join (guide §2.3/§2.4): n_shipments rides the
+    # same aggregation as a start-event count (every lineitem emits
+    # exactly one +1, so sum(starts) per supplier == count(*) per
+    # supplier, and every supplier with a row reaches the sweep — the
+    # former count-side scan + equi-join recomputed both). The +1/-1
+    # events stay a UNION ALL of two column-pruned scans rather than a
+    # per-row explode(array(struct...)) generator: both produce the
+    # identical 2N skinny rows into the same exchange, but the
+    # generator's per-row struct-array allocation measured ~15% slower
+    # than the second pruned scan at sf0.1 (r14 A/B of all three
+    # forms: join-form 2.71 s, generator 2.81 s, this 2.41 s).
     ev = (
-        li.select(
-            "l_suppkey",
-            F.explode(
-                F.array(
-                    F.struct(F.col("d0").alias("day"), F.lit(1).alias("delta")),
-                    F.struct(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta")),
-                )
-            ).alias("e"),
+        li.select("l_suppkey", F.col("d0").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            li.select(
+                "l_suppkey",
+                F.date_add("d1", 1).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
         )
-        .groupBy("l_suppkey", F.col("e.day").alias("day"))
+        .groupBy("l_suppkey", "day")
         .agg(
-            F.sum("e.delta").cast("long").alias("net"),
-            F.sum(F.when(F.col("e.delta") == 1, 1).otherwise(0)).alias("starts"),
+            F.sum("delta").cast("long").alias("net"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("starts"),
         )
     )
     w = (

@@ -929,16 +929,29 @@ def doc_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index = dedup.build_minhash_index(docs, "doc_id", "text")
     off = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("_off")))
-    copies = docs.where(F.col("doc_id") % 10 == 0).crossJoin(off).select(
-        (F.col("doc_id") + F.col("_off")).alias("doc_id"), "text"
+    # Planted delta built in ONE corpus scan (r14, guide §2.4): the
+    # copy and reversed branches were two scans + two 1-row cross
+    # joins + a union; a conditional projection over the %10∈{0,5}
+    # slice emits the identical rows. The operator references the
+    # delta three times (sketch pass, candidate-side semi join, final
+    # left join) and Spark has no DataFrame CSE, so persist it — the
+    # previous shape re-executed the two-scan union per reference.
+    m = F.pmod(F.col("doc_id"), F.lit(10))
+    delta = (
+        docs.where((m == 0) | (m == 5))
+        .crossJoin(off)
+        .select(
+            F.when(m == 0, F.col("doc_id") + F.col("_off"))
+            .otherwise(F.col("doc_id") + 2 * F.col("_off"))
+            .alias("doc_id"),
+            F.when(m == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+")))
+            )
+            .alias("text"),
+        )
+        .persist()
     )
-    reversed_docs = docs.where(F.col("doc_id") % 10 == 5).crossJoin(off).select(
-        (F.col("doc_id") + 2 * F.col("_off")).alias("doc_id"),
-        F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))).alias(
-            "text"
-        ),
-    )
-    delta = copies.unionAll(reversed_docs)
     return dedup.incremental_minhash_dedup(delta, docs, index, "doc_id", "text")
 
 

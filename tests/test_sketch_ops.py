@@ -337,6 +337,14 @@ def test_cosine_near_dup_sub_buckets_invariant(clustered_vectors, spark):
         same = {p for p in got if cell[p[0]] == cell[p[1]]}
         assert same and (got - same), f"G={g} fixture missed a cell class"
         assert got == base, f"G={g} diverged from G=1"
+    # r14: the blocked Arrow matmul kernel at G=1 (arrow_kernel=True —
+    # one BLAS matmul per block, no grid fanout; what semantic dedup's
+    # many-small-cells path uses) is the same re-enumeration and must
+    # return exactly the JVM plan's row set, zero-norm drops included.
+    got = rows(
+        similarity.cosine_near_dup_pairs(df, sub_buckets=1, arrow_kernel=True, **kw)
+    )
+    assert got == base, "arrow_kernel G=1 diverged from JVM G=1"
 
 
 def test_cosine_near_dup_sub_buckets_rejects_non_integral_id(clustered_vectors):

@@ -63,6 +63,46 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert stats["converged"] and stats["rounds"] <= 12
 
 
+def test_connected_components_random_graph_matches_union_find(spark):
+    """r14 round fusion pin: the single-join round (graph edges and
+    pointer edges unioned before one shuffle join, replacing the
+    two-join round) must still compute exact components — checked
+    value-for-value against a driver-side union-find on a seeded
+    random graph with multiple components, cycles, and isolated-ish
+    chains."""
+    import random
+
+    from reciping_data_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(1234)
+    n = 400
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected: min member id per component, only for vertices with edges
+    touched = sorted({v for p in pairs for v in p})
+    comp_min: dict[int, int] = {}
+    for v in touched:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in touched}
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == expected
+
+
 def test_connected_components_raises_without_convergence(spark):
     from reciping_data_pipeline_spark.operators.dedup import connected_components
 
