@@ -127,13 +127,24 @@ def run_incremental(spark: SparkSession, silver_df: DataFrame, warehouse: str) -
     if not writers.table_exists(spark, path):
         writers.overwrite_partitions(fact, path, ["event_date"])
         return fact
-    touched = [r["event_date"] for r in fact.select("event_date").distinct().collect()]
-    existing_ids = (
-        writers.read_table(spark, path).where(F.col("event_date").isin(touched)).select("event_id")
-    )
-    fresh = fact.join(existing_ids, on="event_id", how="left_anti")
-    if not fresh.isEmpty():
-        writers.append_table(fresh, path, ["event_date"])
+    # The batch fact slice feeds three actions (touched-date collect,
+    # the anti-join's isEmpty probe, the append) — persist it for the
+    # batch's lifetime so the dim joins run once, not per action
+    # (guide §5; silver_df arrives persisted from run_batch, so this
+    # caches only the join work on top of it). Released before return:
+    # bulk callers re-read the written table, and the returned handle
+    # is only used for row counts in reports.
+    fact = fact.persist()
+    try:
+        touched = [r["event_date"] for r in fact.select("event_date").distinct().collect()]
+        existing_ids = (
+            writers.read_table(spark, path).where(F.col("event_date").isin(touched)).select("event_id")
+        )
+        fresh = fact.join(existing_ids, on="event_id", how="left_anti")
+        if not fresh.isEmpty():
+            writers.append_table(fresh, path, ["event_date"])
+    finally:
+        fact.unpersist()
     return fact
 
 

@@ -89,6 +89,9 @@ def incremental_run(
     loaded = bronze.ingest_interval(spark, staging_dir, warehouse, interval_start, interval_end)
     if not loaded:
         return False
+    # run_batch(incremental=True) returns a PERSISTED frame (the batch
+    # parse feeds its two append actions plus gold's dim upsert + fact
+    # build); release it deterministically once the gold write is done.
     silver_df = silver.run_batch(
         spark,
         warehouse,
@@ -96,7 +99,10 @@ def incremental_run(
         ingestion_date=interval_start.date().isoformat(),
         incremental=True,
     )
-    gold.run_incremental(spark, silver_df, warehouse)
+    try:
+        gold.run_incremental(spark, silver_df, warehouse)
+    finally:
+        silver_df.unpersist()
     return True
 
 

@@ -158,8 +158,19 @@ def run_batch(
     bronze_df = bronze_mod.read_bronze(spark, warehouse, ingestion_date)
     silver_df = transform(bronze_df, batch_ts)
     if incremental:
+        # The batch's parse plan feeds MANY actions (touched-partition
+        # collect + anti-join append here, then the caller's dim upsert
+        # and fact build) and Spark has no DataFrame CSE — unpersisted,
+        # the bronze JSON parse re-executes per action (guide §5;
+        # measured 6-7 full re-parses per 15-min batch). A 15-min batch
+        # is small by definition, so cache it; the CALLER owns the
+        # lifetime and must unpersist once its gold work is done
+        # (runner.incremental_run does, in a finally).
+        silver_df = silver_df.persist()
         append_incremental(silver_df, warehouse)
     else:
+        # Bulk: one write action, and bulk_backfill re-reads the
+        # written table for everything downstream — nothing to cache.
         write_bulk(silver_df, warehouse)
     return silver_df
 

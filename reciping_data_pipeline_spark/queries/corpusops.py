@@ -1283,9 +1283,17 @@ def doc_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = flagged.where(F.col("c_ex")).select(
         "doc_id", F.col("rt").alias("text"), F.length("rt").alias("n_chars_rt")
     )
+    # collapse_exact OFF (r14): s2 is already exact-deduped on md5(rt)
+    # — the c_ex window keeps one doc per fingerprint and fp IS
+    # F.md5("rt"), the identical key the collapse would group on — so
+    # every collapse group is a singleton by construction and the
+    # pre-collapse would only add a corpus-wide md5 grouping shuffle +
+    # persist for a guaranteed no-op (singleton groups expand to
+    # themselves; see minhash_lsh_pairs docstring).
     pairs = dedup.minhash_lsh_pairs(
         s2.select("doc_id", "text"), "doc_id", "text",
         shingle_k=5, num_perm=64, num_bands=16, threshold=0.5,
+        collapse_exact=False,
     )
     comp = dedup.connected_components(pairs)
     members = comp.join(

@@ -68,11 +68,22 @@ def start_silver_stream(
         silver_df = silver_df.withColumn(
             "processed_at", F.timestamp_seconds(F.lit(batch_id)).cast("timestamp_ntz")
         )
-        silver.append_incremental(silver_df, warehouse)
-        if also_gold:
-            from reciping_data_pipeline_spark.pipeline import gold
+        # Per-batch persist with a deterministic release (the same
+        # leak-free pattern as the near-dup stream's cache_registry):
+        # the batch plan feeds append_incremental's two actions plus,
+        # with also_gold, the dim upsert and fact build — unpersisted,
+        # the micro-batch JSON parse re-executes per action. Each
+        # batch's plan is unique, so without the finally the entries
+        # would accumulate for the stream's lifetime.
+        silver_df = silver_df.persist()
+        try:
+            silver.append_incremental(silver_df, warehouse)
+            if also_gold:
+                from reciping_data_pipeline_spark.pipeline import gold
 
-            gold.run_incremental(spark, silver_df, warehouse)
+                gold.run_incremental(spark, silver_df, warehouse)
+        finally:
+            silver_df.unpersist()
 
     writer = raw.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
     if available_now:
