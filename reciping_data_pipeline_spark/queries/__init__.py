@@ -135,6 +135,24 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         "doc_ngram_jaccard_pairs",
         "doc_split_leakage",
         "doc_dedup_groups",
+        # r14 optimization round: rows whose ENGINE plan was rewritten
+        # for performance (oracles unchanged; every one re-proven
+        # hash-equal at sf0.001 + sf0.01 before commit, see
+        # OPTIMIZATION_r14.md): connected-components round fusion
+        # (cc_chain), Arrow matmul kernel (embed_semantic_dedup),
+        # one-pass window-count form (doc_repeated_passages), fused
+        # sweep aggregation (supplier), aggregate-below-window
+        # (qty_weighted_median), edge-builder + symmetric/argmax
+        # iteration shapes (the three co-purchase graph rows). Their
+        # recorded green rounds predate the new plans — refresh.
+        "doc_cc_chain_stress",
+        "embed_semantic_dedup",
+        "doc_repeated_passages",
+        "supplier_concurrent_shipments",
+        "qty_weighted_median_price_by_flag",
+        "copurchase_pagerank",
+        "copurchase_label_propagation",
+        "copurchase_triangles",
     }
 )
 

@@ -10,7 +10,7 @@ every run regardless.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from reciping_data_pipeline_spark.functions import text as T
 from reciping_data_pipeline_spark.operators import dedup
@@ -464,13 +464,18 @@ def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), 20))).alias("wfp"),
     ).distinct()
-    shared = win.groupBy("wfp").agg(F.count("*").alias("cnt")).where(F.col("cnt") > 1)
+    # ONE pass (r14): the shared-window flag is a count over the wfp
+    # partition of the already-distinct (doc, wfp) rows — the former
+    # aggregate-then-left-join shape consumed `win` twice, and with no
+    # DataFrame CSE the whole tokenize+md5+distinct subtree executed
+    # once per consumer (two full corpus passes) plus a join whose
+    # stats-blind build side could demote to a sort-merge re-shuffle.
     per_doc = (
-        win.join(shared.select("wfp", F.lit(1).alias("s")), on="wfp", how="left")
+        win.withColumn("_cnt", F.count("*").over(Window.partitionBy("wfp")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("shared_windows"),
+            F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0)).alias("shared_windows"),
         )
     )
     return per_doc.select(

@@ -1024,15 +1024,17 @@ def doc_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = groups.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), on="id"
     )
-    w_best = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("id").asc()
-    )
+    # Deterministic per-group argmax as ONE hash aggregation with
+    # map-side partials (guide §2.3) — max(struct(n_chars, -id))
+    # implements (n_chars DESC, id ASC) exactly like the former
+    # row_number window but without the component-partitioned sort
+    # (the same rewrite as label propagation's mode argmax, r14).
     return (
-        members.withColumn("rn", F.row_number().over(w_best))
-        .groupBy("component")
+        members.groupBy("component")
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("keep_id"),
+            F.max(F.struct(F.col("n_chars"), (-F.col("id")).alias("_neg"))).alias("_m"),
         )
         .where(F.col("n_members") > 1)
+        .select("component", "n_members", (-F.col("_m._neg")).alias("keep_id"))
     )

@@ -191,8 +191,14 @@ def _needle_queries(emb: DataFrame, off: DataFrame) -> DataFrame:
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     off = _needle_offset(emb)
+    # broadcast_queries pinned True: the needle set is 10 rows by
+    # construction, so the size-aware bounded-count probe job is a
+    # wasted action here (r14 — one fewer job per run).
     return _needle_contract(
-        similarity.lsh_ann_topk(emb, _needle_queries(emb, off), dim=_DIM, k=5), off
+        similarity.lsh_ann_topk(
+            emb, _needle_queries(emb, off), dim=_DIM, k=5, broadcast_queries=True
+        ),
+        off,
     )
 
 
@@ -209,8 +215,12 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     off = _needle_offset(emb)
+    # broadcast_queries pinned True — see embed_lsh_ann (r14).
     return _needle_contract(
-        similarity.ivf_topk(emb, _needle_queries(emb, off), k=5, n_cells=16, nprobe=3),
+        similarity.ivf_topk(
+            emb, _needle_queries(emb, off), k=5, n_cells=16, nprobe=3,
+            broadcast_queries=True,
+        ),
         off,
     )
 
