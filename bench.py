@@ -347,7 +347,22 @@ def main() -> None:
         "full": "BENCH_FULL_latest.json",
         "sf": full_payload["sf"],
     }
+    # The driver parses THIS line for its per-query PERF comparison and
+    # cannot read repo files — in r14 the 54-query map crossed the
+    # 1800-char guard and degraded to a {"see": ...} pointer, which
+    # emptied PERF's per_query/geomean/scaling (VERDICT r14 #2). Keep
+    # the queries map alive by degrading optional detail first: drop
+    # the regression ratios to a count, then coarsen query timings to
+    # 1 dp (the gate's sub-second exemption makes 0.1 s resolution
+    # sufficient for cross-round comparison). The pointer fallback
+    # stays only as a never-expected last resort.
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        compact["regressions"] = {"n": len(regressions)}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        compact["queries"] = {n: round(s, 1) for n, s in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         compact["queries"] = {"see": "BENCH_FULL_latest.json"}
         line = json.dumps(compact, separators=(",", ":"))

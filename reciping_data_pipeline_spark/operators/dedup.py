@@ -217,6 +217,119 @@ def _bucket_pairs(
     )
 
 
+# Clone-cluster re-expansion chunk (r15): a group's O(k²) member-pair
+# generation is confined to the ONE task holding its row when done with
+# nested array transforms. Groups above this size switch to a chunked
+# form that spreads the expansion over ~(k/chunk)²/2 tasks of ≤ chunk²
+# emitted pairs each (guide §2.5 — AQE skew splitting only applies to
+# joins, so the spread must be explicit). 4096² ≈ 16.8M pairs per task
+# is comparable to a normal task's row throughput; a 100k-clone
+# cluster (5·10⁹ pairs) spreads over ~300 tasks instead of one.
+CLONE_EXPAND_CHUNK = 4096
+
+
+def _chunk_slices(arr: Column, chunk: int) -> Column:
+    """Array of ≤chunk-sized contiguous slices of a non-empty array."""
+    return F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(arr) - F.lit(1)) / F.lit(chunk)).cast("int")
+        ),
+        lambda i: F.slice(arr, i * chunk + 1, chunk),
+    )
+
+
+def _tri_pairs(arr: Column) -> Column:
+    """All (arr[i], arr[j]) i<j combination structs of one array —
+    pairs come out ordered when ``arr`` is sorted ascending."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def _cross_chunk_pairs(aa: Column, bb: Column) -> Column:
+    """Full aa × bb cross-product structs (two distinct chunks of one
+    sorted array: every aa element precedes every bb element)."""
+    return F.flatten(
+        F.transform(
+            aa, lambda x: F.transform(bb, lambda y: F.struct(x.alias("a"), y.alias("b")))
+        )
+    )
+
+
+def _within_group_pairs(groups: DataFrame, chunk: int = CLONE_EXPAND_CHUNK) -> DataFrame:
+    """``(id_a, id_b)`` for every 2-combination of each group's sorted
+    ``_members`` array (sorted ⇒ id_a < id_b on every path).
+
+    Groups at or below ``chunk`` members expand in-task via one nested
+    transform — no shuffle, the overwhelmingly common case at any
+    scale. A bigger group's expansion would otherwise pin O(k²) struct
+    emissions on the one task holding its row (VERDICT r14 #7: a
+    100k-clone cluster = 5·10⁹ allocations in one task): those rows
+    chunk the member array into ≤chunk-sized slices, emit one row per
+    (i ≤ j) chunk pair, hash-repartition on (_fp, i, j) — corpus-many
+    distinct keys, guide §2.5 — and expand ≤ chunk² pairs per task.
+    The output SET is identical: the chunk grid partitions the index
+    space, each unordered member pair lands in exactly one (i ≤ j)
+    cell (diagonal cells expand triangularly, off-diagonal cells as a
+    full cross of two disjoint sorted ranges).
+
+    Whether any oversized group EXISTS is decided by a one-row probe
+    of the (caller-persisted) group table — the same cache-warming
+    control-plane pattern as minhash's candidate-count probe. Without
+    it the distributed branch would sit in every plan as a full-width
+    exchange of zero rows (32 scheduled-empty tasks per call at the
+    bench's width; AQE cannot coalesce it away because the width must
+    be user-pinned — the chunk rows are tiny ON THE WIRE while the
+    downstream explode is the actual work, so byte-based coalescing
+    would fold a real mega-cluster's expansion back into one task,
+    which is exactly the regression this helper exists to prevent)."""
+    small = groups.where(
+        (F.size("_members") >= 2) & (F.size("_members") <= chunk)
+    ).select(F.explode(_tri_pairs(F.col("_members"))).alias("p"))
+    max_size = groups.agg(F.max(F.size("_members"))).first()[0] or 0
+    if max_size <= chunk:
+        return small.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    ch = _chunk_slices(F.col("_members"), chunk)
+    chunk_pairs = F.flatten(
+        F.transform(
+            ch,
+            lambda a, i: F.transform(
+                F.slice(ch, i + 1, F.size(ch) - i),
+                lambda b, j: F.struct(
+                    a.alias("ca"), b.alias("cb"), i.alias("ci"), (i + j).alias("cj")
+                ),
+            ),
+        )
+    )
+    # Explicit full-width repartition (same rationale as the cosine
+    # kernel's grid): the chunk-pair rows are tiny ON THE WIRE (ids
+    # only) while the downstream explode is where the quadratic work
+    # happens, so AQE's byte-based coalescing would fold the exchange
+    # back to one task and re-serialize the expansion.
+    width = int(groups.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    big = (
+        groups.where(F.size("_members") > chunk)
+        .select("_fp", F.explode(chunk_pairs).alias("c"))
+        .repartition(width, F.col("_fp"), F.col("c.ci"), F.col("c.cj"))
+        .select(
+            F.explode(
+                F.when(
+                    F.col("c.ci") == F.col("c.cj"), _tri_pairs(F.col("c.ca"))
+                ).otherwise(_cross_chunk_pairs(F.col("c.ca"), F.col("c.cb")))
+            ).alias("p")
+        )
+    )
+    return small.unionAll(big).select(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -412,24 +525,7 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    member_pairs = F.flatten(
-        F.transform(
-            F.col("_members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    within = (
-        groups.where(F.size("_members") >= 2)
-        .select(F.explode(member_pairs).alias("p"))
-        .select(
-            F.col("p.a").alias("id_a"),
-            F.col("p.b").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    within = _within_group_pairs(groups).withColumn("jaccard", F.lit(1.0))
     return cross.unionAll(within)
 
 
@@ -545,24 +641,7 @@ def simhash_pairs(
             "hamming",
         )
     )
-    member_pairs = F.flatten(
-        F.transform(
-            F.col("_members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    within = (
-        groups.where(F.size("_members") >= 2)
-        .select(F.explode(member_pairs).alias("p"))
-        .select(
-            F.col("p.a").alias("id_a"),
-            F.col("p.b").alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
+    within = _within_group_pairs(groups).withColumn("hamming", F.lit(0).cast("int"))
     return cross.unionAll(within)
 
 
@@ -696,24 +775,7 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    member_pairs = F.flatten(
-        F.transform(
-            F.col("_members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    within = (
-        groups.where(F.size("_members") >= 2)
-        .select(F.explode(member_pairs).alias("p"))
-        .select(
-            F.col("p.a").alias("id_a"),
-            F.col("p.b").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    within = _within_group_pairs(groups).withColumn("jaccard", F.lit(1.0))
     return cross.unionAll(within)
 
 

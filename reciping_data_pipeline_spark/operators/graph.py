@@ -66,8 +66,28 @@ def cooccurrence_edges(
     support-filtered edges — an edge-sized union AFTER the count, not a
     second pass over the fact rows. Output columns: ``(u, v)`` each
     with support >= ``min_support``.
+
+    One fact-sized exchange, not two (r15, guide §2.4): the explicit
+    ``repartition(_k)`` establishes the partitioning BOTH the distinct
+    (hash(_k) co-locates every (_k, _i)) and the group-keyed self-join
+    need, so neither adds its own exchange — previously the distinct
+    exchanged on (_k, _i) and the join re-exchanged its output on _k.
+    The distinct aggregation now runs once per join side (it sits
+    above the reused exchange instead of below it); an in-memory hash
+    pass costs less than a fact-sized network+disk exchange (measured
+    3.95 → 3.48 s on the sf0.1 edge list; the r14 note about the agg
+    being computed once below the reused exchange described the OLD
+    shape). The join stays sort-merge: forcing a shuffled-hash join
+    measured another ~4% here, but its per-partition build map on a
+    100 TB distinct table is an OOM class the 8-row-sort SMJ is not —
+    deployments that size partitions properly get SHJ via
+    ``spark.sql.join.preferSortMergeJoin=false`` without code changes.
     """
-    d = df.select(F.col(group_col).alias("_k"), F.col(item_col).alias("_i")).distinct()
+    d = (
+        df.select(F.col(group_col).alias("_k"), F.col(item_col).alias("_i"))
+        .repartition(F.col("_k"))
+        .distinct()
+    )
     pairs = (
         d.select("_k", F.col("_i").alias("u"))
         .join(d.select("_k", F.col("_i").alias("v")), on="_k")

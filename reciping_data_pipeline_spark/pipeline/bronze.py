@@ -45,11 +45,18 @@ def to_bronze(raw: DataFrame, batch_ts: datetime) -> DataFrame:
 
 
 def ingest_bulk(spark: SparkSession, staging_dir: str, warehouse: str, batch_ts: datetime) -> int:
-    """Bulk backfill: whole staging directory in one pass."""
+    """Bulk backfill: whole staging directory in one pass. Returns the
+    ingested row count, observed on the write action itself (guide
+    §1.2) — the bulk report previously re-counted the written table in
+    a separate job."""
+    from pyspark.sql import Observation
+
     raw = jsonl.read_lines(spark, _glob_all(staging_dir))
     df = to_bronze(raw, batch_ts)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writers.overwrite_partitions(df, bronze_path(warehouse), ["ingestion_date"])
-    return 0
+    return int(obs.get["rows"])
 
 
 def ingest_interval(

@@ -55,22 +55,29 @@ def bulk_backfill(
     (bulk_runner.py:86-108 equivalent). ``validate=True`` additionally
     evaluates the declarative Silver SLO contract (quality.py — one
     extra aggregation job) and attaches it to the report."""
-    bronze.ingest_bulk(spark, staging_dir, warehouse, batch_ts)
-    silver_df = silver.run_batch(spark, warehouse, batch_ts)
+    # Every report number rides its stage's write action as an
+    # observation metric (guide §1.2): the report previously re-read
+    # bronze/silver/fact for three count() jobs plus a full-scan
+    # join-success aggregation over the fact — four extra jobs per
+    # bulk build, all answerable from rows the writes already stream.
+    bronze_rows = bronze.ingest_bulk(spark, staging_dir, warehouse, batch_ts)
+    silver_metrics: dict = {}
+    silver_df = silver.run_batch(spark, warehouse, batch_ts, metrics=silver_metrics)
     silver_df = silver.read_silver(spark, warehouse)
     dims.build_all(spark, silver_df, warehouse, recipe_master_path, *time_dim_range)
-    fact = gold.run_bulk(spark, silver_df, warehouse)
-    fact = gold.read_fact(spark, warehouse)
+    gold_metrics: dict = {}
+    gold.run_bulk(spark, silver_df, warehouse, metrics=gold_metrics)
     q = None
     if validate:
         from reciping_data_pipeline_spark.pipeline import quality
 
         q = quality.silver_contract(silver_df).results
+    total = gold_metrics["fact_rows"] or 1
     return RunReport(
-        bronze_rows=bronze.read_bronze(spark, warehouse).count(),
-        silver_rows=silver_df.count(),
-        fact_rows=fact.count(),
-        join_success=gold.join_success_rates(fact),
+        bronze_rows=bronze_rows,
+        silver_rows=silver_metrics["silver_rows"],
+        fact_rows=gold_metrics["fact_rows"],
+        join_success={k: gold_metrics[k] / total for k in gold.FK_KEYS},
         quality=q,
     )
 

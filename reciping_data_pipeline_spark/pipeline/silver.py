@@ -152,6 +152,7 @@ def run_batch(
     batch_ts: datetime,
     ingestion_date: str | None = None,
     incremental: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     from reciping_data_pipeline_spark.pipeline import bronze as bronze_mod
 
@@ -171,7 +172,18 @@ def run_batch(
     else:
         # Bulk: one write action, and bulk_backfill re-reads the
         # written table for everything downstream — nothing to cache.
-        write_bulk(silver_df, warehouse)
+        # With a ``metrics`` dict, the written row count rides the
+        # write action as an observation metric (guide §1.2) instead
+        # of the report's former separate count() job.
+        if metrics is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            silver_df = silver_df.observe(obs, F.count(F.lit(1)).alias("silver_rows"))
+            write_bulk(silver_df, warehouse)
+            metrics["silver_rows"] = int(obs.get["silver_rows"])
+        else:
+            write_bulk(silver_df, warehouse)
     return silver_df
 
 

@@ -92,8 +92,8 @@ _ITER = """
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Symmetrized support>=2 edges in one generator pass — two
-    # exchanges total vs distinct+self-join+count (guide §2.4); the
+    # Symmetrized support>=2 edges via the single-exchange
+    # distinct+self-join builder (operators/graph.py, r15 form); the
     # symmetric pagerank path then skips the node-set union-distinct,
     # the dangling probe, and the per-round teleport backfill join.
     ed = cooccurrence_edges(
@@ -155,17 +155,20 @@ l{i} AS (
     "co-purchase graph: 2 rounds where every node adopts its "
     "neighbourhood's MODE label (ties -> smallest label, so the "
     "computation is fully deterministic — async LPA is not). Each "
-    "round is one equi-join + one (node,label)-keyed count + a "
-    "node-partitioned top-1 window; O(E) shuffles, O(V) state, same "
-    "Pregel lowering as PageRank but with an argmax combiner instead "
-    "of a sum. Output: communities of size >= 2. Exact integer "
-    "arithmetic end to end; the oracle unrolls both rounds.",
+    "round is one equi-join + one node-keyed exchange shared by the "
+    "(node,label) count and the top-1 window (rank-limit pushdown); "
+    "O(E) shuffles, O(V) state, same Pregel lowering as PageRank but "
+    "with an argmax combiner instead of a sum. Output: communities of "
+    "size >= 2. Exact integer arithmetic end to end; the oracle "
+    "unrolls both rounds.",
     tags=("graph", "iterative", "community", "bench"),
 )
 def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # One generator pass builds the symmetrized support>=2 edge list
-    # (two exchanges vs distinct+self-join+count — guide §2.4).
+    # Support>=2 symmetrized edges via the single-exchange builder
+    # (operators/graph.py — repartition(_k) shared by distinct + join).
     ed = (
         cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2, symmetric=True)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -174,18 +177,33 @@ def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = ed.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    # Deterministic per-node argmax — max(struct(cnt, -lbl)) implements
-    # (cnt DESC, lbl ASC) exactly like the former row_number window but
-    # as a hash aggregation with map-side partials instead of a
-    # node-partitioned sort (guide §2.3: aggregate before you shuffle).
+    # Per-round shape (r15, guide §2.4 — remeasured): ONE explicit
+    # node-keyed exchange that both the (node, lbl) count and the top-1
+    # window reuse (hash(node) satisfies the count's (node, lbl)
+    # clustering; the window is node-partitioned). r13 paid two
+    # exchanges here (count on (node,lbl), window on node); r14's
+    # max(struct) argmax was MEASURED WORSE than both — a struct
+    # aggregation buffer is not hash-aggregable, so it planned as
+    # SortAggregate and ADDED a map-side and a reduce-side sort per
+    # round (5.90 vs 5.06 vs 4.20 s full-query medians on one host;
+    # the r14 "hash aggregation with map-side partials" rationale was
+    # wrong about the physical plan). The window's rank-limit pushdown
+    # (WindowGroupLimit) keeps per-task state at one row per node, and
+    # the count is a hash aggregation, so a celebrity node costs one
+    # task a hash pass over its degree — no per-round full sort
+    # anywhere. Counts are exact integers; ties break (cnt DESC,
+    # lbl ASC) — deterministic, same result on every path.
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
     for _ in range(2):
         lbl = (
             ed.join(lbl.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"), "lbl")
+            .select(F.col("dst").alias("node"), "lbl")
+            .repartition(F.col("node"))
+            .groupBy("node", "lbl")
             .agg(F.count("*").alias("cnt"))
-            .groupBy("node")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("_neg"))).alias("_m"))
-            .select("node", (-F.col("_m._neg")).alias("lbl"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
             .localCheckpoint()
         )
     return (

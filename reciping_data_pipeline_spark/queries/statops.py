@@ -450,8 +450,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse (measured 14.8 s -> ~4 s at sf0.1). localCheckpoint pins
     # each at its O(E) size — same pattern as the connected-components
     # operator's per-round checkpoint. The edge list itself comes from
-    # the one-generator-pass builder (two exchanges vs
-    # distinct+self-join+count — guide §2.4).
+    # the single-exchange distinct+self-join builder
+    # (operators/graph.py, r15 form).
     e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("node"))
@@ -1108,33 +1108,80 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qty_weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # Aggregate BELOW the window (guide §2.3): l_returnflag has 3
-    # values, so the flag-partitioned running sum funnels the whole
-    # table through 3 sort tasks. Pre-summing weight per (flag, price)
-    # — one ordinary shuffle with map-side partials — sends only the
-    # DISTINCT price rows through that window. The crossing price is
-    # unchanged: the first row reaching half the total always sits
-    # inside some price's run, so evaluating the cumulative at
-    # price-run granularity selects the identical price; quantities
-    # are integer-valued doubles, so every regrouped sum is the exact
-    # same integer (order-invariant IEEE) and the threshold compare
-    # cannot flip.
-    g = li.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))
+    # Two-pass crossing-bucket form (r15 — VERDICT r14 #3; guide §2.3).
+    # r13 ran the flag-partitioned running sum over EVERY row (3 sort
+    # tasks see the whole table); r14 pre-aggregated per (flag, price)
+    # but l_extendedprice is near-unique, so the 3 serial window tasks
+    # still sorted ~all distinct prices (1.34 → 1.91 s, waived as a
+    # scale trade). Now NO window ever sees a corpus-sized input:
+    # 1. one fact pass pre-sums weight per (flag, price) — the only
+    #    corpus-sized exchange, map-side partials (unchanged from r14);
+    # 2. prices bucket into fixed $64 ranges (floor(price/64) — exact
+    #    IEEE division by a power of two, monotone in price), and the
+    #    running sum over per-bucket totals finds the bucket where the
+    #    cumulative crosses half the total: window input is the PRICE
+    #    DOMAIN / 64 (~1.6k rows per flag), bounded by the domain, not
+    #    the row count, at any scale;
+    # 3. the crossing price is resolved INSIDE that one bucket: its
+    #    (flag, price) rows (domain-bounded: ≤ 6400 cent values) get
+    #    the running sum seeded with the cumulative weight before the
+    #    bucket.
+    # Exactness: quantities are integer-valued doubles, so every
+    # regrouped sum is the same exact integer regardless of grouping
+    # (order-invariant IEEE far below 2^53), and cum_before + in-bucket
+    # running sum equals the global prefix sum at every price — the
+    # first price with 2*cw >= tw is identical to the oracle's. The
+    # pre-aggregated frame is persisted (it feeds the bucket pass and
+    # the in-bucket resolution; identical plans share one cache entry).
+    g = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))
+        .withColumn("bkt", F.floor(F.col("price") / F.lit(64.0)))
+        .persist()
+    )
+    b = g.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
     w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    bc = b.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(w_run).alias("cbw"),
+        F.sum("bw").over(w_all).alias("tw"),
+    )
+    w_first = Window.partitionBy("l_returnflag").orderBy("bkt")
+    crossing = (
+        bc.where(F.col("cbw") * 2.0 >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        # re-aliased so the g-join below isn't an ambiguous self-join
+        .select(
+            F.col("l_returnflag").alias("_rf"),
+            F.col("bkt").alias("_xbkt"),
+            (F.col("cbw") - F.col("bw")).alias("cum_before"),
+            "tw",
+        )
+    )
+    w_in = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("l_returnflag")
-    c = g.select(
+    inb = g.join(
+        F.broadcast(crossing),
+        (F.col("l_returnflag") == F.col("_rf")) & (F.col("bkt") == F.col("_xbkt")),
+    ).select("l_returnflag", "price", "w", "cum_before", "tw")
+    cw = inb.select(
         "l_returnflag",
         "price",
-        F.sum("w").over(w_run).alias("cw"),
-        F.sum("w").over(w_all).alias("tw"),
+        "tw",
+        (F.col("cum_before") + F.sum("w").over(w_in)).alias("cw"),
     )
-    return c.groupBy("l_returnflag").agg(
+    return cw.groupBy("l_returnflag").agg(
         F.min("tw").cast("double").alias("total_qty"),
         F.min(F.when(F.col("cw") * 2.0 >= F.col("tw"), F.col("price"))).alias(
             "weighted_median_price"

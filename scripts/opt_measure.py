@@ -40,10 +40,11 @@ def main() -> int:
     ap.add_argument("--no-plan", action="store_true", help="skip plan capture")
     ap.add_argument("--no-time", action="store_true", help="skip timing")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--round", default="r15", help="plans/<round>/ output dir")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r14")
+    plans_dir = os.path.join(here, "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_spark(app_name=f"opt_measure_{args.tag}")

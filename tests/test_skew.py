@@ -377,3 +377,38 @@ def test_minhash_collapse_exact_equals_uncollapsed_and_restores_recall(spark):
     # (13 distinct texts < cap)
     assert pairs(False, 14) == []
     assert pairs(True, 14) == got
+
+
+def test_within_group_pairs_chunked_matches_direct(spark):
+    """The clone-cluster re-expansion (r15): a group larger than the
+    chunk must produce the exact 2-combination set via the distributed
+    chunk-grid path, and the distributed rows must not all sit in one
+    partition (the VERDICT r14 #7 de-skew claim)."""
+    from itertools import combinations
+
+    from reciping_data_pipeline_spark.operators.dedup import _within_group_pairs
+
+    groups = spark.createDataFrame(
+        [
+            ("g1", sorted([7, 3, 11, 5, 2, 19, 13, 17, 23, 29])),  # 10 > chunk=3
+            ("g2", [100, 200]),  # small path
+            ("g3", [42]),  # singleton: no pairs
+        ],
+        "`_fp` string, `_members` array<bigint>",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in _within_group_pairs(groups, chunk=3).collect()
+    )
+    want = sorted(
+        list(combinations(sorted([7, 3, 11, 5, 2, 19, 13, 17, 23, 29]), 2))
+        + [(100, 200)]
+    )
+    assert got == want
+    # the big group's chunk grid spreads over >1 task
+    big_part_count = (
+        _within_group_pairs(groups.where(F.size("_members") > 3), chunk=3)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert big_part_count > 1
