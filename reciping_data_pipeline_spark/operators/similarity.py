@@ -581,7 +581,12 @@ def cosine_near_dup_pairs(
     fanout never pays but the per-pair JVM dot still burns
     O(|cell|²·dim) interpreted array ops (the ×100 sweep measured ~275
     core-minutes of JVM dots vs seconds of BLAS for the same flops).
-    Output is identical by the rounding contract above. Same integral
+    Output is identical by the rounding contract above — up to the one
+    theoretical exception (ADVICE r14): BLAS and the JVM fold-order dot
+    can differ by an ulp, which flips the floor grid only when a cosine
+    lands within that ulp of a half-grid boundary (cosine ∈ [-1,1] has
+    ulp ~2e-16 against the 1e-6 grid, so in practice unobserved and
+    test-pinned equal; noted for the verify-waiver docs). Same integral
     id requirement as the grid.
     """
     if sub_buckets > 1 or (arrow_kernel and partition_col):
@@ -684,13 +689,23 @@ def cosine_near_dup_pairs(
                 {"id_a": lo, "id_b": hi, "cosine_sim": cos_m[ii, jj]}
             )
 
-        return (
+        out = (
             a_f.repartition(width, "blk", "ci", "cj")
             .groupBy("blk", "ci", "cj")
             .cogroup(
                 b_f.repartition(width, "blk", "ci", "cj").groupBy("blk", "ci", "cj")
             )
             .applyInPandas(cell_pairs, "id_a long, id_b long, cosine_sim double")
+        )
+        # The kernel schema pins ids to int64; cast back so byte/short/
+        # int id columns keep their input type and the output schema is
+        # path-invariant (ADVICE r14 — the values always fit, they came
+        # from this column).
+        id_dt = df.schema[id_col].dataType
+        return out.select(
+            F.col("id_a").cast(id_dt).alias("id_a"),
+            F.col("id_b").cast(id_dt).alias("id_b"),
+            "cosine_sim",
         )
     if partition_col:
         # Explicit full-width repartition on the block key: the pair

@@ -81,78 +81,36 @@ _FORCE_REVERIFY: frozenset[str] = frozenset(
         # (Satisfied pins are CLEARED at each round's close-out — a
         # satisfied pin left in place occupies a front-of-window slot
         # every round and starves the stalest cohort the rotation
-        # exists to refresh. r09's 8 pins cleared after
-        # CORRECTNESS_r09.json; r10's 2 embed pins and r11's 7
-        # money/rank grid pins all recorded hash-green in
-        # CORRECTNESS_r11.json and cleared for r12 — VERDICT r11 #3.)
+        # exists to refresh. r09's 8 pins, r10's 2, r11's 7, r12's 1,
+        # r13's 6 all cleared after recording green. r14's 18 pins —
+        # the three r13 skew-rewrite oracles, the exact-clone collapse
+        # family, the derived plant offsets, the waterfill TRY_CAST,
+        # and the r14 engine-plan rewrites — all recorded hash-green
+        # in CORRECTNESS_r14.json and are cleared for r15 per VERDICT
+        # r14 #8.)
         #
-        # (r12's embed_near_dup_blocked pin — the unified floor-grid
-        # rounding contract — recorded hash-green in
-        # CORRECTNESS_r12.json and cleared for r13, per VERDICT r12 #1.)
-        #
-        # (r13's 6 pins — the five union-error-model serving rows and
-        # the fingerprint-dedup user_timeseries_similarity — all
-        # recorded hash-green in CORRECTNESS_r13.json and cleared for
-        # r14 per VERDICT r13 #2, so the window leads with the three
-        # age-4 embed rows and the r10 cohort.)
-        #
-        # r14 (ADVICE r13): the three r13 skew rewrites whose ORACLES
-        # were rewritten alongside the engines — their recorded green
-        # rounds reflect the OLD oracle text, so the rotation would
-        # otherwise let them hide at the back with stale-semantics
-        # evidence. Old-vs-new equivalence was proven value-for-value
-        # in DuckDB before the switch (BENCH_NOTES r13), but the
-        # driver has not yet recorded a row against the new oracles.
-        "purchase_multitouch_attribution",
-        "funnel_within_hour",
-        "purchase_asof_last_view",
-        # r14: minhash_lsh_pairs gained exact-clone pre-collapse
-        # (collapse_exact default ON — the docszipf recall fix). The
-        # ORACLES are unchanged and outputs were verified byte-equal
-        # at sf0.01 before shipping, but the engine plan under these
-        # three rows is new — refresh their driver evidence.
-        "doc_minhash_lsh_pairs",
-        "doc_fuzzy_dedup_e2e",
-        "doc_curation_pipeline_e2e",
-        # r14: waterfill weight parse switched to TRY_CAST on both
-        # engines (strict CAST crashed on the docszipf fixture's
-        # 'clone_farm' source; unparsable sources now weight 1) —
-        # engine and oracle text both changed.
-        "doc_token_budget_waterfill",
-        # r14: planted-copy offsets DERIVED from max(id)+1 instead of
-        # a fixed 1e9 (docszipf's mult-300 ids reach 2.99e9 — the
-        # fixed offset collided plants with real ids and silently
-        # filtered 2/3 of the corpus out of the simhash check);
-        # oracle text changed on these three, and simhash_pairs also
-        # gained the exact-clone pre-collapse.
-        "doc_simhash_pairs",
-        "doc_incremental_minhash_dedup",
-        "embed_incremental_semantic_dedup",
-        # r14: ngram_jaccard_pairs gained the exact-clone pre-collapse
-        # (clone shingle postings overflowed the inversion bucket cap
-        # at docszipf — doc_split_leakage lost 2.2% of pairs); oracles
-        # unchanged, outputs verified byte-equal at sf0.01.
-        "doc_ngram_jaccard_pairs",
-        "doc_split_leakage",
-        "doc_dedup_groups",
-        # r14 optimization round: rows whose ENGINE plan was rewritten
+        # r15 optimization round: rows whose ENGINE plan was rewritten
         # for performance (oracles unchanged; every one re-proven
         # hash-equal at sf0.001 + sf0.01 before commit, see
-        # OPTIMIZATION_r14.md): connected-components round fusion
-        # (cc_chain), Arrow matmul kernel (embed_semantic_dedup),
-        # one-pass window-count form (doc_repeated_passages), fused
-        # sweep aggregation (supplier), aggregate-below-window
-        # (qty_weighted_median), edge-builder + symmetric/argmax
-        # iteration shapes (the three co-purchase graph rows). Their
-        # recorded green rounds predate the new plans — refresh.
-        "doc_cc_chain_stress",
-        "embed_semantic_dedup",
-        "doc_repeated_passages",
-        "supplier_concurrent_shipments",
-        "qty_weighted_median_price_by_flag",
-        "copurchase_pagerank",
+        # OPTIMIZATION_r15.md): single-exchange co-occurrence edge
+        # builder + fused LPA rounds (the three co-purchase graph
+        # rows), the crossing-bucket weighted median, the chunked
+        # clone-cluster re-expansion (the three pair operators and
+        # their pair-consuming rows), and the Arrow-kernel id-type
+        # cast-back (embed_semantic_dedup). Their recorded green
+        # rounds predate the new plans — refresh.
         "copurchase_label_propagation",
+        "copurchase_pagerank",
         "copurchase_triangles",
+        "qty_weighted_median_price_by_flag",
+        "doc_minhash_lsh_pairs",
+        "doc_simhash_pairs",
+        "doc_ngram_jaccard_pairs",
+        "doc_fuzzy_dedup_e2e",
+        "doc_curation_pipeline_e2e",
+        "doc_dedup_groups",
+        "doc_split_leakage",
+        "embed_semantic_dedup",
     }
 )
 

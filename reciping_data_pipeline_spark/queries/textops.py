@@ -936,6 +936,11 @@ def doc_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # delta three times (sketch pass, candidate-side semi join, final
     # left join) and Spark has no DataFrame CSE, so persist it — the
     # previous shape re-executed the two-scan union per reference.
+    # The persist is deliberately session-lifetime (ADVICE r14): the
+    # query fn returns a LAZY frame, so there is no post-materialize
+    # hook to unpersist from; identical plans dedup to ONE CacheManager
+    # entry, so repeated runs never accumulate blocks, and the bench's
+    # inter-query drain releases it once handles drop.
     m = F.pmod(F.col("doc_id"), F.lit(10))
     delta = (
         docs.where((m == 0) | (m == 5))
